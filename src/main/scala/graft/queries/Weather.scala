@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ingest.Parse
+import graft.ops.{DayStats, Latest, Recent, Rollup}
+
+/** Weather-parity queries (SURVEY.md §2.13): the reference's REST/CLI query
+  * surface re-expressed over the shared `events` corpus via the
+  * `eventsAsObservations` adapter (location←user_id, code←event_type,
+  * metric←value). Each returns deterministic, oracle-hashable output.
+  */
+object Weather {
+
+  private def obs(s: SparkSession, dir: String): DataFrame =
+    Parse.eventsAsObservations(Tables.events(s, dir))
+
+  /** Shared output shaping: epoch-µs timestamps, stable column names. */
+  private val obsOut = Seq(
+    col("location"), col("event_id"), col("code"), col("value"),
+    unix_micros(col("event_timestamp")).as("event_us"))
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // D1 — latest observation per location (GET /weather).
+    QuerySpec.sql("latest_per_key",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_id,
+        |       event_type AS code, value, epoch_us(ts) AS event_us
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""") {
+      (s, dir) => Latest.latestPerLocation(obs(s, dir)).select(obsOut: _*)
+    },
+
+    // D2 — dedupe: latest row per (location, code) pair.
+    QuerySpec.sql("dedup_latest_per_pair",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_type AS code,
+        |       event_id, value, epoch_us(ts) AS event_us
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""") {
+      (s, dir) =>
+        Latest.keepFirst(obs(s, dir), Seq("location", "code"),
+            Seq(col("event_timestamp").desc, col("event_id").desc))
+          .select(col("location"), col("code"), col("event_id"), col("value"),
+            unix_micros(col("event_timestamp")).as("event_us"))
+    },
+
+    // A2 + A5/A6 + J1 — hourly rollup with modal code (GET /weather/recent_with_step 24h).
+    QuerySpec.sql("hourly_rollup",
+      """WITH agg AS (
+        |  SELECT CAST(hour(ts) AS INT) AS hour,
+        |         epoch_us(min(ts)) AS window_start_us,
+        |         epoch_us(max(ts)) AS window_end_us,
+        |         count(*) AS n_rows, round(avg(value), 4) AS avg_value
+        |  FROM events GROUP BY 1),
+        |modal AS (
+        |  SELECT hour, event_type AS modal_code, cnt AS modal_count FROM (
+        |    SELECT CAST(hour(ts) AS INT) AS hour, event_type, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY CAST(hour(ts) AS INT)
+        |             ORDER BY count(*) DESC, event_type ASC) AS rn
+        |    FROM events GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT agg.*, modal.modal_code, modal.modal_count
+        |FROM agg LEFT JOIN modal USING (hour) ORDER BY hour""") {
+      (s, dir) =>
+        Rollup.hourly(obs(s, dir), avgCols = Seq("value"))
+          .select(col("hour"),
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("n_rows"), round(col("avg_value"), 4).as("avg_value"),
+            col("modal_code"), col("modal_count"))
+    },
+
+    // A3 — daily rollup (GET /weather/recent_with_step 7d branch).
+    QuerySpec.sql("daily_rollup",
+      """WITH agg AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |         epoch_us(min(ts)) AS window_start_us,
+        |         epoch_us(max(ts)) AS window_end_us,
+        |         count(*) AS n_rows, round(avg(value), 4) AS avg_value
+        |  FROM events GROUP BY 1),
+        |modal AS (
+        |  SELECT day, event_type AS modal_code, cnt AS modal_count FROM (
+        |    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+        |             ORDER BY count(*) DESC, event_type ASC) AS rn
+        |    FROM events GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT agg.*, modal.modal_code, modal.modal_count
+        |FROM agg LEFT JOIN modal USING (day) ORDER BY day""") {
+      (s, dir) =>
+        Rollup.rollup(obs(s, dir), date_format(col("event_timestamp"), "yyyy-MM-dd"),
+            "day", avgCols = Seq("value"))
+          .select(col("day"),
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("n_rows"), round(col("avg_value"), 4).as("avg_value"),
+            col("modal_code"), col("modal_count"))
+    },
+
+    // A4 + W3 — count-based bucket rollup over the most recent 240 rows, step 12.
+    QuerySpec.sql("bucket_rollup",
+      """WITH recent AS (
+        |  SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 240),
+        |idx AS (
+        |  SELECT *, CAST(floor((row_number() OVER (ORDER BY ts DESC, event_id DESC) - 1)
+        |                 / 12) AS BIGINT) AS bucket
+        |  FROM recent),
+        |agg AS (
+        |  SELECT bucket, epoch_us(min(ts)) AS window_start_us,
+        |         epoch_us(max(ts)) AS window_end_us,
+        |         count(*) AS n_rows, round(avg(value), 4) AS avg_value
+        |  FROM idx GROUP BY 1),
+        |modal AS (
+        |  SELECT bucket, event_type AS modal_code, cnt AS modal_count FROM (
+        |    SELECT bucket, event_type, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY bucket
+        |             ORDER BY count(*) DESC, event_type ASC) AS rn
+        |    FROM idx GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT agg.*, modal.modal_code, modal.modal_count
+        |FROM agg LEFT JOIN modal USING (bucket) ORDER BY bucket""") {
+      (s, dir) =>
+        Rollup.bucketed(obs(s, dir), step = 12, maxRows = 240,
+            ordering = Seq(col("event_timestamp").desc, col("event_id").desc),
+            avgCols = Seq("value"))
+          .select(col("bucket"),
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("n_rows"), round(col("avg_value"), 4).as("avg_value"),
+            col("modal_code"), col("modal_count"))
+    },
+
+    // A7 — day-average for one location+day (GET /weather/average_day).
+    QuerySpec.sql("day_average",
+      """SELECT count(*) AS n_rows, round(avg(value), 4) AS avg_value
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) = '3'
+        |  AND CAST(ts AS DATE) = DATE '2024-01-05'""") {
+      (s, dir) =>
+        DayStats.dayAverage(
+          Recent.onDay(obs(s, dir).filter(Recent.locationPredicate("3")), "2024-01-05"),
+          Seq("value"))
+          .select(col("n_rows"), round(col("avg_value"), 4).as("avg_value"))
+    },
+
+    // A8 — distinct observed days for one location (GET /weather/days).
+    QuerySpec.sql("distinct_days",
+      """SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+        |FROM events WHERE CAST(user_id AS VARCHAR) = '7' ORDER BY day""") {
+      (s, dir) =>
+        DayStats.distinctDays(obs(s, dir).filter(Recent.locationPredicate("7")))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"))
+    },
+
+    // A1 + P11 + O3 — observations within 6 hours of the data max.
+    QuerySpec.sql("recent_hours",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_id,
+        |       event_type AS code, value, epoch_us(ts) AS event_us
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 6 HOUR
+        |ORDER BY event_us DESC, event_id DESC""") {
+      (s, dir) =>
+        Recent.recentHours(obs(s, dir), 6)
+          .select(obsOut: _*)
+          .orderBy(col("event_us").desc, col("event_id").desc)
+    },
+
+    // A10 — stats pack per code: min/max/avg/median.
+    QuerySpec.sql("stats_pack",
+      """SELECT event_type AS code, min(value) AS min_v, max(value) AS max_v,
+        |       round(avg(value), 4) AS avg_v, median(value) AS median_v,
+        |       count(value) AS n_v
+        |FROM events GROUP BY 1 ORDER BY code""") {
+      (s, dir) =>
+        DayStats.statsPack(obs(s, dir), Seq("code"), "value")
+          .select(col("code"), col("min_v"), col("max_v"),
+            round(col("avg_v"), 4).as("avg_v"), col("median_v"), col("n_v"))
+          .orderBy(col("code"))
+    },
+
+    // O5 — top-5 locations by average metric.
+    QuerySpec.sql("topk_locations",
+      """SELECT CAST(user_id AS VARCHAR) AS location,
+        |       round(avg(value), 4) AS avg_value, count(*) AS n_rows
+        |FROM events GROUP BY 1
+        |ORDER BY avg(value) DESC, location LIMIT 5""") {
+      (s, dir) =>
+        Recent.topKByAvg(obs(s, dir), "location", "value", 5)
+          .select(col("location"), round(col("avg_value"), 4).as("avg_value"), col("n_rows"))
+    },
+
+    // P2/P3 — payload map parse: extract props.k, aggregate per decade.
+    QuerySpec.sql("parse_props",
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT)
+        |         AS k_decade,
+        |       count(*) AS n_rows,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY k_decade""") {
+      (s, dir) => {
+        val k = col("payload").getItem("k").cast("int")
+        obs(s, dir)
+          .groupBy(floor(k / 10).as("k_decade"))
+          .agg(count(lit(1)).as("n_rows"), round(avg(k), 4).as("avg_k"))
+          .orderBy(col("k_decade"))
+      }
+    },
+
+    // P5 — multi-format timestamp fallback chain, checked against ground truth.
+    QuerySpec.sql("timestamp_parse",
+      """SELECT event_id,
+        |       epoch_us(CASE CAST(event_id % 3 AS INT)
+        |         WHEN 2 THEN date_trunc('minute', ts)
+        |         ELSE date_trunc('second', ts) END) AS parsed_us
+        |FROM events ORDER BY event_id""") {
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val raw = e.withColumn("raw",
+          when(col("event_id") % 3 === 0,
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+          .when(col("event_id") % 3 === 1,
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm")))
+        raw.select(col("event_id"),
+            unix_micros(Parse.resolveEventTime(col("raw"), col("ts"))).as("parsed_us"))
+          .orderBy(col("event_id"))
+      }
+    }
+  )
+}
