@@ -13,7 +13,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) — unreadable by Spark's
+    * parquet reader natively. Read nanos as long (session conf, settable at
+    * runtime) and truncate to microsecond timestamps, exactly matching
+    * DuckDB's own ns→µs truncation when it maps the column to TIMESTAMP.
+    * The exact nanosecond value is preserved in `ts_ns` for tie-free ordering. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")

@@ -66,7 +66,8 @@ object Rollup {
   def rollup(obs: DataFrame, key: Column, keyName: String,
              avgCols: Seq[String], pinnedCols: Seq[String] = Nil,
              code: Column = col("code")): DataFrame = {
-    val aggregated = obs.groupBy(key.as(keyName)).agg(aggList(avgCols, pinnedCols): _*)
+    val aggs = aggList(avgCols, pinnedCols)
+    val aggregated = obs.groupBy(key.as(keyName)).agg(aggs.head, aggs.tail: _*)
     aggregated
       .join(modalCode(obs, key, keyName, code), Seq(keyName), "left")
       .orderBy(col(keyName))
