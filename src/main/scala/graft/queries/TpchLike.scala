@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational join/aggregate coverage over the TPC-H-ish corpus
+  * (TESTDATA.md). The reference has exactly one join shape (J1, SURVEY.md
+  * §2.5); a complete engine needs the standard equi/semi/anti/broadcast join
+  * family and multi-way plans, so these queries exercise them with
+  * deterministic, oracle-checkable output.
+  *
+  * Scale notes (100 TB): every join here either broadcasts a genuinely tiny
+  * dimension (region/nation/supplier — explicitly hinted) or shuffles on the
+  * natural key of fact tables (orderkey/custkey), which Catalyst plans as
+  * sort-merge with both sides partitioned by the key. Aggregations are
+  * partial (map-side combine) before the shuffle. No global windows, no
+  * driver-side loops; top-k goes through TakeOrderedAndProject.
+  */
+object TpchLike {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String) = Tables.orders(s, dir)
+  private def cust(s: SparkSession, dir: String) = Tables.customer(s, dir)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // TPC-H Q1 shape: pricing summary. Pure map-side-combinable hash agg on
+    // the biggest table — the canonical "does aggregation scale" probe.
+    QuerySpec.sql("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") {
+      (s, dir) =>
+        li(s, dir)
+          .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+    },
+
+    // TPC-H Q3 shape: 3-way join + top-10 revenue. customer⋈orders shuffles
+    // on custkey, then ⋈lineitem on orderkey; final top-k is
+    // TakeOrderedAndProject (no global sort materialized).
+    QuerySpec.sql("q3_shipping_priority",
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""") {
+      (s, dir) =>
+        cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(ord(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+    },
+
+    // TPC-H Q5 shape: 5-way join through the dimension chain with the tiny
+    // side explicitly broadcast — region(5)⋈nation(25) never shuffles.
+    QuerySpec.sql("q5_regional_revenue",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |            JOIN customer ON c_nationkey = n_nationkey
+        |            JOIN orders ON o_custkey = c_custkey
+        |            JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name IN ('AMERICA', 'ASIA')
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""") {
+      (s, dir) =>
+        broadcast(Tables.region(s, dir).filter(col("r_name").isin("AMERICA", "ASIA")))
+          .join(broadcast(Tables.nation(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .join(cust(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .join(ord(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name")),
+    },
+
+    // TPC-H Q4 shape: semi-join (EXISTS). Spark plans left_semi — only the
+    // key column of lineitem crosses the shuffle.
+    QuerySpec.sql("q4_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") {
+      (s, dir) =>
+        ord(s, dir)
+          .join(li(s, dir),
+            col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority")),
+    },
+
+    // Anti-join: customers with no orders (NOT EXISTS ↔ left_anti).
+    QuerySpec.sql("q_customers_no_orders",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") {
+      (s, dir) =>
+        cust(s, dir)
+          .join(ord(s, dir), col("o_custkey") === col("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+    },
+
+    // Broadcast dim join + two-level agg: revenue per supplier nation.
+    QuerySpec.sql("q_supplier_revenue",
+      """SELECT s_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |              JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY s_name, n_name ORDER BY s_name""") {
+      (s, dir) =>
+        li(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
+          .groupBy(col("s_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("s_name")),
+    },
+
+    // Analytic windows over a fact table: per-customer order sequencing with
+    // rank + lag (capabilities the reference lacks; §2.6 notes no lag/rank).
+    QuerySpec.sql("q_order_sequence",
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS order_seq,
+        |       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS price_delta,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""") {
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord(s, dir).select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("order_seq"),
+            round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("price_delta"),
+            round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+              .as("running_total"))
+          .orderBy(col("o_custkey"), col("order_seq")),
+      }
+    },
+
+    // Grouping sets / rollup — multi-granularity agg in one pass.
+    QuerySpec.sql("q_rollup_parts",
+      """SELECT coalesce(p_brand, 'ALL') AS brand, coalesce(p_type, 'ALL') AS ptype,
+        |       count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        |FROM part
+        |GROUP BY ROLLUP (p_brand, p_type)
+        |ORDER BY brand, ptype""") {
+      (s, dir) =>
+        Tables.part(s, dir)
+          .rollup(col("p_brand"), col("p_type"))
+          .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+          .select(
+            coalesce(col("p_brand"), lit("ALL")).as("brand"),
+            coalesce(col("p_type"), lit("ALL")).as("ptype"),
+            col("n_parts"), col("avg_price"))
+          .orderBy(col("brand"), col("ptype")),
+    },
+
+    // Set ops: union/intersect/except over key sets (SURVEY §2.8 notes the
+    // reference has none; the engine provides them).
+    QuerySpec.sql("q_set_ops",
+      """WITH building AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     buyers AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT 'building_buyers' AS tag, count(*) AS n FROM (SELECT k FROM building INTERSECT SELECT k FROM buyers)
+        |UNION ALL
+        |SELECT 'building_only', count(*) FROM (SELECT k FROM building EXCEPT SELECT k FROM buyers)
+        |UNION ALL
+        |SELECT 'either', count(*) FROM (SELECT k FROM building UNION SELECT k FROM buyers)
+        |ORDER BY tag""") {
+      (s, dir) => {
+        val building = cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")).distinct()
+        val buyers = ord(s, dir).select(col("o_custkey").as("k")).distinct()
+        building.intersect(buyers).agg(count(lit(1)).as("n")).select(lit("building_buyers").as("tag"), col("n"))
+          .unionAll(building.except(buyers).agg(count(lit(1)).as("n")).select(lit("building_only").as("tag"), col("n")))
+          .unionAll(building.union(buyers).distinct().agg(count(lit(1)).as("n")).select(lit("either").as("tag"), col("n")))
+          .orderBy(col("tag")),
+      }
+    },
+
+    // Approx + exact distinct cardinalities per month (HLL at scale; the
+    // oracle checks the exact column, approx is sanity-bounded in tests).
+    QuerySpec.sql("q_distinct_customers",
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |       count(DISTINCT o_custkey) AS n_exact, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""") {
+      (s, dir) =>
+        ord(s, dir)
+          .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"), count(lit(1)).as("n_orders"))
+          .orderBy(col("month")),
+    },
+  )
+}
