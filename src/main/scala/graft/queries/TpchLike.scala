@@ -53,7 +53,7 @@ object TpchLike {
             round(avg(col("l_quantity")), 4).as("avg_qty"),
             round(avg(col("l_extendedprice")), 4).as("avg_price"),
             count(lit(1)).as("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus")),
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     // TPC-H Q3 shape: 3-way join + top-10 revenue. customer⋈orders shuffles
@@ -77,7 +77,7 @@ object TpchLike {
           .select(col("l_orderkey"), col("revenue"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
-          .limit(10),
+          .limit(10)
     },
 
     // TPC-H Q5 shape: 5-way join through the dimension chain with the tiny
@@ -103,7 +103,7 @@ object TpchLike {
           .agg(
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("revenue").desc, col("n_name")),
+          .orderBy(col("revenue").desc, col("n_name"))
     },
 
     // TPC-H Q4 shape: semi-join (EXISTS). Spark plans left_semi — only the
@@ -122,7 +122,7 @@ object TpchLike {
             "left_semi")
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("order_count"))
-          .orderBy(col("o_orderpriority")),
+          .orderBy(col("o_orderpriority"))
     },
 
     // Anti-join: customers with no orders (NOT EXISTS ↔ left_anti).
@@ -135,7 +135,7 @@ object TpchLike {
         cust(s, dir)
           .join(ord(s, dir), col("o_custkey") === col("c_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey")),
+          .orderBy(col("c_custkey"))
     },
 
     // Broadcast dim join + two-level agg: revenue per supplier nation.
@@ -154,7 +154,7 @@ object TpchLike {
           .agg(
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("s_name")),
+          .orderBy(col("s_name"))
     },
 
     // Analytic windows over a fact table: per-customer order sequencing with
@@ -176,7 +176,7 @@ object TpchLike {
             round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("price_delta"),
             round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
               .as("running_total"))
-          .orderBy(col("o_custkey"), col("order_seq")),
+          .orderBy(col("o_custkey"), col("order_seq"))
       }
     },
 
@@ -195,7 +195,7 @@ object TpchLike {
             coalesce(col("p_brand"), lit("ALL")).as("brand"),
             coalesce(col("p_type"), lit("ALL")).as("ptype"),
             col("n_parts"), col("avg_price"))
-          .orderBy(col("brand"), col("ptype")),
+          .orderBy(col("brand"), col("ptype"))
     },
 
     // Set ops: union/intersect/except over key sets (SURVEY §2.8 notes the
@@ -216,7 +216,7 @@ object TpchLike {
         building.intersect(buyers).agg(count(lit(1)).as("n")).select(lit("building_buyers").as("tag"), col("n"))
           .unionAll(building.except(buyers).agg(count(lit(1)).as("n")).select(lit("building_only").as("tag"), col("n")))
           .unionAll(building.union(buyers).distinct().agg(count(lit(1)).as("n")).select(lit("either").as("tag"), col("n")))
-          .orderBy(col("tag")),
+          .orderBy(col("tag"))
       }
     },
 
@@ -230,7 +230,7 @@ object TpchLike {
         ord(s, dir)
           .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
           .agg(countDistinct(col("o_custkey")).as("n_exact"), count(lit(1)).as("n_orders"))
-          .orderBy(col("month")),
+          .orderBy(col("month"))
     },
   )
 }
