@@ -20,7 +20,12 @@ object Tables {
     * The exact nanosecond value is preserved in `ts_ns` for tie-free ordering. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    normalizeEventTs(table(spark, dir, "events"))
+  }
+
+  /** ns-long → µs-timestamp normalization, shared by the batch loader and
+    * the streaming ingest path (which reads the same parquet as a stream). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

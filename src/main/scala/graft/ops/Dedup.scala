@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for a training-data pipeline: exact (hash groupBy),
+  * n-gram Jaccard, MinHash+LSH, and SimHash — each expressed with stock
+  * Catalyst expressions and hash aggregations so the plans partial-aggregate
+  * map-side and shuffle only keys/signatures, never full documents.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup shuffles one (16-byte hash, doc_id) pair per doc;
+  *  - MinHash signatures are built in ONE aggregation over the exploded
+  *    shingle set (16 min() columns), so the shuffle carries |docs| rows of
+  *    16 fixed-width strings — no per-hash re-scan of the corpus;
+  *  - LSH banding turns the O(n²) similarity join into equi-joins on band
+  *    keys; only same-bucket candidates are verified;
+  *  - the exact-Jaccard verifier joins on shingles, which is only run within
+  *    candidate blocks (a blocking column such as language/shard) — full-
+  *    corpus exact Jaccard is intentionally not offered as one operator.
+  *
+  * All hash material is md5 (hex string), which DuckDB computes identically,
+  * so every operator here is oracle-checkable bit-for-bit.
+  */
+object Dedup {
+
+  /** Distinct n-token shingles (1-based slice; empty when the doc is shorter
+    * than n tokens — matching `range()` semantics in the oracle SQL). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = TextStats.tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group by content fingerprint, keep the lowest doc_id as
+    * canonical. Output one row per distinct content. */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle) exploded view, distinct per doc. */
+  private def shingleRows(docs: DataFrame, blockCol: Option[String],
+                          textCol: String): DataFrame = {
+    val cols = Seq(col("doc_id")) ++ blockCol.map(col) :+
+      explode(shingles(col(textCol))).as("s")
+    docs.select(cols: _*)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within a blocking column (e.g.
+    * language or shard). The shingle equi-join only pairs documents sharing
+    * a shingle inside one block — the scalable "verify" stage of a dedup
+    * pipeline. Emits (doc_a < doc_b, jaccard ≥ threshold). */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                        textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, Some(blockCol), textCol)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$blockCol") === col(s"b.$blockCol")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter") * lit(1.0) /
+          (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: numHashes min-aggregates over the exploded shingles,
+    * where hash_i(s) = md5(i || ":" || s) compared lexicographically. ONE
+    * groupBy produces the whole signature. */
+  def minhashSignature(docs: DataFrame, numHashes: Int,
+                       textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, None, textCol)
+    val sigCols = (0 until numHashes)
+      .map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding: signature → (band, band-key) rows; candidates are pairs
+    * sharing any band key (an equi-join, not a cross join). */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** MinHash+LSH near-dup pairs: band-bucket candidates, then signature
+    * agreement (estimated Jaccard) ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = minhashSignature(docs, numHashes, textCol)
+    val bandRows = lshBands(sig, bands, numHashes / bands)
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree * lit(1.0) / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint (32 bits as a bitstring): bit i is the sign of the
+    * count-weighted sum of ±1 over tokens, where token bit i = "is the i-th
+    * hex nibble of md5(token) ≥ 8". Pure hash-agg: one groupBy(doc, token)
+    * then one groupBy(doc) with 32 conditional sums. */
+  def simhash(docs: DataFrame, bits: Int = 32, textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("t")))
+    val bitCols = (0 until bits).map { i =>
+      when(sum(when(substring(col("h"), i + 1, 1) >= "8", col("cnt"))
+        .otherwise(-col("cnt"))) > 0, "1").otherwise("0")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(concat(bitCols: _*).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on `bands` equal-width bit-prefix bands
+    * (pigeonhole guarantees no misses up to hamming < bands), verify hamming
+    * distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 32,
+                   bands: Int = 4, textCol: String = "text"): DataFrame = {
+    val width = bits / bands
+    val s = simhash(docs, bits, textCol)
+    val bandRows = s.select(col("doc_id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("simhash"), b * width + 1, width).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val hamming = (0 until bits)
+      .map(i => when(substring(col("sa"), i + 1, 1) =!= substring(col("sb"), i + 1, 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

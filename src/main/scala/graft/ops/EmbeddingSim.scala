@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: quantized cosine, brute-force top-k (the exactness
+  * baseline), random-hyperplane LSH bucketing (the scale path), and
+  * embedding-cosine near-dup pairs.
+  *
+  * Numeric determinism: float32 dot products summed in different orders
+  * differ in the low bits, which breaks hash-compared oracles. We therefore
+  * quantize each component to floor(x * 1000) (a BIGINT) and compute dot and
+  * norms in exact integer arithmetic; the only floating-point ops left are
+  * one sqrt and one division — bit-identical in any IEEE-754 engine. The
+  * ~1e-3 quantization error is far below any useful similarity threshold.
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k is O(|queries| × |corpus|): the query side is
+  *    broadcast, the corpus side streams — no shuffle of the corpus. Use for
+  *    small query sets / ground-truth eval.
+  *  - LSH bucketing joins on a 16-bit signature key, so each query only
+  *    scores its bucket (≈ corpus/2^16 per bucket in expectation); the same
+  *    plan shape extends to IVF by swapping the bucketer for a centroid
+  *    assignment.
+  */
+object EmbeddingSim {
+
+  /** Quantized vector: array<bigint> of floor(x_double * 1000). */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def qnorm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity over quantized vectors (double, deterministic). */
+  def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Corpus with quantized vector + its squared norm precomputed once. */
+  def prepared(vectors: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), deterministic ties by neighbor id. The query
+    * side is expected to be small and is broadcast explicitly. */
+  def bruteForceTopK(vectors: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = prepared(vectors)
+    val queries = broadcast(prepared(vectors.filter(queryPred))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Random-hyperplane signature: bit h = sign of Σ_d w(h,d)·x_d where
+    * w(h,d) = +1 iff the first hex nibble of md5(h:":"d) ≥ 8 (deterministic,
+    * engine-portable pseudo-randomness). Returns a `planes`-char bitstring. */
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
+    val q = quantize(vec)
+    val bits = (0 until planes).map { h =>
+      val signedSum = aggregate(
+        zip_with(q, typedLit((0 until dims).map(d => s"$h:$d")),
+          (x, seed) => when(substring(md5(seed), 1, 1) >= "8", x).otherwise(-x)),
+        lit(0L), (acc, x) => acc + x)
+      when(signedSum > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed ANN top-k: queries only score corpus vectors in the same
+    * hyperplane bucket. Recall < 1 by construction; the bucket join replaces
+    * the O(q×n) scan with an equi-join on the signature. */
+  def lshTopK(vectors: DataFrame, queryPred: Column, k: Int,
+              planes: Int = 8, dims: Int = 64): DataFrame = {
+    val withSig = vectors
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sig", hyperplaneSignature(col("embedding"), planes, dims))
+    val corpus = prepared(withSig).join(withSig.select("vec_id", "sig"), "vec_id")
+    val queries = broadcast(corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("sig").as("qsig")))
+    val scored = corpus
+      .join(queries, col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b), blocked
+    * on a coarse LSH signature so the pair join is an equi-join. With
+    * `planes = 0` the blocking is disabled (exact all-pairs — test scale only). */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   planes: Int = 0, dims: Int = 64): DataFrame = {
+    val base = vectors.select(col("vec_id"),
+        quantize(col("embedding")).as("q"),
+        (if (planes > 0) hyperplaneSignature(col("embedding"), planes, dims)
+         else lit("0")).as("sig"))
+      .withColumn("n2", qnorm2(col("q")))
+    val (a, b) = (base.as("a"), base.as("b"))
+    val joinCond = col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id")
+    a.join(b, joinCond)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        qcosine(qdot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+  }
+}

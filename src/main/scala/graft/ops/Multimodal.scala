@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * operators structured the way a production pipeline runs them —
+  * batched per partition, schema-typed in and out, no driver collects.
+  *
+  * The actual codec is STUBBED (this container has no image/audio
+  * libraries): [[Multimodal.decodeStub]] is a deterministic fake that
+  * treats the payload bytes as the "decoded frame". Everything around it —
+  * the Dataset schemas, the mapPartitions batch shape (the Scala analogue
+  * of `mapInPandas` with Arrow batches), the per-partition batching, and
+  * the downstream aggregations — is real and tested; swapping in a real
+  * decoder changes only the stub's body.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the schema a real
+    * pipeline would carry for image/audio/video blobs). */
+  case class MediaRecord(doc_id: Long, media_type: String,
+                         payload: Array[Byte], format: String,
+                         width: Int, height: Int, n_frames: Int)
+
+  /** Extracted features per media row: byte-level statistics standing in
+    * for a real embedding/feature vector. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
+                           histogram: Array[Long])
+
+  /** One sampled "frame" (fixed-size byte block) of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Adapt documents to media rows: payload = utf-8 bytes of the text,
+    * metadata derived deterministically. In production this is a parquet
+    * scan of (id, binary, metadata-struct) columns; binary stays opaque to
+    * Catalyst so column pruning must drop it whenever a query only touches
+    * metadata — keep it in its own leaf columns, never inside a struct with
+    * hot columns. */
+  def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        lit("image").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("fake-rgb8").as("format"),
+        (col("doc_id") % 64 + 16).cast("int").as("width"),
+        (col("doc_id") % 48 + 16).cast("int").as("height"),
+        lit(1).as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: a real implementation would decode `format` bytes into
+    * pixels/samples here (e.g. via a JNI codec). The fake returns the raw
+    * payload as the "decoded frame" — deterministic, so tests can assert
+    * exact downstream values. */
+  def decodeStub(payload: Array[Byte], format: String): Array[Byte] = payload
+
+  /** Feature extraction, batched per partition (the Scala analogue of a
+    * Pandas UDF over mapInPandas: fixed-size batches amortize
+    * decoder/model-session setup, which dominates real decode workloads). */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // Batch boundary = where a real decoder session would be reused.
+        batch.iterator.map { r =>
+          val decoded = decodeStub(r.payload, r.format)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          decoded.foreach { b =>
+            val u = b & 0xff
+            hist(u / 16) += 1
+            sum += u
+          }
+          MediaFeatures(r.doc_id, decoded.length.toLong,
+            if (decoded.isEmpty) 0.0 else sum.toDouble / decoded.length, hist)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size block of the decoded
+    * payload becomes a frame row (the video-keyframe access pattern).
+    * Explodes distributed — one media row fans out to its frames with no
+    * shuffle. */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int = 16,
+                  stride: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val decoded = decodeStub(r.payload, r.format)
+      decoded.grouped(frameBytes).zipWithIndex.collect {
+        case (block, i) if i % stride == 0 => Frame(r.doc_id, i, block)
+      }
+    }
+  }
+}

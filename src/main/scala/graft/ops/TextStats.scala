@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization, token
+  * statistics, quality scoring, language-ID scoring, and content
+  * fingerprinting — all as stock Catalyst expressions (no UDFs), so the whole
+  * path stays inside whole-stage codegen and scales linearly with no
+  * shuffles beyond the caller's own aggregations.
+  *
+  * The reference has no text pipeline (its payloads are numeric weather
+  * observations); these are the beyond-reference operators a 100 TB document
+  * pipeline needs (see the builder contract + SURVEY.md §7.2 step 8).
+  */
+object TextStats {
+
+  /** Whitespace tokenization. The corpus is single-spaced; for arbitrary
+    * text pass a normalized column (see [[normalize]]). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Canonical whitespace/case normalization used before fingerprinting. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Per-document token statistics: token count, distinct count, uniqueness
+    * ratio, mean token length. One narrow projection — no shuffle. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(size(array_distinct(t)) * lit(1.0) / size(t), 4).as("uniq_ratio"),
+      round(length(regexp_replace(col(textCol), " ", "")) * lit(1.0) / size(t), 4)
+        .as("avg_token_len"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards length (capped), penalizes
+    * stopword share, rewards lexical diversity. The exact weights are a
+    * policy choice; what matters at scale is that this is a single codegen'd
+    * projection over each document. */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String],
+                   textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val stop = typedLit(stopwords)
+    val stopRatio = size(filter(t, tk => array_contains(stop, tk))) * lit(1.0) / size(t)
+    val uniqRatio = size(array_distinct(t)) * lit(1.0) / size(t)
+    val lengthScore = least(size(t) * lit(1.0) / lit(100.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(lit(0.4) * (lit(1.0) - stopRatio) + lit(0.3) * uniqRatio
+        + lit(0.3) * lengthScore, 4).as("quality"))
+  }
+
+  /** Marker-token language scoring (n-gram-profile language-ID in its
+    * simplest deterministic form): score(candidate) = share of tokens in the
+    * candidate's marker set; prediction = rank-1 by (score desc, lang asc).
+    *
+    * Shape: explode candidates (a tiny literal array — broadcast-free
+    * projection), then one rank-1 window per doc. At 100 TB the window
+    * partitions by doc_id (max cardinality), so there is no skew. */
+  def languageId(docs: DataFrame, markers: Seq[(String, Seq[String])],
+                 textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val cands = array(markers.map { case (lang, ms) =>
+      struct(lit(lang).as("cand"), typedLit(ms).as("markers"))
+    }: _*)
+    val scored = docs
+      .select(col("doc_id"), t.as("toks"), explode(cands).as("c"))
+      .select(col("doc_id"), col("c.cand").as("cand"),
+        round(size(filter(col("toks"), tk => array_contains(col("c.markers"), tk)))
+          * lit(1.0) / size(col("toks")), 4).as("score"))
+    Latest.keepFirst(scored, Seq("doc_id"), Seq(col("score").desc, col("cand").asc))
+      .select(col("doc_id"), col("cand").as("pred_lang"), col("score"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text. Used as the exact-dedup
+    * key; md5 is identical across engines so the oracle can reproduce it. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ingest.Parse
+import graft.ops.{AsofJoin, Forecast, Latest, Multimodal, Rollup, Sequences}
+import graft.streaming.Ingest
+
+/** Sequence assembly, forecasting, as-of joins, pivot, streaming ingest and
+  * multimodal plumbing — the remaining SURVEY.md §7.2 build steps (5-8) as
+  * driver-checkable queries.
+  */
+object Pipeline {
+
+  private def obs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Parse.eventsAsObservations(Tables.events(s, dir))
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // W4/W5 flattened: rolling 24-row window features + 3 lead targets,
+    // completeness-filtered — the oracle-checkable core of sequence assembly.
+    QuerySpec.sql("seq_flat_features",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_id, epoch_us(ts) AS event_us,
+        |       count(*) OVER w24 AS n_window,
+        |       floor(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w24 / 24.0) / 1000000.0 AS avg_value,
+        |       min(value) OVER w24 AS min_value,
+        |       max(value) OVER w24 AS max_value,
+        |       lead(value, 1) OVER wo AS t1,
+        |       lead(value, 2) OVER wo AS t2,
+        |       lead(value, 3) OVER wo AS t3
+        |FROM events
+        |WINDOW w24 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        |       wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY n_window = 24 AND t3 IS NOT NULL
+        |ORDER BY location, event_id""") {
+      (s, dir) =>
+        Sequences.flatFeatures(obs(s, dir), seqLen = 24, leads = 3)
+          .select(col("location"), col("event_id"), col("event_us"),
+            col("n_window"), col("avg_value"), col("min_value"), col("max_value"),
+            col("t1"), col("t2"), col("t3"))
+          .orderBy(col("location"), col("event_id"))
+    },
+
+    // W4/W5 full form: array-of-struct sequence records (getSample parity).
+    // Nested arrays are not hash-comparable through the parquet/DuckDB
+    // bridge → rows-only check here; exact-value coverage lives in the
+    // flattened variant above and in the scalatest golden spec.
+    QuerySpec.sparkOnly("seq_windows") {
+      (s, dir) =>
+        Sequences.build(obs(s, dir), seqLen = 24, forecastLen = 3,
+          features = Seq("value", "code"))
+    },
+
+    // Forecast: per-location linear drift rolled 12 5-minute steps forward.
+    QuerySpec.sql("forecast_linear",
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events QUALIFY rn <= 24),
+        |agg AS (
+        |  SELECT user_id, arg_min(value, rn) AS v_last, arg_min(ts, rn) AS ts_last,
+        |         arg_max(value, rn) AS v_first, count(*) AS n
+        |  FROM ranked GROUP BY 1)
+        |SELECT CAST(user_id AS VARCHAR) AS location, i AS step,
+        |       epoch_us(ts_last + i * INTERVAL 5 MINUTE) AS pred_us,
+        |       round(v_last + ((v_last - v_first) / 23.0) * i, 4) AS pred
+        |FROM agg CROSS JOIN range(1, 13) r(i)
+        |WHERE n = 24
+        |ORDER BY location, step""") {
+      (s, dir) =>
+        Forecast.linear(obs(s, dir), lookback = 24, steps = 12)
+          .select(col("location"), col("step"), col("pred_us"),
+            round(col("pred"), 4).as("pred"))
+          .orderBy(col("location"), col("step"))
+    },
+
+    // A9: hourly aggregation of the forecast rows.
+    QuerySpec.sql("forecast_hourly",
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events QUALIFY rn <= 24),
+        |agg AS (
+        |  SELECT user_id, arg_min(value, rn) AS v_last, arg_min(ts, rn) AS ts_last,
+        |         arg_max(value, rn) AS v_first, count(*) AS n
+        |  FROM ranked GROUP BY 1),
+        |f AS (
+        |  SELECT user_id, ts_last + i * INTERVAL 5 MINUTE AS pred_ts,
+        |         v_last + ((v_last - v_first) / 23.0) * i AS pred
+        |  FROM agg CROSS JOIN range(1, 13) r(i) WHERE n = 24)
+        |SELECT CAST(user_id AS VARCHAR) AS location, CAST(hour(pred_ts) AS INT) AS pred_hour,
+        |       round(avg(pred), 4) AS avg_pred, count(*) AS n_steps
+        |FROM f GROUP BY 1, 2 ORDER BY location, pred_hour""") {
+      (s, dir) =>
+        Forecast.hourlyRollup(Forecast.linear(obs(s, dir), lookback = 24, steps = 12))
+          .orderBy(col("location"), col("pred_hour"))
+    },
+
+    // As-of join: each purchase matched to the user's most recent view at
+    // or before it (union+window plan; oracle uses DuckDB's native ASOF).
+    QuerySpec.sql("asof_purchase_view",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, us ORDER BY event_id DESC) = 1),
+        |p AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'purchase')
+        |SELECT CAST(p.user_id AS VARCHAR) AS location, p.event_id AS event_id, p.us AS event_us,
+        |       v.event_id AS matched_id, v.us AS matched_us, p.us - v.us AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us
+        |ORDER BY p.event_id""") {
+      (s, dir) => {
+        val o = obs(s, dir)
+        val views = Latest.keepFirst(
+          o.filter(col("code") === "view"),
+          Seq("location", "event_timestamp"), Seq(col("event_id").desc))
+        val purchases = o.filter(col("code") === "purchase")
+        AsofJoin.leftAsof(purchases, views, key = "location",
+            ts = "event_timestamp", leftId = "event_id", rightId = "event_id")
+          .select(col("location"), col("event_id"),
+            unix_micros(col("event_timestamp")).as("event_us"),
+            col("matched_id"),
+            unix_micros(col("matched_ts")).as("matched_us"),
+            (unix_micros(col("event_timestamp")) - unix_micros(col("matched_ts"))).as("gap_us"))
+          .orderBy(col("event_id"))
+      }
+    },
+
+    // Pivot: documents per (source × language) — wide conditional counts.
+    QuerySpec.sql("q_pivot_lang_source",
+      """SELECT source,
+        |       count(*) FILTER (lang = 'de') AS de,
+        |       count(*) FILTER (lang = 'en') AS en,
+        |       count(*) FILTER (lang = 'es') AS es,
+        |       count(*) FILTER (lang = 'fr') AS fr,
+        |       count(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""") {
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .count()
+          .na.fill(0, langs)
+          .orderBy(col("source"))
+      }
+    },
+
+    // S2→S3→S4: stream the events parquet through an AvailableNow
+    // Structured Streaming query into a memory sink, then run the hourly
+    // rollup on the materialized table — one plan-builder, two sources.
+    QuerySpec.sql("stream_hourly_rollup",
+      """WITH agg AS (
+        |  SELECT CAST(hour(ts) AS INT) AS hour,
+        |         epoch_us(min(ts)) AS window_start_us,
+        |         epoch_us(max(ts)) AS window_end_us,
+        |         count(*) AS n_rows, round(avg(value), 4) AS avg_value
+        |  FROM events GROUP BY 1),
+        |modal AS (
+        |  SELECT hour, event_type AS modal_code, cnt AS modal_count FROM (
+        |    SELECT CAST(hour(ts) AS INT) AS hour, event_type, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY CAST(hour(ts) AS INT)
+        |             ORDER BY count(*) DESC, event_type ASC) AS rn
+        |    FROM events GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT agg.*, modal.modal_code, modal.modal_count
+        |FROM agg LEFT JOIN modal USING (hour) ORDER BY hour""") {
+      (s, dir) => {
+        val streamed = Parse.eventsAsObservations(Ingest.materializeEvents(s, dir))
+        Rollup.hourly(streamed, avgCols = Seq("value"))
+          .select(col("hour"),
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("n_rows"), round(col("avg_value"), 4).as("avg_value"),
+            col("modal_code"), col("modal_count"))
+      }
+    },
+
+    // Multimodal plumbing, oracle-checkable slice: binary payload length +
+    // content checksum (proves the binary column path end-to-end).
+    QuerySpec.sql("mm_binary_stats",
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""") {
+      (s, dir) =>
+        Multimodal.asMedia(Tables.documents(s, dir)).toDF()
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("checksum"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Multimodal feature extraction (stub decoder): batched mapPartitions,
+    // deterministic features. Nested histogram → rows-only check; exact
+    // values are asserted in the scalatest spec.
+    QuerySpec.sparkOnly("mm_features") {
+      (s, dir) =>
+        Multimodal.extractFeatures(
+          Multimodal.asMedia(Tables.documents(s, dir))).toDF()
+          .orderBy(col("doc_id"))
+    }
+  )
+}

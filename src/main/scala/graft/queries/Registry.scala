@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Names must be unique — asserted at object init so a collision fails fast
   * in tests rather than silently shadowing a query in the Map. */
 object Registry {
-  def all: Seq[QuerySpec] = Weather.all ++ TpchLike.all
+  def all: Seq[QuerySpec] = Weather.all ++ TpchLike.all ++ TrainingData.all ++ Pipeline.all
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct)}")

@@ -180,9 +180,12 @@ object TpchLike {
       }
     },
 
-    // Grouping sets / rollup — multi-granularity agg in one pass.
+    // Grouping sets / rollup — multi-granularity agg in one pass. GROUPING()
+    // (not coalesce) labels subtotal rows, so a genuine NULL brand/type in
+    // the data cannot collide with the 'ALL' subtotal label.
     QuerySpec.sql("q_rollup_parts",
-      """SELECT coalesce(p_brand, 'ALL') AS brand, coalesce(p_type, 'ALL') AS ptype,
+      """SELECT CASE WHEN GROUPING(p_brand) = 1 THEN 'ALL' ELSE p_brand END AS brand,
+        |       CASE WHEN GROUPING(p_type) = 1 THEN 'ALL' ELSE p_type END AS ptype,
         |       count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
         |FROM part
         |GROUP BY ROLLUP (p_brand, p_type)
@@ -190,10 +193,11 @@ object TpchLike {
       (s, dir) =>
         Tables.part(s, dir)
           .rollup(col("p_brand"), col("p_type"))
-          .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+          .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"),
+            grouping(col("p_brand")).as("__gb"), grouping(col("p_type")).as("__gt"))
           .select(
-            coalesce(col("p_brand"), lit("ALL")).as("brand"),
-            coalesce(col("p_type"), lit("ALL")).as("ptype"),
+            when(col("__gb") === 1, lit("ALL")).otherwise(col("p_brand")).as("brand"),
+            when(col("__gt") === 1, lit("ALL")).otherwise(col("p_type")).as("ptype"),
             col("n_parts"), col("avg_price"))
           .orderBy(col("brand"), col("ptype"))
     },

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, EmbeddingSim, TextStats}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (the beyond-reference capability set: dedup family, similarity search,
+  * text analysis). Every query is oracle-checked bit-for-bit: all hash
+  * material is md5 (identical in DuckDB), and all similarity arithmetic is
+  * integer-quantized so no float-summation-order divergence can occur
+  * (see EmbeddingSim's scaladoc).
+  */
+object TrainingData {
+
+  /** Stopword set for quality scoring (drawn from the corpus vocabulary). */
+  private val Stopwords = Seq("the", "a")
+
+  /** Marker-token profiles for the language-ID heuristic. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("data", "group", "order", "window"),
+    "en" -> Seq("the", "a", "table", "row"),
+    "es" -> Seq("query", "scan", "batch", "stream"),
+    "fr" -> Seq("line", "sort", "merge", "filter"),
+    "zh" -> Seq("spark", "hash", "join", "column"))
+
+  private def markersSqlValues: String =
+    LangMarkers.map { case (l, ms) =>
+      s"('$l', [${ms.map(m => s"'$m'").mkString(", ")}])"
+    }.mkString(", ")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- Text analysis -------------------------------------------------
+
+    QuerySpec.sql("t_token_stats",
+      """SELECT doc_id, len(sp) AS n_tokens, len(list_distinct(sp)) AS n_distinct,
+        |       round(len(list_distinct(sp)) * 1.0 / len(sp), 4) AS uniq_ratio,
+        |       round(length(replace(text, ' ', '')) * 1.0 / len(sp), 4) AS avg_token_len
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents)
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.tokenStats(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            col("uniq_ratio"), col("avg_token_len"))
+          .orderBy(col("doc_id"))
+    },
+
+    QuerySpec.sql("t_quality_score",
+      """SELECT doc_id,
+        |       round(len(list_filter(sp, t -> list_contains(['the', 'a'], t))) * 1.0 / len(sp), 4) AS stop_ratio,
+        |       round(0.4 * (1.0 - len(list_filter(sp, t -> list_contains(['the', 'a'], t))) * 1.0 / len(sp))
+        |             + 0.3 * (len(list_distinct(sp)) * 1.0 / len(sp))
+        |             + 0.3 * least(len(sp) * 1.0 / 100.0, 1.0), 4) AS quality
+        |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.qualityScore(Tables.documents(s, dir), Stopwords)
+          .orderBy(col("doc_id"))
+    },
+
+    QuerySpec.sql("t_lang_id",
+      s"""WITH scored AS (
+        |  SELECT doc_id, cand,
+        |         round(len(list_filter(sp, t -> list_contains(markers, t))) * 1.0 / len(sp), 4) AS score
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+        |       CROSS JOIN (VALUES $markersSqlValues) langs(cand, markers))
+        |SELECT doc_id, cand AS pred_lang, score
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.languageId(Tables.documents(s, dir), LangMarkers)
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Deduplication --------------------------------------------------
+
+    QuerySpec.sql("dd_exact",
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""") {
+      (s, dir) =>
+        Dedup.exact(Tables.documents(s, dir)).orderBy(col("fp"))
+    },
+
+    QuerySpec.sql("dd_ngram_jaccard",
+      """WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "lang", 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    QuerySpec.sql("dd_minhash_lsh",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |hx AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+        |       FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1] || ',' || hs[4*b+2] || ',' || hs[4*b+3] || ',' || hs[4*b+4]) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0, 4) AS est_jaccard
+        |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 16, bands = 4, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    QuerySpec.sql("dd_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tok GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, i,
+        |           CASE WHEN sum(CASE WHEN substr(h, CAST(i+1 AS INT), 1) >= '8' THEN cnt ELSE -cnt END) > 0
+        |                THEN '1' ELSE '0' END AS bit
+        |         FROM tc CROSS JOIN range(32) r(i) GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""") {
+      (s, dir) =>
+        Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    QuerySpec.sql("dd_simhash_pairs",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tok GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, i,
+        |           CASE WHEN sum(CASE WHEN substr(h, CAST(i+1 AS INT), 1) >= '8' THEN cnt ELSE -cnt END) > 0
+        |                THEN '1' ELSE '0' END AS bit
+        |         FROM tc CROSS JOIN range(32) r(i) GROUP BY 1, 2),
+        |s AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+        |         FROM s a JOIN s b ON a.doc_id < b.doc_id AND (
+        |              substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+        |           OR substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8)
+        |           OR substr(a.simhash, 17, 8) = substr(b.simhash, 17, 8)
+        |           OR substr(a.simhash, 25, 8) = substr(b.simhash, 25, 8)))
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |         len(list_filter(range(32), i -> substr(sa, CAST(i+1 AS INT), 1) != substr(sb, CAST(i+1 AS INT), 1))) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 1 ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- Similarity search ----------------------------------------------
+
+    QuerySpec.sql("emb_neardup",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |          / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |      FROM m a JOIN m b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM p
+        |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""") {
+      (s, dir) =>
+        EmbeddingSim.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+          .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    QuerySpec.sql("ann_brute_topk",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM m WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> qq[i] * qv[i]))::DOUBLE
+        |           / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)) AS cos
+        |  FROM m CROSS JOIN q WHERE vec_id != query_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+    },
+
+    QuerySpec.sql("ann_lsh_topk",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |sigbits AS (
+        |  SELECT vec_id, h,
+        |         CASE WHEN list_sum(list_transform(range(1, 65),
+        |             d -> CASE WHEN substr(md5(h::VARCHAR || ':' || (d-1)::VARCHAR), 1, 1) >= '8'
+        |                       THEN qv[d] ELSE -qv[d] END)) > 0
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM m CROSS JOIN range(8) r(h)),
+        |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS sig FROM sigbits GROUP BY 1),
+        |ms AS (SELECT m.vec_id, qv, n2, sig FROM m JOIN sig ON sig.vec_id = m.vec_id),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2, sig AS qsig FROM ms WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> qq[i] * qv[i]))::DOUBLE
+        |           / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)) AS cos
+        |  FROM ms JOIN q ON sig = qsig AND vec_id != query_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.lshTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, 10, planes = 8)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+    }
+  )
+}

@@ -23,16 +23,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b):
+    """Mimic the driver's exact hash-compare: numeric cells are canonicalized
+    to float64 and must be bit-equal; everything else compares as str().
+    (The old 1e-9 tolerance let borderline decimal-vs-double rows pass
+    locally and then hash-mismatch in the driver.)"""
+    import decimal
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
+    num = (float, int, decimal.Decimal)
+    if isinstance(a, num) and isinstance(b, num) and not (
+            isinstance(a, bool) or isinstance(b, bool)):
+        af, bf = float(a), float(b)
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) <= 1e-9 * max(abs(af), abs(bf), 1.0)
+        if af == bf:
+            return True
+        if abs(af - bf) <= 1e-9 * max(abs(af), abs(bf), 1.0):
+            print(f"  NEAR-MISS (would fail driver hash): {a!r} vs {b!r}")
+        return False
     return str(a) == str(b)
 
 
