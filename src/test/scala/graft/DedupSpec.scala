@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, EmbeddingSim, TextStats}
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 0
+    (3L, "completely different content about spark engines here"),
+    (4L, "ab")                                                // shorter than one shingle
+  ).toDF("doc_id", "text")
+
+  test("shingles produces distinct 3-gram shingles, empty for short docs") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L).head === "the quick brown")
+    assert(sh(0L).length === 7)
+    assert(sh(4L).isEmpty)
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 4) // 5 docs, one exact-dup pair
+    val dupGroup = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dupGroup.getAs[Long]("canonical_id") === 0L)
+  }
+
+  test("minhash signatures are equal for identical docs and mostly equal for near-dups") {
+    val sig = Dedup.minhashSignature(docs.filter(col("doc_id") < 4), 16).collect()
+      .map(r => r.getLong(0) -> (1 until 17).map(r.getString)).toMap
+    assert(sig(0L) === sig(1L))
+    val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    val agree03 = sig(0L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree02 > agree03)
+  }
+
+  test("minhashLshPairs finds the exact and near duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs.filter(col("doc_id") < 4), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash of identical docs is identical; hamming to unrelated is large") {
+    val s = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s(0L) === s(1L))
+    assert(s(0L).length === 32)
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(s(0L), s(2L)) < hamming(s(0L), s(3L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard within blocks") {
+    val blocked = docs.withColumn("lang", lit("en"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "lang", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    // 0 vs 2: 7 shingles each, 5 shared (the two "lazy/sleepy" trigrams
+    // differ) → 5 / (7 + 7 - 5) = 5/9.
+    assert(math.abs(pairs((0L, 2L)) - 5.0 / 9.0) < 1e-12)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq((0L, "Hello  World"), (1L, "hello world"))
+      .toDF("doc_id", "text")
+      .select(TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+  }
+
+  test("quantized cosine is exact for known vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = EmbeddingSim.nearDupPairs(vecs, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 2L)) === 1.0)   // parallel
+    assert(pairs((0L, 1L)) === 0.0)   // orthogonal
+  }
+
+  test("lshTopK returns a subset of bruteForceTopK neighbors per query") {
+    val vecs = (0L until 40L).map { i =>
+      val base = (i % 4).toFloat
+      (i, Array.tabulate(8)(d => base + d * 0.1f + (i / 4) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val brute = EmbeddingSim.bruteForceTopK(vecs, col("vec_id") === 0, 40)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val lsh = EmbeddingSim.lshTopK(vecs, col("vec_id") === 0, 10, planes = 4, dims = 8)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      // Every LSH hit scores identically to the brute-force scan.
+      assert(brute(r.getAs[Long]("neighbor_id")) === r.getAs[Double]("cosine"))
+    }
+  }
+}

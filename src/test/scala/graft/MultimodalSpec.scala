@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "abcd", "en", "s0", 4L),
+    (1L, "0123456789abcdef0123456789abcdef012345", "en", "s1", 38L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("asMedia carries the payload bytes and typed metadata") {
+    val media = Multimodal.asMedia(docs).collect().sortBy(_.doc_id)
+    assert(media(0).payload.toSeq === "abcd".getBytes("UTF-8").toSeq)
+    assert(media(0).media_type === "image")
+    assert(media(0).width === 16 && media(0).height === 16)
+  }
+
+  test("extractFeatures is deterministic and consistent with the payload") {
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs), batchSize = 1)
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).n_bytes === 4L)
+    // 'a'..'d' = 97..100 → mean 98.5, all in histogram bin 6 (96-111).
+    assert(feats(0).mean_byte === 98.5)
+    assert(feats(0).histogram(6) === 4L)
+    assert(feats(0).histogram.sum === feats(0).n_bytes)
+    assert(feats(1).histogram.sum === feats(1).n_bytes)
+  }
+
+  test("frameSample takes every stride-th fixed-size block") {
+    val frames = Multimodal.frameSample(Multimodal.asMedia(docs),
+      frameBytes = 16, stride = 2).collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    // 38 bytes → blocks 0,1,2 (sizes 16,16,6); stride 2 keeps idx 0 and 2.
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(frames(0).frame_bytes.length === 16)
+    assert(frames(1).frame_bytes.length === 6)
+  }
+}

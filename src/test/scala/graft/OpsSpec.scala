@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsofJoin, Forecast, Latest, Rollup}
+
+class OpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("keepFirst keeps exactly the rank-1 row under the given ordering") {
+    val df = Seq(
+      ("a", 3, 30), ("a", 1, 10), ("a", 2, 20),
+      ("b", 5, 50), ("b", 5, 51)).toDF("k", "o", "v")
+    val out = Latest.keepFirst(df, Seq("k"), Seq(col("o").desc, col("v").desc))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(2))).toSeq === Seq(("a", 30), ("b", 51)))
+  }
+
+  test("latestByMaxBy matches keepFirst on a unique order key") {
+    val df = Seq(("a", 1, "x"), ("a", 3, "y"), ("b", 2, "z")).toDF("location", "seq", "v")
+    val viaWindow = Latest.keepFirst(df, Seq("location"), Seq(col("seq").desc))
+      .orderBy("location").collect().toSeq
+    val viaMaxBy = Latest.latestByMaxBy(df, "location", col("seq"))
+      .orderBy("location").collect().toSeq
+    assert(viaWindow === viaMaxBy)
+  }
+
+  test("modalCode matches modalCodeRanked including deterministic ties") {
+    // code 1 and 2 both appear twice for k=1 → tie broken by code asc.
+    val df = Seq((1, "1"), (1, "1"), (1, "2"), (1, "2"), (1, "3"),
+      (2, "9"), (2, "9"), (2, "5")).toDF("k", "code")
+    val a = Rollup.modalCode(df, col("k"), "k").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val b = Rollup.modalCodeRanked(df, col("k"), "k").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(a === b)
+    assert(a === Seq((1, "1", 2L), (2, "9", 2L)))
+  }
+
+  test("asof join matches the most recent right row at or before each left ts") {
+    val right = Seq(
+      ("u1", 10L, 100L), ("u1", 20L, 101L), ("u1", 30L, 102L),
+      ("u2", 50L, 200L)).toDF("k", "t", "rid")
+    val left = Seq(
+      ("u1", 5L, 1L),   // before any right row → null match
+      ("u1", 20L, 2L),  // equal ts → matches rid 101
+      ("u1", 25L, 3L),  // between → matches rid 101
+      ("u1", 99L, 4L),  // after all → matches rid 102
+      ("u3", 7L, 5L)    // key with no right rows → null
+    ).toDF("k", "t", "lid")
+    val out = AsofJoin.leftAsof(left, right, "k", "t", "lid", "rid")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, None), (2L, Some(101L)), (3L, Some(101L)), (4L, Some(102L)), (5L, None)))
+  }
+
+  test("linear forecast extrapolates an arithmetic series exactly") {
+    // location u: values 0,2,4,...,46 at minutes 0,5,...,115 → slope 2/step.
+    val rows = (0 until 24).map { i =>
+      ("u", java.sql.Timestamp.valueOf(f"2024-01-01 00:${5 * i}%02d:00"), i.toLong, i * 2.0)
+    }
+    val df = rows.toDF("location", "event_timestamp", "event_id", "value")
+    val fc = Forecast.linear(df, lookback = 24, steps = 3)
+      .orderBy("step").collect()
+    assert(fc.length === 3)
+    // v_last = 46, slope = (46 - 0)/23 = 2 → predictions 48, 50, 52.
+    assert(fc.map(_.getAs[Double]("pred")).toSeq === Seq(48.0, 50.0, 52.0))
+    // 5-minute cadence beyond the last observation (23·5 = 115 min).
+    val lastUs = java.sql.Timestamp.valueOf("2024-01-01 01:55:00").getTime * 1000L
+    assert(fc.map(_.getAs[Long]("pred_us")).toSeq ===
+      Seq(1, 2, 3).map(i => lastUs + i * 5L * 60 * 1000 * 1000))
+  }
+}
