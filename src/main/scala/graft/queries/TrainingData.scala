@@ -132,11 +132,11 @@ object TrainingData {
 
     QuerySpec.sql("dd_simhash",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) || md5('#' || t) AS h FROM tok GROUP BY 1, 2),
         |bits AS (SELECT doc_id, i,
         |           CASE WHEN sum(CASE WHEN substr(h, CAST(i+1 AS INT), 1) >= '8' THEN cnt ELSE -cnt END) > 0
         |                THEN '1' ELSE '0' END AS bit
-        |         FROM tc CROSS JOIN range(32) r(i) GROUP BY 1, 2)
+        |         FROM tc CROSS JOIN range(64) r(i) GROUP BY 1, 2)
         |SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY 1 ORDER BY doc_id""") {
       (s, dir) =>
@@ -145,43 +145,56 @@ object TrainingData {
 
     QuerySpec.sql("dd_simhash_pairs",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) || md5('#' || t) AS h FROM tok GROUP BY 1, 2),
         |bits AS (SELECT doc_id, i,
         |           CASE WHEN sum(CASE WHEN substr(h, CAST(i+1 AS INT), 1) >= '8' THEN cnt ELSE -cnt END) > 0
         |                THEN '1' ELSE '0' END AS bit
-        |         FROM tc CROSS JOIN range(32) r(i) GROUP BY 1, 2),
+        |         FROM tc CROSS JOIN range(64) r(i) GROUP BY 1, 2),
         |s AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY 1),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
         |         FROM s a JOIN s b ON a.doc_id < b.doc_id AND (
-        |              substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
-        |           OR substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8)
-        |           OR substr(a.simhash, 17, 8) = substr(b.simhash, 17, 8)
-        |           OR substr(a.simhash, 25, 8) = substr(b.simhash, 25, 8)))
+        |              substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+        |           OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+        |           OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+        |           OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16)))
         |SELECT doc_a, doc_b, hamming FROM (
         |  SELECT doc_a, doc_b,
-        |         len(list_filter(range(32), i -> substr(sa, CAST(i+1 AS INT), 1) != substr(sb, CAST(i+1 AS INT), 1))) AS hamming
+        |         len(list_filter(range(64), i -> substr(sa, CAST(i+1 AS INT), 1) != substr(sb, CAST(i+1 AS INT), 1))) AS hamming
         |  FROM cand)
-        |WHERE hamming <= 1 ORDER BY doc_a, doc_b""") {
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""") {
       (s, dir) =>
-        Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
+        Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
           .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- Similarity search ----------------------------------------------
 
+    // Near-dup pairs blocked on a 4-plane hyperplane signature: the pair
+    // join is an equi-join on the bucket (16 buckets ⇒ ~16× fewer scored
+    // pairs), the scale path for O(n²)-averse near-dup detection. Pairs
+    // split across buckets are out of scope by definition of the operator.
     QuerySpec.sql("emb_neardup",
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
         |           FROM embeddings),
         |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |sigbits AS (
+        |  SELECT vec_id, h,
+        |         CASE WHEN list_sum(list_transform(range(1, 65),
+        |             d -> CASE WHEN substr(md5(h::VARCHAR || ':' || (d-1)::VARCHAR), 1, 1) >= '8'
+        |                       THEN qv[d] ELSE -qv[d] END)) > 0
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM m CROSS JOIN range(4) r(h)),
+        |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS sig FROM sigbits GROUP BY 1),
+        |ms AS (SELECT m.vec_id, qv, n2, sig FROM m JOIN sig ON sig.vec_id = m.vec_id),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |        list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
         |          / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
-        |      FROM m a JOIN m b ON a.vec_id < b.vec_id)
+        |      FROM ms a JOIN ms b ON a.sig = b.sig AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM p
         |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""") {
       (s, dir) =>
-        EmbeddingSim.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+        EmbeddingSim.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45, planes = 4)
           .orderBy(col("vec_a"), col("vec_b"))
     },
 

@@ -49,7 +49,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   test("simhash of identical docs is identical; hamming to unrelated is large") {
     val s = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s(0L) === s(1L))
-    assert(s(0L).length === 32)
+    assert(s(0L).length === 64)
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(s(0L), s(2L)) < hamming(s(0L), s(3L)))
   }
