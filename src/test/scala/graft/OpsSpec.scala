@@ -56,6 +56,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (1L, None), (2L, Some(101L)), (3L, Some(101L)), (4L, Some(102L)), (5L, None)))
   }
 
+  test("dayRange keeps only rows inside the closed day interval") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-04 23:59:59")),
+      ("b", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      ("c", java.sql.Timestamp.valueOf("2024-01-07 12:00:00")),
+      ("d", java.sql.Timestamp.valueOf("2024-01-08 00:00:01")))
+      .toDF("k", "event_timestamp")
+    val kept = graft.ops.Recent.dayRange(df, "2024-01-05", "2024-01-07")
+      .collect().map(_.getString(0)).sorted
+    assert(kept.toSeq === Seq("b", "c"))
+  }
+
+  test("record shaping to JSON drops null fields (P14 edge serialization)") {
+    val df = Seq(("locA", Some(21.5), None: Option[Int]))
+      .toDF("location", "temperature", "weathercode")
+    val json = df.select(to_json(struct(col("location"), col("temperature"),
+      col("weathercode"))).as("j")).head().getString(0)
+    assert(json === """{"location":"locA","temperature":21.5}""")
+  }
+
   test("linear forecast extrapolates an arithmetic series exactly") {
     // location u: values 0,2,4,...,46 at minutes 0,5,...,115 → slope 2/step.
     val rows = (0 until 24).map { i =>
