@@ -29,13 +29,15 @@ object EmbeddingSim {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native codegen
+    * Expression: the higher-order-function form (`aggregate(zip_with(...))`)
+    * is interpreted per element and this runs per candidate pair on the
+    * similarity hot path. See [[graft.functions.LongArrayDot]]. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongArrayDot.dot(a, b)
 
   /** Exact integer squared norm. */
-  def qnorm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  def qnorm2(a: Column): Column = qdot(a, a)
 
   /** Cosine similarity over quantized vectors (double, deterministic). */
   def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
