@@ -68,16 +68,23 @@ object EmbeddingSim {
   }
 
   /** Random-hyperplane signature: bit h = sign of Σ_d w(h,d)·x_d where
-    * w(h,d) = +1 iff the first hex nibble of md5(h:":"d) ≥ 8 (deterministic,
-    * engine-portable pseudo-randomness). Returns a `planes`-char bitstring. */
+    * w(h,d) = +1 iff the first hex nibble of md5(h":"d) ≥ 8 (deterministic,
+    * engine-portable pseudo-randomness — the oracle recomputes the same md5
+    * in SQL). Returns a `planes`-char bitstring.
+    *
+    * The weights are constants, so they are hashed ONCE at plan-build time
+    * into ±1 literal arrays and each bit is a single native integer dot
+    * product — not a per-row, per-dimension interpreted md5. */
   def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
     val q = quantize(vec)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def weight(h: Int, d: Int): Long = {
+      val hex = digest.digest(s"$h:$d".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
     val bits = (0 until planes).map { h =>
-      val signedSum = aggregate(
-        zip_with(q, typedLit((0 until dims).map(d => s"$h:$d")),
-          (x, seed) => when(substring(md5(seed), 1, 1) >= "8", x).otherwise(-x)),
-        lit(0L), (acc, x) => acc + x)
-      when(signedSum > 0, "1").otherwise("0")
+      val w = typedLit((0 until dims).map(weight(h, _)).toArray)
+      when(qdot(q, w) > 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }

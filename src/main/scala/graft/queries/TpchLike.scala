@@ -224,6 +224,43 @@ object TpchLike {
       }
     },
 
+    // TPC-H Q17 shape: correlated scalar subquery (below 20% of the
+    // per-part average). Expressed as a per-key window average — one
+    // shuffle on l_partkey serving both the average and the filter, instead
+    // of a subquery re-scan; Catalyst decorrelates the SQL form to the same
+    // shape. Output is per-part so the hash check pins every group.
+    QuerySpec.sql("q17_small_quantity",
+      """WITH lq AS (
+        |  SELECT *, CAST(floor(l_quantity * 100) AS BIGINT) AS q100,
+        |         sum(CAST(floor(l_quantity * 100) AS BIGINT)) OVER (PARTITION BY l_partkey) AS sq,
+        |         count(*) OVER (PARTITION BY l_partkey) AS cq
+        |  FROM lineitem)
+        |SELECT l_partkey, count(*) AS n_small,
+        |       round(sum(l_extendedprice), 2) AS small_revenue
+        |FROM lq JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand IN ('Brand#1', 'Brand#2') AND 2 * q100 * cq < sq
+        |GROUP BY l_partkey ORDER BY l_partkey""") {
+      (s, dir) => {
+        // "quantity below half the per-part average" as integer arithmetic
+        // (2·q·n < Σq over scaled longs): the float form 'q < 0.5·avg' can
+        // flip at representation boundaries between engines.
+        val w = Window.partitionBy(col("l_partkey"))
+        val q100 = floor(col("l_quantity") * 100).cast("long")
+        li(s, dir)
+          .withColumn("__q100", q100)
+          .withColumn("__sq", sum(q100).over(w))
+          .withColumn("__cq", count(lit(1)).over(w))
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand").isin("Brand#1", "Brand#2"))),
+            col("p_partkey") === col("l_partkey"))
+          .filter(lit(2) * col("__q100") * col("__cq") < col("__sq"))
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_small"),
+            round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+          .orderBy(col("l_partkey"))
+      }
+    },
+
     // Approx + exact distinct cardinalities per month (HLL at scale; the
     // oracle checks the exact column, approx is sanity-bounded in tests).
     QuerySpec.sql("q_distinct_customers",

@@ -36,6 +36,20 @@ class ParseSpec extends AnyFunSuite with SparkFixture {
     assert(parseRaw("not-a-time") === kafkaTs)
   }
 
+  test("typed Dataset[WeatherEvent] view round-trips the parsed projection") {
+    val rows = java.util.List.of(
+      Row("locA", """{"location_name":"locA","time":"2024-03-05T12:00:00Z","temperature":"21.5","weathercode":"3"}""", kafkaTs))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType),
+      StructField("kafka_timestamp", TimestampType))))
+    val ds = graft.ingest.WeatherEvent.typed(Parse.fromJsonValue(df))
+    val e = ds.head()
+    assert(e.location === "locA")
+    assert(e.temperature === Some(21.5))
+    assert(e.weathercode === Some(3))
+    assert(e.humidity === None)
+  }
+
   test("fromJsonValue projects typed metrics and drops error rows") {
     val rows = java.util.List.of(
       Row("locA", """{"location_name":"locA","time":"2024-03-05T12:00:00Z","temperature":"21.5","weathercode":"3"}""", kafkaTs),
