@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful / windowed Structured Streaming operators — the scale path
+  * beyond the reference's stateless memory-sink split (SURVEY.md §2.10):
+  * once the corpus outgrows recompute-on-read, aggregation moves INTO the
+  * stream with watermarked event-time windows, and latest-per-key becomes
+  * incremental state instead of a full-table rank.
+  *
+  * Scale notes: watermarks bound state (late rows beyond the delay are
+  * dropped — a policy change vs the reference's "late rows appear on next
+  * query", made explicit here); state is partitioned by key, so both
+  * operators scale with key cardinality like any keyed shuffle.
+  */
+object StreamOps {
+
+  /** Watermarked event-time windowed rollup: count/avg per (window, code).
+    * Append mode emits a window once the watermark passes its end. */
+  def windowedRollup(stream: DataFrame, windowLength: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark("event_timestamp", watermarkDelay)
+      .groupBy(window(col("event_timestamp"), windowLength), col("code"))
+      .agg(count(lit(1)).as("n_rows"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("code"), col("n_rows"), col("avg_value"))
+
+  /** The running latest-observation-per-location as incremental state
+    * (streaming D1): mapGroupsWithState keeps one row per key and updates
+    * it when a newer (event_timestamp, event_id) arrives. */
+  case class ObsState(location: String, event_timestamp: java.sql.Timestamp,
+                      event_id: Long, code: String, value: Double)
+
+  def latestPerKeyStateful(stream: Dataset[ObsState]): Dataset[ObsState] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(_.location)
+      .mapGroupsWithState[ObsState, ObsState](GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ObsState], state: GroupState[ObsState]) =>
+          val candidates = rows ++ state.getOption.iterator
+          val latest = candidates.maxBy(o => (o.event_timestamp.getTime, o.event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
+  /** Output mode for [[latestPerKeyStateful]] sinks: state emits one updated
+    * row per key per batch. */
+  val LatestOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.ObsState
+
+class StreamOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(h: Int, m: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked windowed rollup finalizes a window after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ObsState]
+    val query = StreamOps.windowedRollup(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wm_rollup")
+      .outputMode("append").start()
+
+    input.addData(
+      ObsState("a", ts(10, 5), 1, "x", 2.0),
+      ObsState("a", ts(10, 20), 2, "x", 4.0))
+    query.processAllAvailable()
+    // Window [10:00, 11:00) is still open — nothing emitted in append mode.
+    assert(spark.table("wm_rollup").count() === 0)
+
+    // An event at 12:30 advances the watermark to 12:20 > 11:00 → the
+    // 10:00 window finalizes on the following trigger.
+    input.addData(ObsState("a", ts(12, 30), 3, "x", 9.0))
+    query.processAllAvailable()
+    input.addData(ObsState("a", ts(12, 45), 4, "y", 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("wm_rollup").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_rows") === 2L)
+    assert(rows.head.getAs[Double]("avg_value") === 3.0)
+    query.stop()
+  }
+
+  test("stateful latest-per-key updates across batches and survives out-of-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ObsState]
+    val query = StreamOps.latestPerKeyStateful(input.toDS())
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode(StreamOps.LatestOutputMode).start()
+
+    input.addData(ObsState("a", ts(10, 0), 1, "x", 1.0))
+    query.processAllAvailable()
+    input.addData(
+      ObsState("a", ts(11, 0), 2, "y", 2.0),
+      ObsState("a", ts(9, 0), 3, "z", 3.0), // out-of-order: must NOT win
+      ObsState("b", ts(8, 0), 4, "w", 4.0))
+    query.processAllAvailable()
+
+    // memory sink in update mode appends updated rows per batch; the last
+    // row per key is the current state.
+    val current = spark.table("latest_state").collect()
+      .groupBy(_.getAs[String]("location"))
+      .map { case (k, rows) => k -> rows.last.getAs[Long]("event_id") }
+    assert(current === Map("a" -> 2L, "b" -> 4L))
+    query.stop()
+  }
+}
