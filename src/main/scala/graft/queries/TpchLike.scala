@@ -125,15 +125,20 @@ object TpchLike {
           .orderBy(col("o_orderpriority"))
     },
 
-    // Anti-join: customers with no orders (NOT EXISTS ↔ left_anti).
+    // Anti-join: customers with no HIGH-priority orders (NOT EXISTS ↔
+    // left_anti). The subquery is filtered so the result is non-empty —
+    // every customer has some order in this corpus, and an always-empty
+    // result would make the oracle check vacuous.
     QuerySpec.sql("q_customers_no_orders",
       """SELECT c_custkey, c_name
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""") {
       (s, dir) =>
         cust(s, dir)
-          .join(ord(s, dir), col("o_custkey") === col("c_custkey"), "left_anti")
+          .join(ord(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
     },

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Latest, Rollup, Skew}
+
+/** Property-based invariants (SURVEY.md §5.3), using scalacheck generators
+  * with fixed seeds (the scalatest-scalacheck bridge isn't on the offline
+  * classpath; a deterministic sample loop keeps failures reproducible).
+  * Each case is a full Spark job, so the sample counts stay small. */
+class PropertiesSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(40), Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(String, Int, Double)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      o <- Gen.choose(0, 20)
+      v <- Gen.choose(-100, 100).map(_ / 2.0)
+    } yield (k, o, v))
+
+  test("keepFirst is idempotent and keeps exactly one row per key") {
+    samples(rowsGen, 4).foreach { rows =>
+      val df = rows.toDF("k", "o", "v").withColumn("uid", monotonically_increasing_id())
+      val once = Latest.keepFirst(df, Seq("k"), Seq(col("o").desc, col("uid").desc))
+      val twice = Latest.keepFirst(once, Seq("k"), Seq(col("o").desc, col("uid").desc))
+      assert(once.orderBy("k", "uid").collect().toSeq
+        === twice.orderBy("k", "uid").collect().toSeq)
+      assert(once.count() === rows.map(_._1).distinct.size)
+    }
+  }
+
+  test("single-pass modalCode always equals the reference's ranked formulation") {
+    samples(rowsGen, 4).foreach { rows =>
+      val df = rows.map { case (k, o, _) => (k, (o % 5).toString) }.toDF("k", "code")
+      val a = Rollup.modalCode(df, col("k"), "k").orderBy("k").collect().toSeq
+      val b = Rollup.modalCodeRanked(df, col("k"), "k").orderBy("k").collect().toSeq
+      assert(a === b)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation for any salt count") {
+    samples(rowsGen.flatMap(r => Gen.choose(1, 32).map(r -> _)), 4)
+      .foreach { case (rows, salts) =>
+        val df = rows.toDF("k", "o", "v")
+        val direct = df.groupBy("k")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+          .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val salted = Skew.saltedAggregate(df, Seq("k"), salts,
+            "n" -> (count(lit(1)), sum(col("n"))),
+            "total" -> (sum(col("v")), sum(col("total"))))
+          .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(salted === direct)
+      }
+  }
+
+  test("jaccard pairs are within (0,1] with doc_a < doc_b") {
+    val texts = Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w"))
+      .map(_.mkString(" ")))
+    samples(texts, 3).foreach { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+        .toDF("doc_id", "text", "lang")
+      val pairs = Dedup.ngramJaccardPairs(docs, "lang", threshold = 0.0).collect()
+      pairs.foreach { r =>
+        val j = r.getAs[Double]("jaccard")
+        assert(j > 0.0 && j <= 1.0)
+        assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      }
+    }
+  }
+}
