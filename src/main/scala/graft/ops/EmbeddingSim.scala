@@ -113,6 +113,49 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** IVF-style ANN top-k: the corpus is partitioned into cells around
+    * `numCentroids` fixed centroid vectors (deterministically the lowest
+    * vec_ids — a production system would train them with k-means; the
+    * index/probe plan shape is identical); each query probes its `nprobe`
+    * nearest cells only. All distances are exact integer arithmetic
+    * (d² = |a|² + |b|² − 2a·b over quantized longs), so cell assignment is
+    * engine-portable.
+    *
+    * Scale: assignment is a broadcast (K centroids) nested-loop over the
+    * corpus — one pass, no shuffle of the corpus; the probe join is an
+    * equi-join on cid. Cell sizes ≈ n/K keep the scored candidate set at
+    * nprobe·n/K per query. */
+  def ivfTopK(vectors: DataFrame, queryPred: Column, k: Int,
+              numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = prepared(vectors)
+    val cents = broadcast(corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    val dists = corpus.crossJoin(cents)
+      .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .select(col("vec_id"), col("cid"), col("d2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val ranked = dists.withColumn("__rk", row_number().over(wAssign))
+    val cells = ranked.filter(col("__rk") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(queryPred && col("__rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val queries = broadcast(corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    val cand = probes.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(corpus, "vec_id")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b), blocked
     * on a coarse LSH signature so the pair join is an equi-join. With
     * `planes = 0` the blocking is disabled (exact all-pairs — test scale only). */

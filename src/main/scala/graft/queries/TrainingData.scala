@@ -220,6 +220,37 @@ object TrainingData {
           .orderBy(col("query_id"), col("rank"))
     },
 
+    QuerySpec.sql("ann_ivf_topk",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |d AS (SELECT m.vec_id, cid,
+        |        n2 + cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id % 100 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |scored AS (
+        |  SELECT query_id, cand.vec_id AS vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand JOIN m a ON a.vec_id = cand.query_id JOIN m b ON b.vec_id = cand.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+    },
+
     QuerySpec.sql("ann_lsh_topk",
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
         |           FROM embeddings),

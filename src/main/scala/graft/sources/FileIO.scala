@@ -33,4 +33,11 @@ object FileIO {
   /** S7: CSV source with header + declared schema. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Hive-style partitioned parquet sink — the layout that makes
+    * date/tenant predicates prune at the SOURCE (PartitionFilters skip
+    * whole directories; at 100 TB this is the difference between scanning
+    * a day and scanning the corpus). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

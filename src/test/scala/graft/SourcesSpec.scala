@@ -49,6 +49,22 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       === java.sql.Timestamp.valueOf("2024-03-05 12:00:00"))
   }
 
+  test("partitioned parquet layout prunes partitions at the scan") {
+    val df = Seq(
+      ("2024-01-05", "a", 1.0), ("2024-01-05", "b", 2.0),
+      ("2024-01-06", "a", 3.0), ("2024-01-07", "c", 4.0))
+      .toDF("day", "k", "v")
+    val path = tmp("graft-part")
+    FileIO.writePartitioned(df, path, "day")
+    val filtered = spark.read.parquet(path).filter(col("day") === "2024-01-05")
+    assert(filtered.count() === 2)
+    // The predicate lands in PartitionFilters (directory pruning at
+    // planning time), not a post-scan row filter.
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+      s"expected a partition-pruned scan:\n$scan")
+  }
+
   test("S1-shaped parse: fromKafka handles binary key/value columns") {
     val rows = java.util.List.of(
       Row("locA".getBytes("UTF-8"),
