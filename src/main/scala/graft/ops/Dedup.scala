@@ -94,27 +94,38 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs: band-bucket candidates, then signature
-    * agreement (estimated Jaccard) ≥ threshold. */
+    * agreement (estimated Jaccard) ≥ threshold.
+    *
+    * The full signature rides along on the band rows (numHashes fixed-width
+    * strings), so agreement is computed directly on the band-join output —
+    * no re-join back to the signature relation, which would recompute the
+    * shingle aggregation twice more (self-joins re-execute lineage unless
+    * persisted; at 100 TB the signature is the thing you materialize ONCE). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val sig = minhashSignature(docs, numHashes, textCol)
-    val bandRows = lshBands(sig, bands, numHashes / bands)
-    val cand = bandRows.as("x")
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }
+    val bandRows = sig.select(
+      (col("doc_id") +: (0 until numHashes).map(i => col(s"h$i"))) :+
+        explode(array(bandStructs: _*)).as("bb"): _*)
+      .withColumn("band", col("bb.band")).withColumn("bkey", col("bb.bkey"))
+      .drop("bb")
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val agree = (0 until numHashes)
-      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         (agree * lit(1.0) / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** SimHash fingerprint (`bits` as a bitstring, default 64): bit i is the

@@ -79,4 +79,29 @@ object TextStats {
   /** Content fingerprint: md5 of the normalized text. Used as the exact-dedup
     * key; md5 is identical across engines so the oracle can reproduce it. */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Top-k characteristic terms per group, tf-idf-style with a fully
+    * deterministic integer ordering: rank by (term frequency in the group
+    * desc, document frequency across the corpus asc, term asc). Floating
+    * idf = ln(N/df) would rank identically for a monotone idf but its
+    * low bits differ across engines; the (tf, df) ordering keeps the check
+    * exact. Two hash aggregations + one rank window per group. */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, k: Int,
+                       stopwords: Seq[String],
+                       textCol: String = "text"): DataFrame = {
+    val stop = typedLit(stopwords)
+    val tok = docs.select(col("doc_id"), col(groupCol),
+        explode(tokens(col(textCol))).as("t"))
+      .filter(!array_contains(stop, col("t")))
+    val tf = tok.groupBy(col(groupCol), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("tf").desc, col("df").asc, col("t").asc)
+    tf.join(df, "t")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("t").as("term"), col("tf"), col("df"))
+  }
 }

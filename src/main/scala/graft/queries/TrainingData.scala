@@ -76,6 +76,23 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    QuerySpec.sql("t_top_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |flt AS (SELECT * FROM tok WHERE NOT list_contains(['the', 'a'], t)),
+        |tf AS (SELECT lang, t, count(*) AS tf FROM flt GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM flt) GROUP BY 1)
+        |SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY tf DESC, df ASC, t ASC) AS rank,
+        |       t AS term, tf, df
+        |FROM tf JOIN df USING (t)
+        |QUALIFY rank <= 5 ORDER BY lang, rank""") {
+      (s, dir) =>
+        TextStats.topTermsPerGroup(Tables.documents(s, dir), "lang", 5, Stopwords)
+          .select(col("lang"), col("rank").cast("long").as("rank"),
+            col("term"), col("tf"), col("df"))
+          .orderBy(col("lang"), col("rank"))
+    },
+
     // ---- Deduplication --------------------------------------------------
 
     QuerySpec.sql("dd_exact",
