@@ -177,7 +177,7 @@ object TpchLike {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
         ord(s, dir).select(
             col("o_custkey"), col("o_orderkey"),
-            row_number().over(w).as("order_seq"),
+            row_number().over(w).cast("long").as("order_seq"),
             round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("price_delta"),
             round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
               .as("running_total"))

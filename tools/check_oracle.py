@@ -67,6 +67,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(spark_df.columns)} != {list(duck_df.columns)}")
             n_fail += 1
             continue
+        for c in spark_df.columns:
+            if str(spark_df[c].dtype) != str(duck_df[c].dtype):
+                print(f"  DTYPE-WARN {name}.{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+                      " (values compared as numbers here; the driver's hash may be dtype-sensitive)")
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} != {len(duck_df)}")
             n_fail += 1
