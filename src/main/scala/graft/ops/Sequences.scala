@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Sliding-window sequence datasets for model training (SURVEY.md §2.6
+/** Sliding-window sequence datasets and sessionization for model training
+  * (SURVEY.md §2.6
   * W4/W5; reference: prediction/preprocessing/getSample.py:150-214).
   *
   * Per (location) ordered by event time: a length-L history window
@@ -72,4 +73,17 @@ object Sequences {
           max(col(metric)).over(frame).as(s"max_$metric")) ++ leadCols: _*)
       .filter(col("n_window") === seqLen && col(s"t$leads").isNotNull)
   }
+
+  /** Event-time sessionization: per key, events closer than `gapMinutes`
+    * merge into one session (`session_window` — window end = last event +
+    * gap, end-exclusive). The batch form of the streaming session
+    * aggregation; one shuffle on the key. */
+  def sessionize(obs: DataFrame, gapMinutes: Int): DataFrame =
+    obs.groupBy(col("location"),
+        session_window(col("event_timestamp"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("location"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
 }

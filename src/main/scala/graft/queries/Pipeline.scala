@@ -125,6 +125,32 @@ object Pipeline {
       }
     },
 
+    // Event-time sessionization (8h gap): session end = last event + gap,
+    // end-exclusive — the oracle's island detection uses >= gap for a new
+    // session to match session_window's exclusivity.
+    QuerySpec.sql("sessionize_events",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w >= 480::BIGINT * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT CAST(user_id AS VARCHAR) AS location,
+        |       min(us) AS session_start_us,
+        |       max(us) + 480::BIGINT * 60 * 1000000 AS session_end_us,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY location, session_start_us""") {
+      (s, dir) =>
+        Sequences.sessionize(obs(s, dir), gapMinutes = 480)
+          .orderBy(col("location"), col("session_start_us"))
+    },
+
     // Pivot: documents per (source × language) — wide conditional counts.
     QuerySpec.sql("q_pivot_lang_source",
       """SELECT source,
