@@ -66,9 +66,12 @@ object Parse {
         coalesce(col("payload").getItem("time"), col("payload").getItem("timestamp")))
       .withColumn("event_timestamp",
         resolveEventTime(col("event_time_raw"), col("kafka_timestamp")))
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+    // metric string would fail the whole job; schema-on-read semantics
+    // require null (matching the reference's non-ANSI PySpark casts).
     val metricCols =
-      DoubleMetrics.map(m => col("payload").getItem(m).cast(DoubleType).as(m)) ++
-      IntMetrics.map(m => col("payload").getItem(m).cast(IntegerType).as(m))
+      DoubleMetrics.map(m => col("payload").getItem(m).try_cast(DoubleType).as(m)) ++
+      IntMetrics.map(m => col("payload").getItem(m).try_cast(IntegerType).as(m))
     val shaped = located.select(
       Seq(col("key"), col("location"), col("event_timestamp"), col("kafka_timestamp")) ++
       metricCols ++

@@ -50,6 +50,24 @@ class ParseSpec extends AnyFunSuite with SparkFixture {
     assert(e.humidity === None)
   }
 
+  test("corrupt JSON degrades gracefully: key/kafka-ts fallbacks, null metrics") {
+    val rows = java.util.List.of(
+      Row("locX", """not json at all""", kafkaTs),
+      Row("locY", """{"temperature":"NaNope","time":"garbage"}""", kafkaTs))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType),
+      StructField("kafka_timestamp", TimestampType))))
+    val parsed = Parse.fromJsonValue(df).orderBy("key").collect()
+    assert(parsed.length === 2)
+    // Unparseable value → payload null → location falls back to the key,
+    // event time to the broker timestamp (P4/P5 coalesce chains).
+    assert(parsed(0).getAs[String]("location") === "locX")
+    assert(parsed(0).getAs[java.sql.Timestamp]("event_timestamp") === kafkaTs)
+    // Untypable metric string → null double, not a crash (schema-on-read).
+    assert(parsed(1).isNullAt(parsed(1).fieldIndex("temperature")))
+    assert(parsed(1).getAs[java.sql.Timestamp]("event_timestamp") === kafkaTs)
+  }
+
   test("fromJsonValue projects typed metrics and drops error rows") {
     val rows = java.util.List.of(
       Row("locA", """{"location_name":"locA","time":"2024-03-05T12:00:00Z","temperature":"21.5","weathercode":"3"}""", kafkaTs),
