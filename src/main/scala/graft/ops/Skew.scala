@@ -34,8 +34,17 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
                       aggs: (String, (Column, Column))*): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+    // Salt from the hashable columns only — Spark prohibits hash() on MAP
+    // types (map equality is order-insensitive but hashcodes are not).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty, "no hashable columns to derive a salt from")
+    val salted = df.withColumn("__salt", pmod(hash(saltCols: _*), lit(salts)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head._2._1.as(aggs.head._1),

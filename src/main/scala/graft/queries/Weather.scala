@@ -47,6 +47,40 @@ object Weather {
             unix_micros(col("event_timestamp")).as("event_us"))
     },
 
+    // D1 scale variant — same latest-per-location via max_by (map-side
+    // combinable hash agg: one row per key per partition crosses the
+    // shuffle instead of every row; the plan for low-cardinality hot keys).
+    QuerySpec.sql("latest_per_key_maxby",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_id,
+        |       event_type AS code, value, epoch_us(ts) AS event_us
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""") {
+      (s, dir) =>
+        Latest.latestByMaxBy(obs(s, dir), "location",
+            struct(col("event_timestamp"), col("event_id")))
+          .select(obsOut: _*)
+    },
+
+    // Skew path — the salted two-stage aggregation produces byte-identical
+    // results to the direct groupBy (the oracle IS the direct form).
+    QuerySpec.sql("salted_code_stats",
+      """SELECT event_type AS code, count(*) AS n_rows,
+        |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v_micro,
+        |       max(value) AS max_v
+        |FROM events GROUP BY 1 ORDER BY code""") {
+      (s, dir) => {
+        val withQ = obs(s, dir)
+          .withColumn("__vq", floor(col("value") * 1000000).cast("long"))
+        graft.ops.Skew.saltedAggregate(withQ, Seq("code"), salts = 16,
+            "n_rows" -> (count(lit(1)), sum(col("n_rows"))),
+            "sum_v_micro" -> (sum(col("__vq")), sum(col("sum_v_micro"))),
+            "max_v" -> (max(col("value")), max(col("max_v"))))
+          .select(col("code"), col("n_rows"), col("sum_v_micro"), col("max_v"))
+          .orderBy(col("code"))
+      }
+    },
+
     // A2 + A5/A6 + J1 — hourly rollup with modal code (GET /weather/recent_with_step 24h).
     QuerySpec.sql("hourly_rollup",
       """WITH agg AS (

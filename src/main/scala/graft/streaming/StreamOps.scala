@@ -52,4 +52,30 @@ object StreamOps {
   /** Output mode for [[latestPerKeyStateful]] sinks: state emits one updated
     * row per key per batch. */
   val LatestOutputMode: OutputMode = OutputMode.Update()
+
+  /** Change-data variant via flatMapGroupsWithState: emits a row ONLY when
+    * a batch actually advances a key's latest observation — the delta
+    * stream a downstream cache/index consumes. (mapGroupsWithState must
+    * emit one row per key per batch; flatMap can emit zero.) */
+  def latestChanges(stream: Dataset[ObsState]): Dataset[ObsState] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(_.location)
+      .flatMapGroupsWithState[ObsState, ObsState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ObsState], state: GroupState[ObsState]) =>
+          val incoming = rows.maxBy(o => (o.event_timestamp.getTime, o.event_id))
+          val prev = state.getOption
+          val newer = prev.forall { p =>
+            import scala.math.Ordering.Implicits._
+            (incoming.event_timestamp.getTime, incoming.event_id) >
+              ((p.event_timestamp.getTime, p.event_id))
+          }
+          if (newer) {
+            state.update(incoming)
+            Iterator.single(incoming)
+          } else Iterator.empty
+      }
+  }
 }

@@ -39,6 +39,26 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("flatMapGroupsWithState change stream emits only genuine advances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ObsState]
+    val query = StreamOps.latestChanges(input.toDS())
+      .writeStream.format("memory").queryName("latest_changes")
+      .outputMode("append").start()
+
+    input.addData(ObsState("a", ts(10, 0), 1, "x", 1.0))
+    query.processAllAvailable()
+    input.addData(ObsState("a", ts(9, 0), 2, "y", 2.0)) // stale → no emission
+    query.processAllAvailable()
+    input.addData(ObsState("a", ts(11, 0), 3, "z", 3.0)) // advance → emitted
+    query.processAllAvailable()
+    val emitted = spark.table("latest_changes").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(emitted === Seq(1L, 3L))
+    query.stop()
+  }
+
   test("stateful latest-per-key updates across batches and survives out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
