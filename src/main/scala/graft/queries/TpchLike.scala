@@ -266,6 +266,26 @@ object TpchLike {
       }
     },
 
+    // Unpivot/melt: wide metric columns → long (metric, value) rows —
+    // integer-quantized sums so the check is exact.
+    QuerySpec.sql("q_unpivot_metrics",
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        |       CAST(sum(CAST(floor(v * 100) AS BIGINT)) AS BIGINT) AS sum_v100
+        |FROM u GROUP BY 1 ORDER BY 1""") {
+      (s, dir) =>
+        li(s, dir)
+          .unpivot(Array(), Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "v")
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v") * 100).cast("long")).as("sum_v100"))
+          .orderBy(col("metric"))
+    },
+
     // Approx + exact distinct cardinalities per month (HLL at scale; the
     // oracle checks the exact column, approx is sanity-bounded in tests).
     QuerySpec.sql("q_distinct_customers",

@@ -27,10 +27,10 @@ def cells_equal(a, b):
     to float64 and must be bit-equal; everything else compares as str().
     (The old 1e-9 tolerance let borderline decimal-vs-double rows pass
     locally and then hash-mismatch in the driver.)"""
-    import decimal
+    import decimal, numbers
     if a is None and b is None:
         return True
-    num = (float, int, decimal.Decimal)
+    num = (numbers.Number, decimal.Decimal)  # includes numpy scalar types
     if isinstance(a, num) and isinstance(b, num) and not (
             isinstance(a, bool) or isinstance(b, bool)):
         af, bf = float(a), float(b)
