@@ -34,6 +34,13 @@ object FileIO {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC sink/source — same columnar guarantees as parquet through the
+    * same DataSource API; declared schema on read. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Hive-style partitioned parquet sink — the layout that makes
     * date/tenant predicates prune at the SOURCE (PartitionFilters skip
     * whole directories; at 100 TB this is the difference between scanning

@@ -49,6 +49,16 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       === java.sql.Timestamp.valueOf("2024-03-05 12:00:00"))
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "k", "v")
+    val path = tmp("graft-orc")
+    FileIO.writeOrc(df, path)
+    val back = FileIO.readOrc(spark, path, df.schema).filter(col("id") > 1)
+    assert(back.count() === 2)
+    assert(back.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     val df = Seq(
       ("2024-01-05", "a", 1.0), ("2024-01-05", "b", 2.0),
