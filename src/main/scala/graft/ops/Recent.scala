@@ -53,4 +53,21 @@ object Recent {
       .agg(avg(col(metric)).as(s"avg_$metric"), count(lit(1)).as("n_rows"))
       .orderBy(col(s"avg_$metric").desc, col(key))
       .limit(k)
+
+  /** The flagship endpoint's dispatch (GET /weather/recent_with_step,
+    * prediction/preprocessing/spark.py:587-1256): (24,1) → hourly rollup;
+    * (168,24) → daily rollup; anything else → count-based buckets over the
+    * last hours·12 rows with step·12 rows per bucket (the reference's
+    * 5-minute-cadence unit conversion, spark.py:808-810). One dispatcher
+    * over the three shared Rollup plans — the reference duplicates each
+    * branch for its hot and cold paths. */
+  def recentWithStep(obs: DataFrame, hours: Int, step: Int,
+                     avgCols: Seq[String]): DataFrame = (hours, step) match {
+    case (24, 1)   => Rollup.hourly(obs, avgCols)
+    case (168, 24) => Rollup.daily(obs, avgCols)
+    case _ =>
+      Rollup.bucketed(obs, step = step * 12, maxRows = hours * 12,
+        ordering = Seq(col("event_timestamp").desc, col("event_id").desc),
+        avgCols = avgCols)
+  }
 }

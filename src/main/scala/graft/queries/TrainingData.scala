@@ -281,12 +281,17 @@ object TrainingData {
         |  FROM m CROSS JOIN range(8) r(h)),
         |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS sig FROM sigbits GROUP BY 1),
         |ms AS (SELECT m.vec_id, qv, n2, sig FROM m JOIN sig ON sig.vec_id = m.vec_id),
-        |q AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2, sig AS qsig FROM ms WHERE vec_id % 100 = 0),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2,
+        |        unnest(list_concat([sig], list_transform(range(8), i ->
+        |          substr(sig, 1, CAST(i AS INT))
+        |          || (CASE WHEN substr(sig, CAST(i+1 AS INT), 1) = '1' THEN '0' ELSE '1' END)
+        |          || substr(sig, CAST(i+2 AS INT))))) AS psig
+        |      FROM ms WHERE vec_id % 100 = 0),
         |scored AS (
         |  SELECT query_id, vec_id,
         |         list_sum(list_transform(range(1, 65), i -> qq[i] * qv[i]))::DOUBLE
         |           / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)) AS cos
-        |  FROM ms JOIN q ON sig = qsig AND vec_id != query_id)
+        |  FROM ms JOIN q ON sig = psig AND vec_id != query_id)
         |SELECT query_id, vec_id AS neighbor_id,
         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
         |       round(cos, 4) AS cosine

@@ -64,6 +64,21 @@ class WeatherEndToEndSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(avg0.getAs[Double]("avg_temperature") - 22.95) < 1e-9)
   }
 
+  test("recent_with_step dispatch matches the reference's branch semantics") {
+    import graft.ops.Recent
+    val obs = parsed.select(col("location"), col("event_timestamp"),
+      unix_micros(col("event_timestamp")).as("event_id"),
+      col("temperature").as("value"), col("weathercode").cast("string").as("code"))
+    // (24,1) → hour buckets; (168,24) → day buckets; generic → count buckets.
+    assert(Recent.recentWithStep(obs, 24, 1, Seq("value")).columns.contains("hour"))
+    assert(Recent.recentWithStep(obs, 168, 24, Seq("value")).columns.contains("day"))
+    val buckets = Recent.recentWithStep(obs, 2, 1, Seq("value"))
+    assert(buckets.columns.contains("bucket"))
+    // 2h × 12 = 24 most recent rows in 12-row buckets → exactly 2 buckets.
+    assert(buckets.count() === 2)
+    assert(buckets.agg(sum(col("n_rows"))).head().getLong(0) === 24L)
+  }
+
   test("getSample + predict — sequences align and forecast extends the drift") {
     val obs = parsed.select(col("location"), col("event_timestamp"),
       unix_micros(col("event_timestamp")).as("event_id"),
