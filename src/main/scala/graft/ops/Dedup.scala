@@ -82,17 +82,6 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH banding: signature → (band, band-key) rows; candidates are pairs
-    * sharing any band key (an equi-join, not a cross join). */
-  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
-
   /** MinHash+LSH near-dup pairs: band-bucket candidates, then signature
     * agreement (estimated Jaccard) ≥ threshold.
     *

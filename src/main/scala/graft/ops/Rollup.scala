@@ -91,7 +91,7 @@ object Rollup {
                ordering: Seq[Column], avgCols: Seq[String],
                pinnedCols: Seq[String] = Nil): DataFrame = {
     require(maxRows > 0 && step > 0, "bucketed rollup requires positive bounds")
-    val recent = obs.orderBy(ordering: _*).limit(maxRows)
+    val recent = Recent.latestN(obs, maxRows, ordering)
     val w = Window.orderBy(ordering: _*)
     val indexed = recent
       .withColumn("__idx", row_number().over(w))

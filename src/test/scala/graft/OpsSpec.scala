@@ -17,6 +17,17 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(r => (r.getString(0), r.getInt(2))).toSeq === Seq(("a", 30), ("b", 51)))
   }
 
+  test("dedupePerLocationTime keeps the max kafka_timestamp per (location, ts)") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val df = Seq(
+      ("a", t1, t1, 1), ("a", t1, t2, 2), // same event ts, later broker ts wins
+      ("a", t2, t1, 3)).toDF("location", "event_timestamp", "kafka_timestamp", "v")
+    val out = Latest.dedupePerLocationTime(df).orderBy("event_timestamp")
+      .collect().map(_.getAs[Int]("v")).toSeq
+    assert(out === Seq(2, 3))
+  }
+
   test("latestByMaxBy matches keepFirst on a unique order key") {
     val df = Seq(("a", 1, "x"), ("a", 3, "y"), ("b", 2, "z")).toDF("location", "seq", "v")
     val viaWindow = Latest.keepFirst(df, Seq("location"), Seq(col("seq").desc))
