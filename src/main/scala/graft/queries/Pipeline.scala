@@ -125,6 +125,51 @@ object Pipeline {
       }
     },
 
+    // RANGE frame (time-based, not row-based): trailing 1h window per
+    // location keyed on epoch-µs — rows with equal distance-in-time peers
+    // aggregate identically regardless of arrival order (ROWS frames
+    // cannot express this). Quantized sum keeps the mean exact.
+    QuerySpec.sql("seq_time_range_window",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_id,
+        |       epoch_us(ts) AS event_us,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS qsum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY location, event_id""") {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = obs(s, dir).withColumn("us", unix_micros(col("event_timestamp")))
+        val w = Window.partitionBy(col("location")).orderBy(col("us"))
+          .rangeBetween(-3600L * 1000000, Window.currentRow)
+        o.select(col("location"), col("event_id"), col("us").as("event_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(floor(col("value") * 1000000).cast("long")).over(w).as("qsum_1h"))
+          .orderBy(col("location"), col("event_id"))
+      }
+    },
+
+    // Grouping sets beyond ROLLUP: (lang), (source), () marginals in one
+    // pass — cube + grouping_id selection on the Spark side, native
+    // GROUPING SETS in the oracle.
+    QuerySpec.sql("q_grouping_sets",
+      """SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
+        |       count(*) AS n_docs
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang, source""") {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .cube(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), grouping_id().as("__gid"))
+          .filter(col("__gid").isin(1, 2, 3)) // (lang), (source), ()
+          .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+            coalesce(col("source"), lit("(all)")).as("source"),
+            col("n_docs"))
+          .orderBy(col("lang"), col("source"))
+    },
+
     // Event-time sessionization (8h gap): session end = last event + gap,
     // end-exclusive — the oracle's island detection uses >= gap for a new
     // session to match session_window's exclusivity.
