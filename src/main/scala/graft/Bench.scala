@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT/codegen/scheduler cold-start otherwise lands on
+    // whichever query happens to run first.
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     // sorted: deterministic execution order makes per-query timings
     // comparable across runs (Map order varies per JVM).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -30,6 +30,15 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(feats(1).histogram.sum === feats(1).n_bytes)
   }
 
+  test("metadata-only queries prune the payload projection entirely") {
+    // The design rule from Multimodal.asMedia's scaladoc: binary payloads in
+    // their own leaf columns so metadata queries never materialize them.
+    val plan = Multimodal.asMedia(docs).toDF().select("doc_id", "width")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("encode"),
+      s"payload encode must be pruned from a metadata-only plan:\n$plan")
+  }
+
   test("frameSample takes every stride-th fixed-size block") {
     val frames = Multimodal.frameSample(Multimodal.asMedia(docs),
       frameBytes = 16, stride = 2).collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)

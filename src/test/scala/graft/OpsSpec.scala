@@ -67,6 +67,15 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (1L, None), (2L, Some(101L)), (3L, Some(101L)), (4L, Some(102L)), (5L, None)))
   }
 
+  test("approx_count_distinct stays within 5% of exact on the events corpus") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("dayRange keeps only rows inside the closed day interval") {
     val df = Seq(
       ("a", java.sql.Timestamp.valueOf("2024-01-04 23:59:59")),
