@@ -84,6 +84,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation resamples pixels; the fake keeps
+    * every `factor`-th byte (deterministic, shape-preserving contract:
+    * output length = ceil(len / factor)). Runs inside the same batched
+    * mapPartitions shape as feature extraction. */
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor > 0, "resize factor must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val decoded = decodeStub(r.payload, r.format)
+      val out = Array.range(0, decoded.length, factor).map(decoded)
+      r.copy(payload = out,
+        width = math.max(1, r.width / factor),
+        height = math.max(1, r.height / factor))
+    })
+  }
+
   /** Frame sampling: every `stride`-th fixed-size block of the decoded
     * payload becomes a frame row (the video-keyframe access pattern).
     * Explodes distributed — one media row fans out to its frames with no

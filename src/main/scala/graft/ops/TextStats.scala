@@ -80,6 +80,19 @@ object TextStats {
     * key; md5 is identical across engines so the oracle can reproduce it. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Rabin-Karp-style polynomial rolling hash over the normalized text's
+    * character codes: h = fold(chars)((acc·31 + code) mod 2³¹−1). Exact
+    * integer arithmetic — engine-portable, unlike library hash() functions —
+    * and O(len) per document with no shuffle. The scale use: a cheap
+    * pre-cluster key for exact dedup where md5 of multi-MB documents is
+    * memory-bandwidth-bound (the rolling form also extends to windowed
+    * substring fingerprints). */
+  def rollingFingerprint(text: Column): Column = {
+    val codes = filter(split(normalize(text), ""), c => length(c) > 0)
+    aggregate(transform(codes, c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L)
+  }
+
   /** Top-k characteristic terms per group, tf-idf-style with a fully
     * deterministic integer ordering: rank by (term frequency in the group
     * desc, document frequency across the corpus asc, term asc). Floating

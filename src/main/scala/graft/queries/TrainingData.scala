@@ -93,6 +93,21 @@ object TrainingData {
           .orderBy(col("lang"), col("rank"))
     },
 
+    // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).
+    QuerySpec.sql("t_rolling_fingerprint",
+      """SELECT doc_id,
+        |       list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |         list_transform(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+        |FROM documents ORDER BY doc_id""") {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextStats.rollingFingerprint(col("text")).as("rhash"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Deduplication --------------------------------------------------
 
     QuerySpec.sql("dd_exact",

@@ -30,6 +30,14 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(feats(1).histogram.sum === feats(1).n_bytes)
   }
 
+  test("resize stub keeps every factor-th byte and scales metadata") {
+    val out = Multimodal.resize(Multimodal.asMedia(docs), factor = 2)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).payload.toSeq === "ac".getBytes("UTF-8").toSeq) // from "abcd"
+    assert(out(0).width === 8 && out(0).height === 8)             // 16/2
+    assert(out(1).payload.length === 19)                          // ceil(38/2)
+  }
+
   test("metadata-only queries prune the payload projection entirely") {
     // The design rule from Multimodal.asMedia's scaladoc: binary payloads in
     // their own leaf columns so metadata queries never materialize them.
