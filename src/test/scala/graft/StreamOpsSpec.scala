@@ -59,6 +59,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("watermarked stream-stream interval join pairs purchases with recent views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[ObsState]
+    val purchases = MemoryStream[ObsState]
+    val v = views.toDF().withWatermark("event_timestamp", "10 minutes")
+      .select(col("location").as("v_loc"), col("event_timestamp").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.toDF().withWatermark("event_timestamp", "10 minutes")
+      .select(col("location").as("p_loc"), col("event_timestamp").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = p.join(v,
+      col("p_loc") === col("v_loc") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val query = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+
+    views.addData(
+      ObsState("a", ts(10, 0), 1, "v", 0), // 25 min before → matches
+      ObsState("a", ts(9, 0), 2, "v", 0),  // 85 min before → outside window
+      ObsState("b", ts(10, 20), 3, "v", 0)) // other key
+    purchases.addData(ObsState("a", ts(10, 25), 9, "p", 0))
+    query.processAllAvailable()
+
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+    assert(rows === Set((9L, 1L)))
+    query.stop()
+  }
+
   test("stateful latest-per-key updates across batches and survives out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
