@@ -23,6 +23,16 @@ object TextStats {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")
 
+  /** BPE-ish pre-tokenization (the GPT-2-style split: leading-space word,
+    * number, punctuation-run, or whitespace-run groups) — the token COUNT
+    * a data pipeline budgets by, without needing a merges table. The
+    * pattern uses only Unicode category classes shared by Java regex and
+    * RE2, so oracles reproduce it. */
+  val BpePattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Per-document token statistics: token count, distinct count, uniqueness
     * ratio, mean token length. One narrow projection — no shuffle. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -93,6 +93,24 @@ object TrainingData {
           .orderBy(col("lang"), col("rank"))
     },
 
+    // Token budgeting: whitespace vs BPE-ish regex tokenization + a
+    // punctuation ratio (Unicode category classes only — Java ≡ RE2).
+    QuerySpec.sql("t_tokenize_bpe",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
+        |       round(length(regexp_replace(text, '[^\p{P}]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio
+        |FROM documents ORDER BY doc_id""") {
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+            col("doc_id"),
+            size(TextStats.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+            size(TextStats.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+            round(length(regexp_replace(col("text"), "[^\\p{P}]", ""))
+              * lit(1.0) / length(col("text")), 4).as("punct_ratio"))
+          .orderBy(col("doc_id"))
+    },
+
     // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).
     QuerySpec.sql("t_rolling_fingerprint",
       """SELECT doc_id,
