@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *  - brute-force top-k is O(|queries| × |corpus|): the query side is
   *    broadcast, the corpus side streams — no shuffle of the corpus. Use for
   *    small query sets / ground-truth eval.
-  *  - LSH bucketing joins on a 16-bit signature key, so each query only
-  *    scores its bucket (≈ corpus/2^16 per bucket in expectation); the same
-  *    plan shape extends to IVF by swapping the bucketer for a centroid
-  *    assignment.
+  *  - LSH bucketing joins on a `planes`-bit signature key (multi-probe:
+  *    own bucket + all hamming-1 buckets), so each query scores
+  *    ≈ (planes+1)·corpus/2^planes candidates instead of the corpus;
+  *  - IVF swaps the bucketer for a centroid-cell assignment with
+  *    nprobe-cell probing — same equi-join plan shape, tunable recall.
   */
 object EmbeddingSim {
 
