@@ -117,6 +117,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Feature-hashing (hashing-trick) near-dup pairs: each document becomes
+    * a `dims`-dimensional signed token-count vector (index and sign from
+    * md5 of the token — engine-portable), and cosine similarity is computed
+    * through a SPARSE inverted-index join on the feature index: dot(a,b) =
+    * Σ over shared indices of vₐ·v_b. No dense vectors are materialized and
+    * the pair join only touches documents sharing a feature cell within the
+    * block — the text→embedding bridge at corpus scale. All arithmetic is
+    * integer until the final sqrt/divide. */
+  def hashedTfCosinePairs(docs: DataFrame, blockCol: String, threshold: Double,
+                          dims: Int = 64, textCol: String = "text"): DataFrame = {
+    def hexVal(c: Column): Column =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val tc = docs
+      .select(col("doc_id"), col(blockCol), explode(TextStats.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col(blockCol), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("t")))
+    val feats = tc
+      .withColumn("idx",
+        (hexVal(substring(col("h"), 1, 1)) * 16 + hexVal(substring(col("h"), 2, 1))) % dims)
+      .withColumn("sgn", when(substring(col("h"), 3, 1) >= "8", 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col(blockCol), col("idx"))
+      .agg(sum(col("sgn") * col("cnt")).as("v"))
+    val norms = feats.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
+    val dots = feats.as("a")
+      .join(feats.as("b"),
+        col("a.idx") === col("b.idx") && col(s"a.$blockCol") === col(s"b.$blockCol")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.v") * col("b.v")).as("dot"))
+    dots
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double")))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
+  }
+
   /** SimHash fingerprint (`bits` as a bitstring, default 64): bit i is the
     * sign of the count-weighted sum of ±1 over tokens, where token bit i =
     * "is the i-th hex nibble of md5(token)·md5('#'+token) ≥ 8". Pure

@@ -93,6 +93,49 @@ object TrainingData {
           .orderBy(col("lang"), col("rank"))
     },
 
+    QuerySpec.sql("t_hashed_tf_neardup",
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, lang, t, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+        |hx AS (SELECT doc_id, lang, cnt, md5(t) AS h FROM tc),
+        |hv AS (SELECT doc_id, lang, cnt,
+        |         (16 * (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END)
+        |             + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END)) % 64 AS idx,
+        |         CASE WHEN substr(h,3,1) >= '8' THEN 1 ELSE -1 END AS sgn
+        |       FROM hx),
+        |feats AS (SELECT doc_id, lang, idx, CAST(sum(sgn * cnt) AS BIGINT) AS v FROM hv GROUP BY 1, 2, 3),
+        |norms AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM feats GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |         FROM feats a JOIN feats b ON a.idx = b.idx AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |cosv AS (SELECT doc_a, doc_b,
+        |           dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cos
+        |         FROM dots JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(cos, 4) AS cosine FROM cosv
+        |WHERE cos >= 0.95 ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.hashedTfCosinePairs(Tables.documents(s, dir), "lang", threshold = 0.95)
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Edit distance (levenshtein is the near-dup verifier for SHORT
+    // strings — titles/ids — where shingles are too coarse).
+    QuerySpec.sql("t_levenshtein_sources",
+      """WITH s AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       levenshtein(a.source, b.source) AS dist
+        |FROM s a JOIN s b ON a.source < b.source
+        |WHERE levenshtein(a.source, b.source) <= 1
+        |ORDER BY src_a, src_b""") {
+      (s, dir) => {
+        val srcs = Tables.documents(s, dir).select(col("source")).distinct()
+        srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            levenshtein(col("a.source"), col("b.source")).cast("long").as("dist"))
+          .filter(col("dist") <= 1)
+          .orderBy(col("src_a"), col("src_b"))
+      }
+    },
+
     // Token budgeting: whitespace vs BPE-ish regex tokenization + a
     // punctuation ratio (Unicode category classes only — Java ≡ RE2).
     QuerySpec.sql("t_tokenize_bpe",

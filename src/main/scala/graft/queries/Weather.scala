@@ -232,6 +232,41 @@ object Weather {
           .orderBy(col("code"))
     },
 
+    // A10 extension — exact quantile bands per code (interpolating
+    // percentile, the same formula DuckDB's quantile_cont uses).
+    QuerySpec.sql("stats_quantiles",
+      """SELECT event_type AS code,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.50), 4) AS p50,
+        |       round(quantile_cont(value, 0.75), 4) AS p75,
+        |       round(quantile_cont(value, 0.90), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY code""") {
+      (s, dir) =>
+        obs(s, dir).groupBy(col("code"))
+          .agg(
+            round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+            round(percentile(col("value"), lit(0.50)), 4).as("p50"),
+            round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+            round(percentile(col("value"), lit(0.90)), 4).as("p90"))
+          .orderBy(col("code"))
+    },
+
+    // Conditional + boolean aggregates per code.
+    QuerySpec.sql("q_conditional_aggs",
+      """SELECT event_type AS code,
+        |       count(*) FILTER (value > 50.0) AS n_high,
+        |       bool_or(value > 99.0) AS any_extreme,
+        |       bool_and(value >= 0.0) AS all_nonneg
+        |FROM events GROUP BY 1 ORDER BY code""") {
+      (s, dir) =>
+        obs(s, dir).groupBy(col("code"))
+          .agg(
+            count(when(col("value") > 50.0, 1)).as("n_high"),
+            bool_or(col("value") > 99.0).as("any_extreme"),
+            bool_and(col("value") >= 0.0).as("all_nonneg"))
+          .orderBy(col("code"))
+    },
+
     // O5 — top-5 locations by average metric.
     QuerySpec.sql("topk_locations",
       """SELECT CAST(user_id AS VARCHAR) AS location,
