@@ -94,18 +94,30 @@ object TrainingData {
     },
 
     QuerySpec.sql("t_hashed_tf_neardup",
-      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
-        |tc AS (SELECT doc_id, lang, t, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
-        |hx AS (SELECT doc_id, lang, cnt, md5(t) AS h FROM tc),
-        |hv AS (SELECT doc_id, lang, cnt,
-        |         (16 * (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END)
-        |             + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END)) % 64 AS idx,
-        |         CASE WHEN substr(h,3,1) >= '8' THEN 1 ELSE -1 END AS sgn
-        |       FROM hx),
-        |feats AS (SELECT doc_id, lang, idx, CAST(sum(sgn * cnt) AS BIGINT) AS v FROM hv GROUP BY 1, 2, 3),
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |hxm AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+        |        FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hxm GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1] || ',' || hs[4*b+2] || ',' || hs[4*b+3] || ',' || hs[4*b+4]) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |hv AS (SELECT doc_id, cnt, md5(t) AS h FROM tc),
+        |feats AS (SELECT doc_id,
+        |            (16 * (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END)
+        |                + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END)) % 64 AS idx,
+        |            CAST(sum((CASE WHEN substr(h,3,1) >= '8' THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+        |          FROM hv GROUP BY 1, 2),
         |norms AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM feats GROUP BY 1),
-        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
-        |         FROM feats a JOIN feats b ON a.idx = b.idx AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |dots AS (SELECT cand.doc_a, cand.doc_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |         FROM cand JOIN feats a ON a.doc_id = cand.doc_a
+        |                   JOIN feats b ON b.doc_id = cand.doc_b AND a.idx = b.idx
         |         GROUP BY 1, 2),
         |cosv AS (SELECT doc_a, doc_b,
         |           dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cos
@@ -113,7 +125,7 @@ object TrainingData {
         |SELECT doc_a, doc_b, round(cos, 4) AS cosine FROM cosv
         |WHERE cos >= 0.95 ORDER BY doc_a, doc_b""") {
       (s, dir) =>
-        Dedup.hashedTfCosinePairs(Tables.documents(s, dir), "lang", threshold = 0.95)
+        Dedup.hashedTfCosinePairs(Tables.documents(s, dir), threshold = 0.95)
           .orderBy(col("doc_a"), col("doc_b"))
     },
 
