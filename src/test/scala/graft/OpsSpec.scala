@@ -37,6 +37,18 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(viaWindow === viaMaxBy)
   }
 
+  test("rollup pins per-bucket constants deterministically (min, not first)") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2.0, "c1", 7.5),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 4.0, "c1", 7.5),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 6.0, "c2", 9.0))
+      .toDF("location", "event_timestamp", "value", "code", "latitude")
+    val out = graft.ops.Rollup.hourly(df, avgCols = Seq("value"),
+      pinnedCols = Seq("latitude")).orderBy("hour").collect()
+    assert(out.map(r => (r.getAs[Int]("hour"), r.getAs[Double]("first_latitude"),
+      r.getAs[Double]("avg_value"))).toSeq === Seq((10, 7.5, 3.0), (11, 9.0, 6.0)))
+  }
+
   test("modalCode matches modalCodeRanked including deterministic ties") {
     // code 1 and 2 both appear twice for k=1 → tie broken by code asc.
     val df = Seq((1, "1"), (1, "1"), (1, "2"), (1, "2"), (1, "3"),
