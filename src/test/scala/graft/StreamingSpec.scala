@@ -38,6 +38,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("hot/cold path: memory table when materialized, batch fallback when not") {
+    import spark.implicits._
+    val cold = Seq(Obs("cold", ts(0), 1, "x", 1.0)).toDF()
+    // cold: the table does not exist yet
+    val before = graft.serve.Paths.hotOrCold(spark, "no_such_table_yet", cold)
+    assert(before.head().getAs[String]("location") === "cold")
+    // hot: once a stream materializes the name, it wins
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val query = input.toDF().writeStream
+      .format("memory").queryName("hotcold_table").outputMode("append").start()
+    input.addData(Obs("hot", ts(1), 2, "y", 2.0))
+    query.processAllAvailable()
+    val after = graft.serve.Paths.hotOrCold(spark, "hotcold_table", cold)
+    assert(after.head().getAs[String]("location") === "hot")
+    query.stop()
+  }
+
+  test("streaming dropDuplicatesWithinWatermark removes replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Obs]
+    val deduped = input.toDF()
+      .withWatermark("event_timestamp", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val query = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    input.addData(Obs("a", ts(0), 1, "x", 1.0), Obs("a", ts(1), 2, "x", 2.0))
+    query.processAllAvailable()
+    // replay event 1 (at-least-once delivery) within the watermark window
+    input.addData(Obs("a", ts(0), 1, "x", 1.0))
+    query.processAllAvailable()
+    assert(spark.table("stream_dedup").count() === 2)
+    query.stop()
+  }
+
   test("modal code of the streamed table breaks ties deterministically") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
