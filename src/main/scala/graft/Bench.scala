@@ -17,7 +17,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     // sorted: deterministic execution order makes per-query timings
     // comparable across runs (Map order varies per JVM).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for targeted local iteration
+    // (the driver sets no filter and measures everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune whole subtrees, e.g. windows under a bare count).
@@ -25,7 +30,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Hygiene between queries: drop cached relations and persisted RDDs a
+      // query-builder pinned (Dedup persists signatures/features), so one
+      // query's memory footprint can't degrade the measurement of the rest.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

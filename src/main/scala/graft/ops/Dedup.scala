@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for a training-data pipeline: exact (hash groupBy),
   * n-gram Jaccard, MinHash+LSH, and SimHash — each expressed with stock
@@ -87,14 +88,18 @@ object Dedup {
     *
     * The full signature rides along on the band rows (numHashes fixed-width
     * strings), so agreement is computed directly on the band-join output —
-    * no re-join back to the signature relation, which would recompute the
-    * shingle aggregation twice more (self-joins re-execute lineage unless
-    * persisted; at 100 TB the signature is the thing you materialize ONCE). */
+    * no re-join back to the signature relation. The signature is PERSISTED
+    * before the band self-join: self-joins re-execute lineage per side, and
+    * the shingle explode + 16-min aggregation is the expensive stage — at
+    * 100 TB the signature is the thing you materialize ONCE. The self-join
+    * is pinned shuffle-hash: both sides are the same size by construction,
+    * so a broadcast is never the right physical choice at scale. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(docs, numHashes, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
@@ -107,7 +112,7 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    bandRows.as("x")
+    bandRows.as("x").hint("shuffle_hash")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -150,22 +155,32 @@ object Dedup {
     // IS the verifier; an est-filter here would just shadow it)
     val cand = minhashLshPairs(docs, threshold = 0.0, textCol = textCol)
       .select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val feats = hashedTfFeatures(docs, dims, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val norms = feats.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
     // Join order is load-bearing: candidates must attach BEFORE the two
     // feature relations meet, or the optimizer can reorder to
     // feats⋈feats-on-idx (≈ n²/dims rows) and filter by candidates after —
-    // measured 41 s vs 3 s at sf0.1. Broadcasting the (tiny) candidate
-    // side and the candidate-bounded intermediate pins the order.
-    val dots = broadcast(cand)
+    // measured 41 s vs 3 s at sf0.1. Every join carries a SHUFFLE_HASH hint:
+    // a hinted join is never flattened by ReorderJoin (the order stays as
+    // written), the joins stay equi-partitioned shuffles whose cost is
+    // O(candidates), and — unlike the broadcast pin this replaces — nothing
+    // ever collects a corpus-growing relation onto the driver (a
+    // broadcast(cand) here measured 48 s..261 s run-to-run at sf0.1 and is
+    // a driver-memory scale-killer at 100 TB). cand and feats are persisted:
+    // each is consumed by ≥2 plan branches, and persisting also bounds the
+    // work a shuffle-hash build side re-executes.
+    val dots = cand.hint("shuffle_hash")
       .join(feats.as("a"), col("a.doc_id") === col("doc_a"))
-      .hint("broadcast")
+      .hint("shuffle_hash")
       .join(feats.as("b"),
         col("b.doc_id") === col("doc_b") && col("a.idx") === col("b.idx"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("a.v") * col("b.v")).as("dot"))
-    dots
+    dots.hint("shuffle_hash")
       .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .hint("shuffle_hash")
       .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("dot").cast("double") /

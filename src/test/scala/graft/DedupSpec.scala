@@ -46,6 +46,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("hashedTfCosinePairs scores exact duplicates at cosine 1.0") {
+    val pairs = Dedup.hashedTfCosinePairs(docs.filter(col("doc_id") < 4), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+  }
+
+  test("hashedTfCosinePairs plan contains no broadcast of candidate-derived relations") {
+    // The broadcast pin this plan used to carry grows with the corpus and
+    // was measured 5× run-to-run unstable; every join must stay a shuffled
+    // hash join so no relation is ever collected to the driver.
+    val plan = Dedup.hashedTfCosinePairs(docs, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"unexpected broadcast in:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"))
+  }
+
   test("simhash of identical docs is identical; hamming to unrelated is large") {
     val s = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s(0L) === s(1L))
