@@ -25,9 +25,11 @@ object Multimodal {
                          width: Int, height: Int, n_frames: Int)
 
   /** Extracted features per media row: byte-level statistics standing in
-    * for a real embedding/feature vector. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
-                           histogram: Array[Long])
+    * for a real embedding/feature vector. `sum_bytes` (the exact integer
+    * numerator of `mean_byte`) is carried so downstream hash-compared
+    * outputs can stay in integer arithmetic end-to-end. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, sum_bytes: Long,
+                           mean_byte: Double, histogram: Array[Long])
 
   /** One sampled "frame" (fixed-size byte block) of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
@@ -77,7 +79,7 @@ object Multimodal {
             hist(u / 16) += 1
             sum += u
           }
-          MediaFeatures(r.doc_id, decoded.length.toLong,
+          MediaFeatures(r.doc_id, decoded.length.toLong, sum,
             if (decoded.isEmpty) 0.0 else sum.toDouble / decoded.length, hist)
         }
       }

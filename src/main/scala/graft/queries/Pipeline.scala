@@ -42,14 +42,49 @@ object Pipeline {
           .orderBy(col("location"), col("event_id"))
     },
 
-    // W4/W5 full form: array-of-struct sequence records (getSample parity).
-    // Nested arrays are not hash-comparable through the parquet/DuckDB
-    // bridge → rows-only check here; exact-value coverage lives in the
-    // flattened variant above and in the scalatest golden spec.
-    QuerySpec.sparkOnly("seq_windows") {
-      (s, dir) =>
+    // W4/W5 full form: array-of-struct sequence records (getSample parity),
+    // hash-checked through a lossless scalar serialization — each step
+    // becomes "epochUs:floor(value·1e6):code" and the 24-step history is
+    // pipe-joined in window order (nested arrays crash the checker's
+    // pandas sort, and engine JSON text isn't canonical across engines;
+    // an integer-quantized concat is bit-identical in both). The native
+    // array-of-struct form stays the operator's API (SequencesSpec golden).
+    QuerySpec.sql("seq_windows",
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS location, epoch_us(ts) AS us, event_id,
+        |         epoch_us(ts) || ':' || CAST(floor(value * 1000000) AS BIGINT) || ':' || event_type AS elem
+        |  FROM events),
+        |win AS (
+        |  SELECT location, us,
+        |         count(*) OVER w24 AS n_window,
+        |         min(us) OVER w24 AS start_us,
+        |         string_agg(elem, '|') OVER w24 AS seq,
+        |         lead(elem, 1) OVER wo AS t1,
+        |         lead(elem, 2) OVER wo AS t2,
+        |         lead(elem, 3) OVER wo AS t3
+        |  FROM e
+        |  WINDOW w24 AS (PARTITION BY location ORDER BY us, event_id
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        |         wo AS (PARTITION BY location ORDER BY us, event_id))
+        |SELECT location, start_us, us AS end_us, seq, t1, t2, t3
+        |FROM win WHERE n_window = 24 AND t3 IS NOT NULL
+        |ORDER BY location, end_us, seq""") {
+      (s, dir) => {
+        def elem(f: org.apache.spark.sql.Column) = concat_ws(":",
+          unix_micros(f.getField("event_timestamp")),
+          floor(f.getField("value") * 1000000).cast("long"),
+          f.getField("code"))
         Sequences.build(obs(s, dir), seqLen = 24, forecastLen = 3,
-          features = Seq("value", "code"))
+            features = Seq("value", "code"))
+          .select(col("location"),
+            unix_micros(col("start_timestamp")).as("start_us"),
+            unix_micros(col("end_timestamp")).as("end_us"),
+            array_join(transform(col("sequence"), elem(_)), "|").as("seq"),
+            elem(element_at(col("target_sequence"), 1)).as("t1"),
+            elem(element_at(col("target_sequence"), 2)).as("t2"),
+            elem(element_at(col("target_sequence"), 3)).as("t3"))
+          .orderBy(col("location"), col("end_us"), col("seq"))
+      }
     },
 
     // Forecast: per-location linear drift rolled 12 5-minute steps forward.
@@ -259,12 +294,31 @@ object Pipeline {
     },
 
     // Multimodal feature extraction (stub decoder): batched mapPartitions,
-    // deterministic features. Nested histogram → rows-only check; exact
-    // values are asserted in the scalatest spec.
-    QuerySpec.sparkOnly("mm_features") {
+    // deterministic features, hash-checked end-to-end — the 16-bin byte
+    // histogram is exploded to h0..h15 long columns (a nested array crashes
+    // the checker's pandas sort) and the byte mean is pinned by its exact
+    // integer numerator (sum_bytes) instead of a float. The oracle redoes
+    // the byte statistics from hex(blob), two nibbles per byte.
+    QuerySpec.sql("mm_features",
+      ("""WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n_bytes
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n_bytes,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, n_bytes, hx, unnest(range(1, n_bytes + 1)) AS i FROM b))
+        |SELECT doc_id, any_value(n_bytes) AS n_bytes, CAST(sum(u) AS BIGINT) AS sum_bytes,
+        |""" +
+        (0 until 16).map(i => s"       count(*) FILTER (u // 16 = $i) AS h$i").mkString(",\n") +
+        """
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""")) {
       (s, dir) =>
         Multimodal.extractFeatures(
           Multimodal.asMedia(Tables.documents(s, dir))).toDF()
+          .select(Seq(col("doc_id"), col("n_bytes"), col("sum_bytes")) ++
+            (0 until 16).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
           .orderBy(col("doc_id"))
     }
   )
