@@ -47,6 +47,29 @@ object Parse {
       kafkaTs)
   }
 
+  /** The exact row schema Spark's Kafka source emits (`format("kafka")`,
+    * spark-sql-kafka connector) — the wire contract [[fromKafka]] consumes.
+    * A deployment against a real broker (reference: spark.py:164-176) is
+    * exactly:
+    * {{{
+    * Parse.fromKafka(
+    *   spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", servers)
+    *     .option("subscribe", topic)
+    *     .option("startingOffsets", "earliest")
+    *     .load())
+    * }}}
+    * No other code changes: the sandbox has no broker, so tests feed
+    * [[fromKafka]] frames with THIS schema (KafkaContractSpec pins it). */
+  val KafkaSourceSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
   /** Full parse chain over a Kafka-shaped frame
     * (`key` binary, `value` binary, `timestamp` timestamp). */
   def fromKafka(raw: DataFrame): DataFrame = {
@@ -77,6 +100,63 @@ object Parse {
       metricCols ++
       Seq(col("payload").getItem("message").as("error_message"), col("payload")): _*)
     dropErrorRows(shaped)
+  }
+
+  /** P15: the reference's dynamic scalar coercion (spark.py:301-319) for
+    * UNDECLARED payload keys, as a pure Catalyst expression. A map value in
+    * Spark must have one type, so the coerced value is a tagged union
+    * struct `(kind, bool_v, long_v, double_v, str_v)` with exactly one
+    * non-null slot — the typed shape a JSON serializer needs to emit the
+    * value with its natural JSON type, matching the reference's records.
+    *
+    * Heuristic parity (spark.py:305-319): trimmed; empty → null kind;
+    * case-insensitive true/false → bool; contains "." → float, demoted to
+    * int when integral (2.0 → 2); otherwise integer digits → int; anything
+    * else (including "1e5"/"inf", which Python's int() rejects and the
+    * reference therefore leaves as text) → the TRIMMED string. Sole
+    * divergence: an integer wider than 64 bits (Python bignum) coerces to
+    * double instead. */
+  def coerceScalar(raw: Column): Column = {
+    def dv(kind: Column, b: Column, l: Column, d: Column, s: Column): Column =
+      struct(kind.as("kind"), b.as("bool_v"), l.as("long_v"),
+        d.as("double_v"), s.as("str_v"))
+    val nb = lit(null).cast(BooleanType)
+    val nl = lit(null).cast(LongType)
+    val nd = lit(null).cast(DoubleType)
+    val ns = lit(null).cast(StringType)
+    val text = trim(raw)
+    val lowered = lower(text)
+    val asDouble = text.try_cast(DoubleType)
+    // is_integer() parity: floor-equal AND finite (floor(inf) = inf would
+    // otherwise demote infinities to long and overflow).
+    val isIntegral = asDouble === floor(asDouble) &&
+      abs(asDouble) <= lit(Long.MaxValue.toDouble) && !isnan(asDouble)
+    val asLong = text.try_cast(LongType)
+    when(raw.isNull || text === "", dv(lit("null"), nb, nl, nd, ns))
+      .when(lowered.isin("true", "false"),
+        dv(lit("bool"), lowered === "true", nl, nd, ns))
+      .when(text.contains(".") && asDouble.isNotNull && isIntegral,
+        dv(lit("long"), nb, asDouble.cast(LongType), nd, ns))
+      .when(text.contains(".") && asDouble.isNotNull,
+        dv(lit("double"), nb, nl, asDouble, ns))
+      .when(text.rlike("^[+-]?[0-9]+$") && asLong.isNotNull,
+        dv(lit("long"), nb, asLong, nd, ns))
+      .when(text.rlike("^[+-]?[0-9]+$") && asDouble.isNotNull,
+        dv(lit("double"), nb, nl, asDouble, ns))
+      .otherwise(dv(lit("string"), nb, nl, nd, text))
+  }
+
+  /** P15 companion (spark.py:322-335): normalize a string payload map —
+    * drop blacklisted keys (message/error/error_message, case-insensitive)
+    * and empty keys, coerce every remaining value, drop values that
+    * coerced to null. One `transform_values` + two `map_filter`s, all
+    * codegen'd; no driver-side re-typing. */
+  def normalizePayload(payload: Column): Column = {
+    val kept = map_filter(payload, (k, _) =>
+      k.isNotNull && k =!= "" &&
+        !lower(k).isin("message", "error", "error_message"))
+    map_filter(transform_values(kept, (_, v) => coerceScalar(v)),
+      (_, v) => v.getField("kind") =!= "null")
   }
 
   /** P6: drop rows with a nonempty error marker; null-safe (spark.py:249-251). */

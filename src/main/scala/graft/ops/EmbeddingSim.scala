@@ -168,19 +168,51 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Blocking width as a function of corpus size: enough hyperplanes that
+    * the expected bucket population is ~`targetPerBucket`, so candidate
+    * pairs stay ≈ n·targetPerBucket/2 instead of n²/2^planes with a FIXED
+    * plane count (which goes quadratic the moment the corpus outgrows it).
+    * Clamped to [4, 24]: fewer than 4 planes blocks nothing useful, more
+    * than 24 makes buckets so small that hamming-1 probing can't hold
+    * recall. */
+  def autoPlanes(corpusSize: Long, targetPerBucket: Long = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetPerBucket)) / math.log(2.0)).toInt
+    math.max(4, math.min(24, raw))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b), blocked
     * on a coarse LSH signature so the pair join is an equi-join. With
-    * `planes = 0` the blocking is disabled (exact all-pairs — test scale only). */
+    * `planes = 0` the blocking is disabled (exact all-pairs — test scale
+    * only).
+    *
+    * `probeHamming1 = true` is the scale configuration: side A explodes to
+    * its own signature plus all `planes` hamming-1 flips (the multi-probe
+    * pattern from [[lshTopK]]), so a pair survives blocking iff the two
+    * signatures differ in ≤ 1 bit. That lets `planes` grow with the corpus
+    * (see [[autoPlanes]]) without the single-bucket recall collapse — a
+    * true near-dup flips ≥ 1 sign bit with probability ≈ planes·angle/π.
+    * Each qualifying pair matches on EXACTLY one probe (own sig when
+    * hamming 0, the single flip when hamming 1), so no distinct is needed
+    * and the join carries no duplicate candidates. */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
-                   planes: Int = 0, dims: Int = 64): DataFrame = {
+                   planes: Int = 0, dims: Int = 64,
+                   probeHamming1: Boolean = false): DataFrame = {
     val base = vectors.select(col("vec_id"),
         quantize(col("embedding")).as("q"),
         (if (planes > 0) hyperplaneSignature(col("embedding"), planes, dims)
          else lit("0")).as("sig"))
       .withColumn("n2", qnorm2(col("q")))
-    val (a, b) = (base.as("a"), base.as("b"))
+    val aSide = if (probeHamming1 && planes > 0) {
+      def flip(i: Int): Column = concat(
+        substring(col("sig"), 1, i),
+        when(substring(col("sig"), i + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("sig"), i + 2, planes - i - 1))
+      base.select(col("vec_id"), col("q"), col("n2"),
+        explode(array(col("sig") +: (0 until planes).map(flip): _*)).as("sig"))
+    } else base
     val joinCond = col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id")
-    a.join(b, joinCond)
+    aSide.as("a").join(base.as("b"), joinCond)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         qcosine(qdot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") >= threshold)

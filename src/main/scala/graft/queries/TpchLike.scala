@@ -150,7 +150,7 @@ object TpchLike {
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |              JOIN nation ON n_nationkey = s_nationkey
-        |GROUP BY s_name, n_name ORDER BY s_name""") {
+        |GROUP BY s_name, n_name ORDER BY s_name, n_name""") {
       (s, dir) =>
         li(s, dir)
           .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
@@ -159,7 +159,9 @@ object TpchLike {
           .agg(
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("s_name"))
+          // (s_name, n_name) tie-break: two suppliers may share a name, and
+          // an order unique only up to ties is nondeterministic across runs.
+          .orderBy(col("s_name"), col("n_name"))
     },
 
     // Analytic windows over a fact table: per-customer order sequencing with

@@ -303,6 +303,48 @@ object TrainingData {
           .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // The scale configuration of the same operator: plane count derived
+    // from the corpus size (expected bucket ≈ 64 vectors, so candidates
+    // grow linearly with the corpus instead of n²/2^planes going quadratic
+    // past a fixed blocking width) and hamming-1 multi-probe to hold
+    // recall as planes grow. The oracle derives the identical plane count
+    // from count(*).
+    QuerySpec.sql("emb_neardup_auto",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |params AS (SELECT GREATEST(4, LEAST(24, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS p FROM m),
+        |sigbits AS (
+        |  SELECT vec_id, h,
+        |         CASE WHEN list_sum(list_transform(range(1, 65),
+        |             d -> CASE WHEN substr(md5(h::VARCHAR || ':' || (d-1)::VARCHAR), 1, 1) >= '8'
+        |                       THEN qv[d] ELSE -qv[d] END)) > 0
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM (SELECT vec_id, qv, unnest(range((SELECT p FROM params))) AS h FROM m)),
+        |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY h) AS sig FROM sigbits GROUP BY 1),
+        |ms AS (SELECT m.vec_id, qv, n2, sig FROM m JOIN sig ON sig.vec_id = m.vec_id),
+        |probes AS (
+        |  SELECT vec_id, qv, n2,
+        |         unnest(list_concat([sig], list_transform(range((SELECT p FROM params)), i ->
+        |           substr(sig, 1, CAST(i AS INT))
+        |           || (CASE WHEN substr(sig, CAST(i+1 AS INT), 1) = '1' THEN '0' ELSE '1' END)
+        |           || substr(sig, CAST(i+2 AS INT))))) AS psig
+        |  FROM ms),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |          / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |      FROM probes a JOIN ms b ON a.psig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM p
+        |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val planes = EmbeddingSim.autoPlanes(vecs.count())
+        EmbeddingSim.nearDupPairs(vecs, threshold = 0.45, planes = planes,
+            probeHamming1 = true)
+          .orderBy(col("vec_a"), col("vec_b"))
+      }
+    },
+
     QuerySpec.sql("ann_brute_topk",
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
         |           FROM embeddings),

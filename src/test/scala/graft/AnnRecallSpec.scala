@@ -43,6 +43,40 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(r4 >= r8, "coarser buckets (more candidates) must not lose recall")
   }
 
+  test("near-dup pair recall at 8 planes with hamming-1 probing stays high on clustered data") {
+    // Clustered corpus (the near-dup regime): 20 clusters × 3 vectors with
+    // tiny perturbations → true pair cosine ≈ 1, so a pair's signatures
+    // differ by ≥ 2 bits only when 2+ hyperplane margins are razor-thin.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 20).flatMap { c =>
+      val center = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+      (0 until 3).map { j =>
+        (c * 3L + j, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+      }
+    }.toDF("vec_id", "embedding")
+    val exact = EmbeddingSim.nearDupPairs(vecs, threshold = 0.99, planes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"cluster construction should yield ~60 true pairs, got ${exact.size}")
+    def blockedPairs(probe: Boolean) =
+      EmbeddingSim.nearDupPairs(vecs, threshold = 0.99, planes = 8, probeHamming1 = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = blockedPairs(probe = false)
+    val multi = blockedPairs(probe = true)
+    assert(multi.subsetOf(exact), "blocking must never invent pairs")
+    assert(single.subsetOf(multi), "hamming-1 probing must only add candidate pairs")
+    val recall = (multi & exact).size.toDouble / exact.size
+    info(f"near-dup pair recall: single ${(single & exact).size.toDouble / exact.size}%.2f, multi $recall%.2f")
+    assert(recall >= 0.9, f"multi-probe pair recall collapsed: $recall%.2f")
+  }
+
+  test("autoPlanes grows with the corpus and stays clamped") {
+    assert(EmbeddingSim.autoPlanes(100) === 4)
+    assert(EmbeddingSim.autoPlanes(2000) === 5)
+    assert(EmbeddingSim.autoPlanes(1000000) === 14)
+    assert(EmbeddingSim.autoPlanes(Long.MaxValue) === 24)
+  }
+
   test("IVF top-k recall@10 stays above its floor and beats fewer probes") {
     val r2 = recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10, nprobe = 2))
     val r1 = recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10, nprobe = 1))

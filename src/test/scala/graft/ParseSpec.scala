@@ -9,6 +9,7 @@ import graft.ingest.Parse
 
 class ParseSpec extends AnyFunSuite with SparkFixture {
   import java.sql.Timestamp
+  import spark.implicits._
 
   private val kafkaTs = Timestamp.valueOf("2024-06-01 10:00:00")
 
@@ -66,6 +67,46 @@ class ParseSpec extends AnyFunSuite with SparkFixture {
     // Untypable metric string → null double, not a crash (schema-on-read).
     assert(parsed(1).isNullAt(parsed(1).fieldIndex("temperature")))
     assert(parsed(1).getAs[java.sql.Timestamp]("event_timestamp") === kafkaTs)
+  }
+
+  test("coerceScalar reproduces the reference's bool→int→float→string heuristic") {
+    // Table-driven parity with spark.py:301-319: (input, expected kind,
+    // expected value rendered as a string for one-column comparison).
+    val cases = Seq(
+      ("true", "bool", "true"), ("  False ", "bool", "false"),
+      ("42", "long", "42"), ("-7", "long", "-7"), ("+3", "long", "3"),
+      ("3.14", "double", "3.14"), (".5", "double", "0.5"),
+      ("2.0", "long", "2"),          // integral float demotes to int
+      ("-8.000", "long", "-8"),
+      ("abc", "string", "abc"), ("  padded  ", "string", "padded"),
+      ("1e5", "string", "1e5"),      // int() rejects scientific notation
+      ("inf", "string", "inf"),      // and infinities (no dot → int path)
+      ("1.2.3", "string", "1.2.3"),  // float() rejects → falls to string
+      ("", "null", null), (null, "null", null))
+    val df = cases.map(_._1).toDF("raw")
+      .select(col("raw"), Parse.coerceScalar(col("raw")).as("v"))
+      .select(col("v.kind").as("kind"),
+        coalesce(col("v.bool_v").cast("string"), col("v.long_v").cast("string"),
+          col("v.double_v").cast("string"), col("v.str_v")).as("rendered"))
+      .collect()
+    cases.zip(df).foreach { case ((in, kind, rendered), row) =>
+      assert(row.getString(0) === kind, s"kind of <$in>")
+      assert(Option(row.getString(1)) === Option(rendered), s"value of <$in>")
+    }
+  }
+
+  test("normalizePayload drops blacklisted keys and null-coercing values") {
+    val df = Seq(
+      Map("temp" -> "21.5", "ok" -> "TRUE", "Message" -> "boom",
+          "ERROR" -> "x", "error_message" -> "y", "blank" -> "  ", "note" -> "fine"))
+      .toDF("payload")
+      .select(Parse.normalizePayload(col("payload")).as("p"))
+    val m = df.select(map_keys(col("p"))).head().getSeq[String](0).toSet
+    assert(m === Set("temp", "ok", "note"))
+    val kinds = df.select(col("p.temp.kind"), col("p.ok.kind"), col("p.note.kind")).head()
+    assert(kinds.getString(0) === "double")
+    assert(kinds.getString(1) === "bool")
+    assert(kinds.getString(2) === "string")
   }
 
   test("fromJsonValue projects typed metrics and drops error rows") {
