@@ -42,16 +42,23 @@ case class LongArrayDot(left: Expression, right: Expression)
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // All locals via freshName: a bare `i` collides with variables already in
+    // scope when the expression inlines into a larger whole-stage function
+    // (janino "Redefinition of local variable" → silent interpreted fallback).
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long ${ev.value}_acc = 0L;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  ${ev.value}_acc += $a.getLong(i) * $b.getLong(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = ${ev.value}_acc;
+         |${ev.value} = $acc;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongArrayDot =

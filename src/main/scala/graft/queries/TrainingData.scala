@@ -98,11 +98,17 @@ object TrainingData {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
         |       FROM sp),
-        |hxm AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
-        |        FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hxm AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |        FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hxm GROUP BY 1),
         |bands AS (SELECT doc_id, b,
-        |            md5(hs[4*b+1] || ',' || hs[4*b+2] || ',' || hs[4*b+3] || ',' || hs[4*b+4]) AS bkey
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
         |          FROM sig CROSS JOIN range(4) r(b)),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
@@ -216,11 +222,17 @@ object TrainingData {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
         |       FROM sp),
-        |hx AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
-        |       FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
         |bands AS (SELECT doc_id, b,
-        |            md5(hs[4*b+1] || ',' || hs[4*b+2] || ',' || hs[4*b+3] || ',' || hs[4*b+4]) AS bkey
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
         |          FROM sig CROSS JOIN range(4) r(b)),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)

@@ -33,7 +33,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
 
   test("minhash signatures are equal for identical docs and mostly equal for near-dups") {
     val sig = Dedup.minhashSignature(docs.filter(col("doc_id") < 4), 16).collect()
-      .map(r => r.getLong(0) -> (1 until 17).map(r.getString)).toMap
+      .map(r => r.getLong(0) -> (1 until 17).map(r.getLong)).toMap
     assert(sig(0L) === sig(1L))
     val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
     val agree03 = sig(0L).zip(sig(3L)).count { case (a, b) => a == b }
