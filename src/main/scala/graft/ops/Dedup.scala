@@ -209,6 +209,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** Connected components over a near-dup pair relation: every document in a
+    * transitively-connected cluster gets the cluster's minimum doc_id as its
+    * component label — the "resolve pairs into clusters" step that turns any
+    * pairwise dedup output ([[minhashLshPairs]], [[simhashPairs]],
+    * [[hashedTfCosinePairs]], embedding near-dup) into a keep/drop decision.
+    *
+    * Algorithm: iterative min-label propagation — each round every node takes
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup clusters are dense and shallow
+    * (diameter ≲ 5 even for chained paraphrases), so the loop is short; the
+    * `maxIters` bound caps pathological chains. Each round is one equi-join +
+    * one min-aggregation — both partial-aggregating shuffles keyed on node
+    * id, nothing corpus-sized on the driver. The per-round convergence probe
+    * is a COUNT (a scalar action, not a collect); labels are persisted per
+    * round and the previous round is unpersisted once the new one is
+    * materialized, so lineage stays O(1) deep instead of O(iterations).
+    *
+    * Returns (doc_id, component) for every doc that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("component", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      // min over each node's neighborhood labels, then fold into own label
+      val nbrMin = edges.as("e")
+        .join(labels.as("lb").hint("shuffle_hash"),
+          col("e.u") === col("lb.doc_id"))
+        .groupBy(col("e.v").as("nid"))
+        .agg(min(col("lb.component")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.hint("shuffle_hash"), col("l.doc_id") === col("nid"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.component"), coalesce(col("nbr_min"), col("l.component")))
+            .as("component"),
+          col("l.component").as("__prev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("component") =!= col("__prev")).count()
+      labels.unpersist()
+      labels = next.select(col("doc_id"), col("component"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus-wide canonical assignment from a pair relation: every doc gets
+    * `canonical_id` = min doc_id of its near-dup cluster (itself when it has
+    * no near-dup), plus an 0/1 keep flag. The downstream dedup filter is
+    * `is_canonical = 1`. The component relation is tiny relative to the
+    * corpus (only paired docs appear), so the left join broadcasts under any
+    * sane threshold; at 100 TB it stays an equi-join on doc_id either way. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame,
+                   maxIters: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIters)
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("canonical_id")).cast("long"))
+  }
+
   /** SimHash fingerprint (`bits` as a bitstring, default 64): bit i is the
     * sign of the count-weighted sum of ±1 over tokens, where token bit i =
     * "is the i-th hex nibble of md5(token)·md5('#'+token) ≥ 8". Pure

@@ -285,6 +285,47 @@ object TrainingData {
           .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Cluster resolution: simhash near-dup pairs → transitive closure →
+    // one canonical doc per cluster, a keep/drop flag for every corpus row.
+    // The oracle rebuilds the same pairs, then closes them with a recursive
+    // CTE; the Spark side runs iterative min-label propagation (converges in
+    // O(cluster diameter) rounds — see Dedup.connectedComponents scaladoc).
+    QuerySpec.sql("dd_cluster_canonical",
+      """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) || md5('#' || t) AS h FROM tok GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, i,
+        |           CASE WHEN sum(CASE WHEN substr(h, CAST(i+1 AS INT), 1) >= '8' THEN cnt ELSE -cnt END) > 0
+        |                THEN '1' ELSE '0' END AS bit
+        |         FROM tc CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+        |s AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+        |         FROM s a JOIN s b ON a.doc_id < b.doc_id AND (
+        |              substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+        |           OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+        |           OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+        |           OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |            SELECT doc_a, doc_b,
+        |                   len(list_filter(range(64), i -> substr(sa, CAST(i+1 AS INT), 1) != substr(sb, CAST(i+1 AS INT), 1))) AS hamming
+        |            FROM cand)
+        |          WHERE hamming <= 3),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |       coalesce(c.component, d.doc_id) AS canonical_id,
+        |       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.canonicalize(docs, Dedup.simhashPairs(docs, maxHamming = 3))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // ---- Similarity search ----------------------------------------------
 
     // Near-dup pairs blocked on a 4-plane hyperplane signature: the pair

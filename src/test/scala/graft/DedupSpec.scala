@@ -80,6 +80,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(pairs((0L, 2L)) - 5.0 / 9.0) < 1e-12)
   }
 
+  test("connectedComponents resolves transitive chains to the min doc_id") {
+    // 1-2, 2-3 chain plus an isolated 10-11 pair: min-label propagation must
+    // carry 1 across the chain (two hops) and leave the pair at 10.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("canonicalize keeps every corpus row and flags one canonical per cluster") {
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalize(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 5)                     // no rows lost
+    assert(out(0L) === (0L, 1L))               // cluster canonical
+    assert(out(1L) === (0L, 0L))               // cluster member, dropped
+    assert(out(2L) === (0L, 0L))               // transitive member, dropped
+    assert(out(3L) === (3L, 1L))               // singleton keeps itself
+    assert(out(4L) === (4L, 1L))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = Seq((0L, "Hello  World"), (1L, "hello world"))
       .toDF("doc_id", "text")
