@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val corpus = (0L until 300L)
+    .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+    .toDF("doc_id", "lang")
+
+  test("stratifiedBernoulli is deterministic, monotone in rate, and drops unknown strata") {
+    val lo = Sampling.stratifiedBernoulli(corpus, "lang", Map("en" -> 0.2))
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.stratifiedBernoulli(corpus, "lang", Map("en" -> 0.6))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))                 // raising the rate only adds rows
+    assert(hi.forall(_ % 3 == 0))           // de/zh have no rate -> dropped
+    val again = Sampling.stratifiedBernoulli(corpus, "lang", Map("en" -> 0.2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === lo)                    // same corpus -> same sample
+    // ~60 of 100 en docs at rate .6; md5 uniformity keeps this loose bound
+    assert(hi.size > 40 && hi.size < 80)
+  }
+
+  test("stratifiedQuota takes exactly n per stratum, all when stratum is small") {
+    val out = Sampling.stratifiedQuota(corpus, "lang", 25)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("en" -> 25L, "de" -> 25L, "zh" -> 25L))
+    val all = Sampling.stratifiedQuota(corpus, "lang", 1000).count()
+    assert(all === 300L)
+  }
+
+  test("mixToWeights hits exact weight ratios, binding stratum kept whole") {
+    // en:de:zh counts are 100:100:100; weights 2:1:1 make en binding
+    // (100/2 = 50 < 100/1): factor 50 -> quotas 100/50/50.
+    val out = Sampling.mixToWeights(corpus, "lang",
+        Map("en" -> 2.0, "de" -> 1.0, "zh" -> 1.0))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("en" -> 100L, "de" -> 50L, "zh" -> 50L))
+  }
+
+  test("mixToWeights output columns match the input frame") {
+    val cols = Sampling.mixToWeights(corpus, "lang", Map("en" -> 1.0)).columns
+    assert(cols.toSeq === Seq("doc_id", "lang"))
+  }
+}
