@@ -125,24 +125,64 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
-  /** IVF-style ANN top-k: the corpus is partitioned into cells around
-    * `numCentroids` fixed centroid vectors (deterministically the lowest
-    * vec_ids — a production system would train them with k-means; the
-    * index/probe plan shape is identical); each query probes its `nprobe`
-    * nearest cells only. All distances are exact integer arithmetic
-    * (d² = |a|² + |b|² − 2a·b over quantized longs), so cell assignment is
-    * engine-portable.
+  /** Deterministic distributed k-means (Lloyd) over quantized vectors:
+    * `iters` rounds of assign-to-nearest-centroid + per-cell integer mean.
+    * Seeded from the `k` lowest vec_ids (a deterministic, engine-portable
+    * seed — k-means|| would lower iteration count but costs determinism).
+    * Per round: assignment is a broadcast-K nested loop over the corpus (no
+    * corpus shuffle; d² = |a|²+|b|²−2a·b in exact longs), the update is a
+    * per-(cell, dimension) partial-aggregating sum/count whose shuffle is
+    * K·dims rows. New centroid components are floor(mean) — exact in double
+    * (|sum| ≪ 2⁵³) — so DuckDB reproduces the trained centroids bit-for-bit
+    * with the same unrolled rounds. A cell that loses all members drops out
+    * (k shrinks), identically in both engines.
+    *
+    * Returns (cid, cq: array<bigint>, cn2) — the shape [[ivfTopK]] accepts. */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = prepared(vectors).persist()
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+        .withColumn("__rk", row_number().over(wAssign))
+        .filter(col("__rk") === 1)
+        .select(col("cid"), col("q"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(floor(sum(col("x")) * lit(1.0) / count(lit(1))).cast("long").as("v"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+          s => s.getField("v")).as("cq"))
+        .withColumn("cn2", qnorm2(col("cq")))
+    }
+    cents
+  }
+
+  /** IVF-style ANN top-k: the corpus is partitioned into cells around K
+    * centroid vectors — [[kmeansCentroids]]-trained when `centroids` is
+    * given, else deterministically seeded from the lowest vec_ids; each
+    * query probes its `nprobe` nearest cells only. All distances are exact
+    * integer arithmetic (d² = |a|² + |b|² − 2a·b over quantized longs), so
+    * cell assignment is engine-portable.
     *
     * Scale: assignment is a broadcast (K centroids) nested-loop over the
     * corpus — one pass, no shuffle of the corpus; the probe join is an
     * equi-join on cid. Cell sizes ≈ n/K keep the scored candidate set at
     * nprobe·n/K per query. */
   def ivfTopK(vectors: DataFrame, queryPred: Column, k: Int,
-              numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+              numCentroids: Int = 8, nprobe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
-    val cents = broadcast(corpus.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    val cents = broadcast(centroids.getOrElse(
+      corpus.filter(col("vec_id") < numCentroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))))
     val dists = corpus.crossJoin(cents)
       .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
       .select(col("vec_id"), col("cid"), col("d2"))

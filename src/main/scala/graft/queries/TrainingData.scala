@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, EmbeddingSim, TextStats}
+import graft.ops.{Dedup, EmbeddingSim, Sampling, TextStats}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (the beyond-reference capability set: dedup family, similarity search,
@@ -23,6 +23,32 @@ object TrainingData {
     "es" -> Seq("query", "scan", "batch", "stream"),
     "fr" -> Seq("line", "sort", "merge", "filter"),
     "zh" -> Seq("spark", "hash", "join", "column"))
+
+  /** Per-language Bernoulli sample rates / mixture weights — shared between
+    * the Spark operators and the generated oracle SQL so the two sides can
+    * never drift. Weights are integers (exact in binary) so quota floors are
+    * bit-identical across engines. */
+  private val SampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.4, "es" -> 0.3, "fr" -> 0.2, "zh" -> 0.1)
+  private val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 4.0, "de" -> 2.0, "es" -> 2.0, "fr" -> 1.0, "zh" -> 1.0)
+
+  /** One unrolled Lloyd round for the ann_ivf_trained oracle: assign every
+    * vector to its nearest centroid from `prev`, then rebuild each cell's
+    * centroid as the per-dimension floor(mean) — the exact arithmetic of
+    * EmbeddingSim.kmeansCentroids, so N generated rounds ≡ iters = N. */
+  private def kmeansRoundSql(round: Int, prev: String): String =
+    s"""a$round AS (SELECT vec_id, cid FROM (
+       |         SELECT m.vec_id, c.cid,
+       |                m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+       |         FROM m CROSS JOIN $prev c)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+       |c$round AS (SELECT cid, cq, list_sum(list_transform(cq, x -> x * x)) AS cn2 FROM (
+       |         SELECT cid, list(v ORDER BY d) AS cq FROM (
+       |           SELECT a$round.cid, r.d, CAST(floor(sum(m.qv[d]) * 1.0 / count(*)) AS BIGINT) AS v
+       |           FROM a$round JOIN m USING (vec_id) CROSS JOIN range(1, 65) r(d)
+       |           GROUP BY a$round.cid, r.d)
+       |         GROUP BY cid))""".stripMargin
 
   private def markersSqlValues: String =
     LangMarkers.map { case (l, ms) =>
@@ -326,6 +352,68 @@ object TrainingData {
       }
     },
 
+    // ---- Sampling (training-data mix) -----------------------------------
+
+    // Per-stratum Bernoulli rates: keep iff hash32(doc_id) < floor(rate·2³²).
+    // A pure narrow filter (no shuffle); the oracle recomputes the identical
+    // md5-derived key and the thresholds below are generated by the same
+    // (rate * 2^32).toLong arithmetic the operator uses.
+    QuerySpec.sql("sample_stratified_rate",
+      s"""WITH h AS (SELECT doc_id, lang,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |           FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE hk < CASE lang ${SampleRates.map { case (l, r) =>
+            s"WHEN '$l' THEN ${(r * 4294967296.0).toLong}" }.mkString(" ")} ELSE 0 END
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        Sampling.stratifiedBernoulli(Tables.documents(s, dir), "lang", SampleRates.toMap)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Fixed quota per stratum: the 30 smallest-hash docs per language —
+    // deterministic uniform-without-replacement.
+    QuerySpec.sql("sample_stratified_quota",
+      """WITH h AS (SELECT doc_id, lang,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |           FROM documents)
+        |SELECT doc_id, lang FROM h
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) <= 30
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        Sampling.stratifiedQuota(Tables.documents(s, dir), "lang", 30)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Weighted mixture rebalance: subsample every language to the target
+    // weight ratios, keeping the binding (scarcest-per-weight) stratum
+    // whole. quota_s = floor(w_s · min_t(count_t / w_t)) — the per-weight
+    // divisions are exact in binary (integer weights), so both engines floor
+    // the same value.
+    QuerySpec.sql("sample_mix_weights",
+      s"""WITH h AS (SELECT doc_id, lang,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk,
+        |             CASE lang ${MixWeights.map { case (l, wt) =>
+            s"WHEN '$l' THEN ${wt}::DOUBLE" }.mkString(" ")} ELSE NULL END AS wt
+        |           FROM documents),
+        |hw AS (SELECT * FROM h WHERE wt IS NOT NULL),
+        |counts AS (SELECT lang, count(*) AS cnt, any_value(wt) AS wt FROM hw GROUP BY 1),
+        |q AS (SELECT lang, CAST(floor(wt * (SELECT min(cnt / wt) FROM counts)) AS BIGINT) AS quota
+        |      FROM counts)
+        |SELECT doc_id, lang FROM hw JOIN q USING (lang)
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) <= quota
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        Sampling.mixToWeights(Tables.documents(s, dir), "lang", MixWeights.toMap)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Similarity search ----------------------------------------------
 
     // Near-dup pairs blocked on a 4-plane hyperplane signature: the pair
@@ -449,6 +537,48 @@ object TrainingData {
           .select(col("query_id"), col("neighbor_id"),
             col("rank").cast("long").as("rank"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF with TRAINED centroids: two deterministic Lloyd rounds from the
+    // lowest-id seed, then the same cell/probe plan as ann_ivf_topk. The
+    // oracle unrolls the identical rounds (generated by kmeansRoundSql), so
+    // the trained centroids — and therefore cells, probes, and neighbors —
+    // hash-match bit-for-bit.
+    QuerySpec.sql("ann_ivf_trained",
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c0 AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |${kmeansRoundSql(1, "c0")},
+        |${kmeansRoundSql(2, "c1")},
+        |d AS (SELECT m.vec_id, c.cid,
+        |        m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |      FROM m CROSS JOIN c2 c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id % 100 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |scored AS (
+        |  SELECT query_id, cand.vec_id AS vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand JOIN m a ON a.vec_id = cand.query_id JOIN m b ON b.vec_id = cand.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val cents = EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2)
+        EmbeddingSim.ivfTopK(vecs, col("vec_id") % 100 === 0, 10,
+            nprobe = 2, centroids = Some(cents))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      }
     },
 
     QuerySpec.sql("ann_lsh_topk",

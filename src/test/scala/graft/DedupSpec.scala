@@ -119,6 +119,39 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs((0L, 1L)) === 0.0)   // orthogonal
   }
 
+  test("kmeansCentroids converges to per-cluster means on separated clusters") {
+    // Two tight clusters on orthogonal axes; seeds (vec_id 0, 1) start one
+    // in each cluster, so two Lloyd rounds must land each centroid on its
+    // cluster's floor(mean).
+    val vecs = (0L until 20L).map { i =>
+      val jitter = (i / 2).toFloat * 0.001f
+      if (i % 2 == 0) (i, Array(1.0f + jitter, 0.0f, 0.0f, 0.0f))
+      else (i, Array(0.0f, 1.0f + jitter, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = EmbeddingSim.kmeansCentroids(vecs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents.keySet === Set(0L, 1L))
+    // centroid 0: mean of quantized (1000..1009, 0, 0, 0) = floor(1004.5)
+    assert(cents(0L) === Seq(1004L, 0L, 0L, 0L))
+    assert(cents(1L) === Seq(0L, 1004L, 0L, 0L))
+  }
+
+  test("ivfTopK with trained centroids returns exact cosines for its hits") {
+    val vecs = (0L until 40L).map { i =>
+      val base = (i % 4).toFloat
+      (i, Array.tabulate(8)(d => base + d * 0.1f + (i / 4) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val brute = EmbeddingSim.bruteForceTopK(vecs, col("vec_id") === 0, 40)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val cents = EmbeddingSim.kmeansCentroids(vecs, k = 4, iters = 2)
+    val ivf = EmbeddingSim.ivfTopK(vecs, col("vec_id") === 0, 10,
+      nprobe = 2, centroids = Some(cents)).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(brute(r.getAs[Long]("neighbor_id")) === r.getAs[Double]("cosine"))
+    }
+  }
+
   test("lshTopK returns a subset of bruteForceTopK neighbors per query") {
     val vecs = (0L until 40L).map { i =>
       val base = (i % 4).toFloat
