@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, EmbeddingSim, Sampling, TextStats}
+import graft.ops.{Curation, Dedup, EmbeddingSim, Sampling, TextStats}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (the beyond-reference capability set: dedup family, similarity search,
@@ -210,6 +210,46 @@ object TrainingData {
         Tables.documents(s, dir)
           .select(col("doc_id"),
             TextStats.rollingFingerprint(col("text")).as("rhash"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Benchmark-contamination sweep: docs sharing ≥ 3 distinct trigram
+    // shingles with a (broadcast) benchmark set — here every 97th doc
+    // stands in for the eval suite. The decontamination step of a training
+    // pipeline; scale notes in Curation.contamination's scaladoc.
+    QuerySpec.sql("t_contamination",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id, bench_id, count(*) AS n_shared
+        |FROM sh JOIN bench ON sh.s = bench.s AND sh.doc_id != bench_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY doc_id, bench_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+            minShared = 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      }
+    },
+
+    // Gopher-style repetition ratios: duplicated-2gram/3gram share per doc,
+    // the boilerplate signal a quality filter thresholds on.
+    QuerySpec.sql("t_repetition",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+        |        list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+        |      FROM sp)
+        |SELECT doc_id,
+        |       CASE WHEN len(g2) > 0 THEN round((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2), 4) ELSE 0.0 END AS dup_2gram_ratio,
+        |       CASE WHEN len(g3) > 0 THEN round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 4) ELSE 0.0 END AS dup_3gram_ratio
+        |FROM g ORDER BY doc_id""") {
+      (s, dir) =>
+        Curation.repetitionStats(Tables.documents(s, dir))
           .orderBy(col("doc_id"))
     },
 

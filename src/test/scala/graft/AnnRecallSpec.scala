@@ -84,4 +84,19 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 0.3, f"ivf recall collapsed: $r2%.2f")
     assert(r2 >= r1, "more probes must not lose recall")
   }
+
+  test("k-means-trained IVF keeps recall at or above its floor") {
+    // Lloyd rounds move centroids off the arbitrary lowest-id seed toward
+    // the data's density; on a near-uniform corpus the benefit is balance
+    // (cell sizes even out) rather than big recall jumps, so the assertion
+    // pins a floor relative to the seeded variant, not strict improvement.
+    val cents = EmbeddingSim.kmeansCentroids(vectors, k = 8, iters = 2)
+    val trained = recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10,
+      nprobe = 2, centroids = Some(cents)))
+    val seeded = recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10, nprobe = 2))
+    info(f"ivf recall@10: seeded $seeded%.2f, trained $trained%.2f")
+    assert(trained >= 0.3, f"trained-ivf recall collapsed: $trained%.2f")
+    assert(trained >= seeded - 0.05,
+      "training must not materially lose recall vs the seed")
+  }
 }

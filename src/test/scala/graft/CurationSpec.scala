@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("contamination flags docs sharing enough shingles with the benchmark") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // benchmark member
+      (1L, "alpha beta gamma delta epsilon eta"),    // shares 3 trigrams
+      (2L, "alpha beta gamma nothing else here"),    // shares 1 trigram
+      (3L, "totally unrelated content goes right here")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 0)
+    val hits = Curation.contamination(docs, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 0L, 3L)))
+  }
+
+  test("repetitionStats measures duplicated n-gram share") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam"),      // every 2-gram identical: 3/4 dup
+      (1L, "one two three four five"),       // no repeats
+      (2L, "x")                              // shorter than any n-gram
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0L) === ((0.75, 0.6667)))   // round(2/3, 4)
+    assert(out(1L) === ((0.0, 0.0)))
+    assert(out(2L) === ((0.0, 0.0)))
+  }
+
+  test("redactPii masks emails, IPs and phones in order, with counts") {
+    val docs = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (1L, "server at 192.168.0.1 responded"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(0L)._1 === 1L)                          // one email
+    assert(out(0L)._3 === 1L)                          // one phone
+    assert(out(0L)._4 === "contact <EMAIL> or call <PHONE> now")
+    assert(out(1L)._2 === 1L)                          // one IP
+    assert(out(1L)._4 === "server at <IP> responded")
+    assert(out(2L) === ((0L, 0L, 0L, "no pii here at all")))
+  }
+}
