@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Dedup, EmbeddingSim, Sampling, TextStats}
+import graft.ops.{Curation, Dedup, EmbeddingSim, Packing, Sampling, TextStats}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (the beyond-reference capability set: dedup family, similarity search,
@@ -451,6 +451,29 @@ object TrainingData {
       (s, dir) =>
         Sampling.mixToWeights(Tables.documents(s, dir), "lang", MixWeights.toMap)
           .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing (concat-and-chunk): global token-stream layout into
+    // 4096-token training sequences via a distributed prefix sum — the
+    // oracle computes the same cumsum with one global window (fine at
+    // sf0.01; the Spark side never does — see Packing's scaladoc).
+    QuerySpec.sql("pack_sequences",
+      """WITH s AS (SELECT doc_id,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (ORDER BY hk ASC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |      FROM s)
+        |SELECT doc_id, n_tokens,
+        |       CAST(floor(strt / 4096) AS BIGINT) AS pack_id,
+        |       CAST(strt % 4096 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""") {
+      (s, dir) =>
+        Packing.packSequences(Tables.documents(s, dir), budget = 4096L)
           .orderBy(col("doc_id"))
     },
 
