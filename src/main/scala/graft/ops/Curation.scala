@@ -10,16 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Non-distinct n-token shingles (unlike [[Dedup.shingles]], repeats kept:
-    * repetition measurement is exactly about the repeats). */
-  private def allShingles(text: Column, n: Int): Column = {
-    val t = TextStats.tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Benchmark contamination: every (corpus doc, benchmark doc) pair sharing
     * at least `minShared` distinct n-token shingles. The decontamination
     * step of a training pipeline — documents that leak an eval set must be
@@ -30,15 +20,22 @@ object Curation {
     * corpus-side explode never shuffles full documents — the only shuffled
     * relation is (doc_id, bench_id) matches, already filtered to shingle
     * hits. Both sides use distinct shingles, so each shared shingle value
-    * counts exactly once. */
+    * counts exactly once.
+    *
+    * `excludeSameId` is for the self-join case only (the benchmark is a
+    * subset of the corpus, as in the t_contamination query, where a doc
+    * trivially "contaminates" itself). Leave it false when the benchmark is
+    * a separate table: its ids are an independent namespace, and dropping
+    * id-equal pairs there would silently unflag real leaks. */
   def contamination(docs: DataFrame, benchmark: DataFrame, minShared: Int,
-                    n: Int = 3, textCol: String = "text"): DataFrame = {
+                    n: Int = 3, textCol: String = "text",
+                    excludeSameId: Boolean = false): DataFrame = {
     val corpusSh = docs.select(col("doc_id"),
       explode(Dedup.shingles(col(textCol), n)).as("s"))
     val benchSh = benchmark.select(col("doc_id").as("bench_id"),
       explode(Dedup.shingles(col(textCol), n)).as("s"))
     corpusSh.join(broadcast(benchSh), "s")
-      .filter(col("doc_id") =!= col("bench_id"))
+      .filter(if (excludeSameId) col("doc_id") =!= col("bench_id") else lit(true))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -86,20 +83,23 @@ object Curation {
 
   /** PII redaction: masks emails, IPv4 addresses, then phone-like digit
     * runs (in that order — emails/IPs contain digit runs a later phone pass
-    * would mangle), with per-class match counts for audit. Pure per-row
-    * regex projection — no shuffle, codegen-friendly. */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>")
+    * would mangle), with per-class match counts for audit. Each class is
+    * counted on the text AS THE PASS SEES IT (post earlier redactions), so
+    * every count equals the number of its mask tokens in the output — raw-
+    * text counts would claim a <PHONE> for the digit run inside an already-
+    * masked email. Pure per-row regex projection — no shuffle; the staged
+    * projections keep each intermediate redaction computed once. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      redacted.as("redacted"))
-  }
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>").as("__t1"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("__t1"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(col("__t1"), Ipv4Re, "<IP>").as("__t2"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        size(regexp_extract_all(col("__t2"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(col("__t2"), PhoneRe, "<PHONE>").as("redacted"))
 }

@@ -222,7 +222,8 @@ object Dedup {
     * `maxIters` bound caps pathological chains. Each round is one equi-join +
     * one min-aggregation — both partial-aggregating shuffles keyed on node
     * id, nothing corpus-sized on the driver. The per-round convergence probe
-    * is a COUNT (a scalar action, not a collect).
+    * is a scalar aggregate (see the fixpoint comment in the loop), not a
+    * collect.
     *
     * Rounds are cut with an EAGER `localCheckpoint`, not `persist`: in an
     * iterative DataFrame loop each round's logical plan nests the previous
@@ -240,6 +241,10 @@ object Dedup {
     // checkpoint BEFORE the symmetrization union: its two branches would
     // otherwise each execute the (expensive) pair-generation plan
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // no pairs → no components; the loop's sum-based probe would also NPE
+    // on the null aggregate of an empty label relation
+    if (p.head(1).isEmpty)
+      return p.select(col("doc_a").as("doc_id"), col("doc_b").as("component"))
     val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))

@@ -161,7 +161,13 @@ object EmbeddingSim {
           s => s.getField("v")).as("cq"))
         .withColumn("cn2", qnorm2(col("cq")))
     }
-    cents
+    // materialize before handing out: the loop nests one plan level per
+    // round, and a downstream broadcast would otherwise re-execute the whole
+    // training chain; then release the corpus cache — it must not outlive
+    // the call (a bench session would carry it across 60+ queries)
+    val out = cents.localCheckpoint()
+    corpus.unpersist()
+    out
   }
 
   /** IVF-style ANN top-k: the corpus is partitioned into cells around K

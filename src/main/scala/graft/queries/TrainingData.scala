@@ -231,7 +231,7 @@ object TrainingData {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
-            minShared = 3)
+            minShared = 3, excludeSameId = true)
           .orderBy(col("doc_id"), col("bench_id"))
       }
     },

@@ -16,9 +16,17 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       (3L, "totally unrelated content goes right here")
     ).toDF("doc_id", "text")
     val bench = docs.filter(col("doc_id") === 0)
-    val hits = Curation.contamination(docs, bench, minShared = 3)
+    val hits = Curation.contamination(docs, bench, minShared = 3,
+        excludeSameId = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(hits.toSeq === Seq((1L, 0L, 3L)))
+    // separate-namespace benchmark (the default): an id collision with the
+    // corpus must NOT suppress the match
+    val extBench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val extHits = Curation.contamination(docs, extBench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(extHits.contains((1L, 1L)), "id-equal cross-namespace pair dropped")
   }
 
   test("repetitionStats measures duplicated n-gram share") {
@@ -49,5 +57,16 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L)._2 === 1L)                          // one IP
     assert(out(1L)._4 === "server at <IP> responded")
     assert(out(2L) === ((0L, 0L, 0L, "no pii here at all")))
+  }
+
+  test("redactPii counts reconcile with the mask tokens in the output") {
+    // the digit run inside the email must not be double-counted as a phone
+    // once the email pass has already masked it
+    val docs = Seq((0L, "mail 12345678@example.com arrived")).toDF("doc_id", "text")
+    val r = Curation.redactPii(docs).collect().head
+    assert(r.getLong(1) === 1L)                       // n_emails
+    assert(r.getLong(2) === 0L)                       // n_ips
+    assert(r.getLong(3) === 0L)                       // n_phones: masked already
+    assert(r.getString(4) === "mail <EMAIL> arrived")
   }
 }

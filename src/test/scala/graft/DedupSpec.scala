@@ -89,6 +89,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents and canonicalize handle an empty pair relation") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(noPairs).count() === 0L)
+    val out = Dedup.canonicalize(docs, noPairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 5)
+    out.foreach { case (id, (canon, keep)) =>
+      assert(canon === id); assert(keep === 1L)   // every doc its own canonical
+    }
+  }
+
   test("canonicalize keeps every corpus row and flags one canonical per cluster") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
     val out = Dedup.canonicalize(docs, pairs)
