@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, EmbeddingSim, Forecast, Rollup}
+import graft.ops.{Curation, Dedup, EmbeddingSim, Forecast, Packing, Rollup}
 import graft.ingest.Parse
 
 /** Empirical scale probe: replicates the sf0.1 corpus N× (fresh ids, jittered
@@ -79,7 +79,16 @@ object ScaleProbe {
         time(s"$tag/ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "lang", 0.5).count()),
         time(s"$tag/emb_neardup")(EmbeddingSim.nearDupPairs(vecs, 0.45, planes = 4).count()),
         time(s"$tag/hourly_rollup")(Rollup.hourly(obs, Seq("value")).count()),
-        time(s"$tag/forecast")(Forecast.linear(obs, 24, 12).count()))
+        time(s"$tag/forecast")(Forecast.linear(obs, 24, 12).count()),
+        time(s"$tag/cc_canonical")(
+          Dedup.canonicalize(docs, Dedup.simhashPairs(docs, maxHamming = 3)).count()),
+        time(s"$tag/contamination")(
+          Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+            minShared = 3, excludeSameId = true).count()),
+        time(s"$tag/pack_sequences")(
+          Packing.packSequences(docs, budget = 4096L).count()),
+        time(s"$tag/kmeans_ivf")(
+          EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2).count()))
     }
 
     val r1 = suite("1x", docs1, vecs1, ev1)

@@ -225,39 +225,41 @@ object Dedup {
     * is a scalar aggregate (see the fixpoint comment in the loop), not a
     * collect.
     *
-    * Rounds are cut with an EAGER `localCheckpoint`, not `persist`: in an
-    * iterative DataFrame loop each round's logical plan nests the previous
-    * round's (labels feeds both the neighbor-min join and the fold), so with
-    * caching alone the analyzer re-walks an exponentially growing plan that
-    * still embeds the whole upstream pair-generation pipeline — measured
-    * 364 s at sf0.1 where execution itself is ~2 s. Checkpointing rewrites
-    * each round's result as a leaf, keeping every round's plan O(1). The
-    * executor-local blocks are fine for this loop's lifetime; a multi-hour
-    * pipeline on preemptible executors would swap in `checkpoint()` against
-    * a reliable dir — same plan shape.
+    * Rounds are cut with [[Checkpoints.materialized]] (eager checkpoint +
+    * statistics reset), not `persist`: in an iterative DataFrame loop each
+    * round's logical plan nests the previous round's (labels feeds both the
+    * neighbor-min join and the fold), so with caching alone the analyzer
+    * re-walks an exponentially growing plan that still embeds the whole
+    * upstream pair-generation pipeline — measured 364 s at sf0.1 where
+    * execution itself is ~2 s. A bare `localCheckpoint` fixes the plan but
+    * carries compounding size ESTIMATES across rounds (the second
+    * exponential — see Checkpoints' scaladoc; measured 272 s in one round's
+    * JoinSelection at 10× sf0.1). The executor-local blocks are fine for
+    * this loop's lifetime; a multi-hour pipeline on preemptible executors
+    * would swap in `checkpoint()` against a reliable dir — same plan shape,
+    * same stats reset.
     *
     * Returns (doc_id, component) for every doc that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // checkpoint BEFORE the symmetrization union: its two branches would
     // otherwise each execute the (expensive) pair-generation plan
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val p = Checkpoints.materialized(pairs.select(col("doc_a"), col("doc_b")))
     // no pairs → no components; the loop's sum-based probe would also NPE
     // on the null aggregate of an empty label relation
     if (p.head(1).isEmpty)
       return p.select(col("doc_a").as("doc_id"), col("doc_b").as("component"))
-    val edges = p
+    val edges = Checkpoints.materialized(p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
-      .localCheckpoint() // eager: leaves the loop entirely
+      .distinct()) // eager: leaves the loop entirely
     // the first propagation round folded into the seed: label₀ = min(own id,
     // direct neighbors) costs one aggregation here instead of a full
     // checkpoint+probe cycle in the loop
-    var labels = edges.groupBy(col("u").as("doc_id"))
+    var labels = Checkpoints.materialized(edges
+      .groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("__nb"))
       .select(col("doc_id"),
-        least(col("doc_id"), col("__nb")).as("component"))
-      .localCheckpoint()
+        least(col("doc_id"), col("__nb")).as("component")))
 
     // one propagation step: min over graph-neighbor labels, plus pointer
     // jumping (my label's label) so remaining chains halve every step —
@@ -292,7 +294,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = propagate(propagate(labels)).localCheckpoint()
+      val next = Checkpoints.materialized(propagate(propagate(labels)))
       val sum = BigDecimal(
         next.agg(org.apache.spark.sql.functions.sum(
           col("component").cast("decimal(38,0)"))).head.getDecimal(0))

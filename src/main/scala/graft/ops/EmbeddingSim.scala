@@ -163,9 +163,11 @@ object EmbeddingSim {
     }
     // materialize before handing out: the loop nests one plan level per
     // round, and a downstream broadcast would otherwise re-execute the whole
-    // training chain; then release the corpus cache — it must not outlive
-    // the call (a bench session would carry it across 60+ queries)
-    val out = cents.localCheckpoint()
+    // training chain (Checkpoints.materialized also resets the compounded
+    // size estimates the rounds accumulate); then release the corpus cache —
+    // it must not outlive the call (a bench session would carry it across
+    // 60+ queries)
+    val out = Checkpoints.materialized(cents)
     corpus.unpersist()
     out
   }

@@ -80,8 +80,11 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(wt)).otherwise(acc)
     }
     val weighted = df.withColumn("__wt", weightCol).filter(col("__wt").isNotNull)
+    // min, not first: __wt is functionally dependent on the stratum, but
+    // first() is execution-order-dependent by contract (repo convention:
+    // pin any pseudo-constant aggregate with min)
     val quotas = weighted.groupBy(col(stratumCol)).agg(
-        count(lit(1)).as("__cnt"), first(col("__wt")).as("__w"))
+        count(lit(1)).as("__cnt"), min(col("__wt")).as("__w"))
       .withColumn("__factor",
         min(col("__cnt") / col("__w")).over(Window.partitionBy()))
       .select(col(stratumCol),
