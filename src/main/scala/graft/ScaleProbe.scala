@@ -50,6 +50,18 @@ object ScaleProbe {
     (label, (System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Same between-measurement hygiene as Bench: drop cached relations and
+    * operator-pinned persisted RDDs so a timing can't reuse a previous
+    * timing's materialization (e.g. cc_canonical re-deriving the simhash
+    * signature that simhash_pairs just persisted via CacheManager plan
+    * matching) — every probe measures the operator COLD. The replica
+    * corpora are re-cached afterwards since clearCache drops them too. */
+  private def flush(spark: SparkSession, keep: Seq[DataFrame]): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    keep.foreach { df => df.cache(); df.count() }
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val dir = "/root/testdata/sf0.1"
@@ -71,28 +83,31 @@ object ScaleProbe {
     val evN = replicateEvents(ev1, factor).cache()
     println(s"corpus: docs ${docsN.count()}, vecs ${vecsN.count()}, events ${evN.count()}")
 
-    def suite(tag: String, docs: DataFrame, vecs: DataFrame, ev: DataFrame) = {
+    def suite(tag: String, docs: DataFrame, vecs: DataFrame, ev: DataFrame,
+              keep: Seq[DataFrame]) = {
       val obs = Parse.eventsAsObservations(ev)
-      Seq(
-        time(s"$tag/minhash_lsh")(Dedup.minhashLshPairs(docs).count()),
-        time(s"$tag/simhash_pairs")(Dedup.simhashPairs(docs).count()),
-        time(s"$tag/ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "lang", 0.5).count()),
-        time(s"$tag/emb_neardup")(EmbeddingSim.nearDupPairs(vecs, 0.45, planes = 4).count()),
-        time(s"$tag/hourly_rollup")(Rollup.hourly(obs, Seq("value")).count()),
-        time(s"$tag/forecast")(Forecast.linear(obs, 24, 12).count()),
-        time(s"$tag/cc_canonical")(
+      val probes: Seq[() => (String, Double, Long)] = Seq(
+        () => time(s"$tag/minhash_lsh")(Dedup.minhashLshPairs(docs).count()),
+        () => time(s"$tag/simhash_pairs")(Dedup.simhashPairs(docs).count()),
+        () => time(s"$tag/ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "lang", 0.5).count()),
+        () => time(s"$tag/emb_neardup")(EmbeddingSim.nearDupPairs(vecs, 0.45, planes = 4).count()),
+        () => time(s"$tag/hourly_rollup")(Rollup.hourly(obs, Seq("value")).count()),
+        () => time(s"$tag/forecast")(Forecast.linear(obs, 24, 12).count()),
+        () => time(s"$tag/cc_canonical")(
           Dedup.canonicalize(docs, Dedup.simhashPairs(docs, maxHamming = 3)).count()),
-        time(s"$tag/contamination")(
+        () => time(s"$tag/contamination")(
           Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
             minShared = 3, excludeSameId = true).count()),
-        time(s"$tag/pack_sequences")(
+        () => time(s"$tag/pack_sequences")(
           Packing.packSequences(docs, budget = 4096L).count()),
-        time(s"$tag/kmeans_ivf")(
+        () => time(s"$tag/kmeans_ivf")(
           EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2).count()))
+      probes.map { probe => val r = probe(); flush(spark, keep); r }
     }
 
-    val r1 = suite("1x", docs1, vecs1, ev1)
-    val rN = suite(s"${factor}x", docsN, vecsN, evN)
+    val cached = Seq(docsN, vecsN, evN)
+    val r1 = suite("1x", docs1, vecs1, ev1, cached)
+    val rN = suite(s"${factor}x", docsN, vecsN, evN, cached)
     println(f"${"operator"}%-16s ${"1x sec"}%8s ${factor + "x sec"}%8s ${"ratio"}%7s  rows@N")
     r1.zip(rN).foreach { case ((n1, t1, _), (_, tN, rowsN)) =>
       val op = n1.split('/')(1)

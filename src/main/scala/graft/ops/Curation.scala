@@ -34,9 +34,11 @@ object Curation {
       explode(Dedup.shingles(col(textCol), n)).as("s"))
     val benchSh = benchmark.select(col("doc_id").as("bench_id"),
       explode(Dedup.shingles(col(textCol), n)).as("s"))
-    corpusSh.join(broadcast(benchSh), "s")
-      .filter(if (excludeSameId) col("doc_id") =!= col("bench_id") else lit(true))
-      .groupBy(col("doc_id"), col("bench_id"))
+    val joined = corpusSh.join(broadcast(benchSh), "s")
+    val kept =
+      if (excludeSameId) joined.filter(col("doc_id") =!= col("bench_id"))
+      else joined
+    kept.groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -242,16 +242,22 @@ object Dedup {
     * Returns (doc_id, component) for every doc that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // checkpoint BEFORE the symmetrization union: its two branches would
-    // otherwise each execute the (expensive) pair-generation plan
-    val p = Checkpoints.materialized(pairs.select(col("doc_a"), col("doc_b")))
+    // otherwise each execute the (expensive) pair-generation plan. Plain
+    // localCheckpoint (no stats reset) is right here: edges' carried stats
+    // are a ONE-TIME constant reused identically every round — only the
+    // loop-carried labels compound estimates — and the reset's Row
+    // round-trip would otherwise be re-paid on every scan of the 2×|pairs|
+    // edge relation in every round.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     // no pairs → no components; the loop's sum-based probe would also NPE
     // on the null aggregate of an empty label relation
     if (p.head(1).isEmpty)
       return p.select(col("doc_a").as("doc_id"), col("doc_b").as("component"))
-    val edges = Checkpoints.materialized(p
+    val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()) // eager: leaves the loop entirely
+      .distinct()
+      .localCheckpoint() // eager: leaves the loop entirely
     // the first propagation round folded into the seed: label₀ = min(own id,
     // direct neighbors) costs one aggregation here instead of a full
     // checkpoint+probe cycle in the loop
@@ -309,9 +315,12 @@ object Dedup {
   /** Corpus-wide canonical assignment from a pair relation: every doc gets
     * `canonical_id` = min doc_id of its near-dup cluster (itself when it has
     * no near-dup), plus an 0/1 keep flag. The downstream dedup filter is
-    * `is_canonical = 1`. The component relation is tiny relative to the
-    * corpus (only paired docs appear), so the left join broadcasts under any
-    * sane threshold; at 100 TB it stays an equi-join on doc_id either way. */
+    * `is_canonical = 1`. The left join is an equi-join on doc_id; the
+    * component side carries reset (default) statistics after the loop's
+    * checkpoints, so the static planner won't auto-broadcast it — AQE's
+    * runtime conversion picks broadcast when the materialized size is small,
+    * and at 100 TB (where the paired set can be huge) the shuffled equi-join
+    * is the right plan anyway. */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
                    maxIters: Int = 20): DataFrame = {
     val comp = connectedComponents(pairs, maxIters)
