@@ -32,16 +32,24 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Hygiene between queries: drop cached relations and persisted RDDs a
-      // query-builder pinned (Dedup persists signatures/features), so one
-      // query's memory footprint can't degrade the measurement of the rest.
+      // query-builder pinned (Dedup persists signatures/features; the CC
+      // loop localCheckpoints — those blocks are NOT cleared by
+      // catalog.clearCache(), only by the RDD-level unpersist below).
+      // BLOCKING: the unpersist must complete inside the untimed gap, or
+      // block eviction runs concurrently with — and pollutes — the next
+      // timed query.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the (log-truncation-proof) full JSON as an artifact.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     spark.stop()
   }
 }

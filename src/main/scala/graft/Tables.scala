@@ -34,6 +34,32 @@ object Tables {
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
   }
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact row count from parquet FOOTER metadata — no Spark job, no data
+    * pages read: O(#files) driver-side footer reads, memoized per path.
+    * The cheap way to size corpus-dependent plan parameters (e.g. the LSH
+    * plane count in `emb_neardup_auto`) without paying a full corpus scan
+    * before the query even starts — at 100 TB a `df.count()` pre-pass is a
+    * whole extra job; the footers are already read during planning anyway. */
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    rowCountCache.getOrElseUpdate(path, {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(p)
+      files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    })
+
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")

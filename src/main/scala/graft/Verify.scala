@@ -28,6 +28,12 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Same per-query hygiene as Bench: operators persist/localCheckpoint
+        // intermediates (Dedup signatures, the CC loop's checkpoints); without
+        // an explicit RDD-level unpersist those blocks accumulate across all
+        // 60+ queries of a verify run.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

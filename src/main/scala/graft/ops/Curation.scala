@@ -77,11 +77,31 @@ object Curation {
         ratio(col("__n3"), col("__u3")).as("dup_3gram_ratio"))
   }
 
-  /** Redaction patterns: RE2-safe character classes only (no lookarounds,
-    * no Java-only syntax), so any engine in the pipeline reproduces them. */
+  /** Redaction patterns: RE2-safe syntax only (character classes, bounded
+    * repetition, `\b` word boundaries — no lookarounds, no Java-only
+    * syntax), so any engine in the pipeline reproduces them. Both Java
+    * regex and RE2 resolve alternation leftmost-first, and the phone
+    * alternatives are anchor-disjoint (`+` / `(` / digit), so the two
+    * engines pick the same branch.
+    *
+    * PhoneRe is digit-count-bounded (≈7-16 digits) and deliberately does
+    * NOT treat a bare space as a digit-group separator unless the match is
+    * anchored by `+` or `(` — an unanchored space-joined digit pattern
+    * masks year sequences ("2024 2025 2026") and numeric table rows in
+    * training text (tested in CurationSpec). Four anchor-disjoint forms:
+    * international (+CC ...), parenthesized area code, dash/dot-grouped,
+    * and a contiguous 7-15 digit run. Trade-off: a space-grouped national
+    * number with no anchor ("090 1234 5678") is missed — precision over
+    * recall, because over-redaction silently corrupts training data while
+    * a missed phone is caught by the contiguous/anchored forms in most
+    * real corpora. */
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  val PhoneRe: String = "\\+?[0-9][0-9() -]{6,}[0-9]"
+  val PhoneRe: String =
+    "\\+[0-9]{1,3}[ .-]?\\(?([0-9][ .()-]{0,2}){5,12}[0-9]" + // +CC, any grouping
+    "|\\(0?[0-9]{1,3}\\)[ .-]?([0-9][ .-]?){3,10}[0-9]" +     // (area) grouped
+    "|\\b[0-9]{2,3}([.-][0-9]{2,4}){2,3}\\b" +                // 555-123-4567
+    "|\\b[0-9]{7,15}\\b"                                      // contiguous run
 
   /** PII redaction: masks emails, IPv4 addresses, then phone-like digit
     * runs (in that order — emails/IPs contain digit runs a later phone pass

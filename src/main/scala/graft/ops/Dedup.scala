@@ -22,6 +22,22 @@ import org.apache.spark.storage.StorageLevel
   *
   * All hash material is md5 (hex string), which DuckDB computes identically,
   * so every operator here is oracle-checkable bit-for-bit.
+  *
+  * ==Pipeline composition order (the 100 TB contract)==
+  * Run [[exact]] FIRST and drop non-canonical copies before any near-dup
+  * stage: real crawled corpora are duplicate-saturated (boilerplate pages
+  * repeated millions of times), and every identical copy lands in the SAME
+  * LSH band bucket / simhash band / shingle block — a bucket with m copies
+  * emits m²/2 candidate pairs, so band-bucket skew turns the near-dup join
+  * quadratic in exactly the corpora that need dedup most. Exact dedup
+  * collapses those copies for the price of one (hash, id) shuffle, after
+  * which bucket populations reflect genuine near-duplicates and the
+  * candidate volume is output-bound. Then: one of [[minhashLshPairs]] /
+  * [[simhashPairs]] / [[hashedTfCosinePairs]] (or embedding near-dup) for
+  * pairs → [[connectedComponents]]/[[canonicalize]] to resolve transitive
+  * clusters into a corpus-wide keep/drop flag. The `dd_*` oracle queries
+  * intentionally run each stage standalone for checkability; a production
+  * run composes them in this order.
   */
 object Dedup {
 

@@ -129,28 +129,35 @@ object EmbeddingSim {
     * `iters` rounds of assign-to-nearest-centroid + per-cell integer mean.
     * Seeded from the `k` lowest vec_ids (a deterministic, engine-portable
     * seed — k-means|| would lower iteration count but costs determinism).
-    * Per round: assignment is a broadcast-K nested loop over the corpus (no
-    * corpus shuffle; d² = |a|²+|b|²−2a·b in exact longs), the update is a
-    * per-(cell, dimension) partial-aggregating sum/count whose shuffle is
-    * K·dims rows. New centroid components are floor(mean) — exact in double
+    * Per round: assignment is a broadcast-K nested loop over the corpus
+    * (d² = |a|²+|b|²−2a·b in exact longs) folded into a `min_by` hash
+    * aggregation — partial aggregation collapses the corpus×K candidate
+    * rows map-side, so the assignment shuffle carries ONE row per vector
+    * (not K); the update is a per-(cell, dimension) partial-aggregating
+    * sum/count whose shuffle is K·dims rows. New centroid components are
+    * floor(mean) — exact in double
     * (|sum| ≪ 2⁵³) — so DuckDB reproduces the trained centroids bit-for-bit
     * with the same unrolled rounds. A cell that loses all members drops out
     * (k shrinks), identically in both engines.
     *
     * Returns (cid, cq: array<bigint>, cn2) — the shape [[ivfTopK]] accepts. */
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors).persist()
     var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cid").asc)
+      // argmin via min_by over (d2, cid) — identical tie-break to a
+      // row_number window (d2 asc, cid asc), but partial-aggregating:
+      // the corpus×K rows collapse to one per vector BEFORE the shuffle
+      // (a window would move all corpus×K rows). q is constant across a
+      // vector's K candidate rows, so min_by-ing it by the same key is
+      // deterministic.
       val assigned = corpus.crossJoin(broadcast(cents))
         .withColumn("d2",
           col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
-        .withColumn("__rk", row_number().over(wAssign))
-        .filter(col("__rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+          min_by(col("q"), struct(col("d2"), col("cid"))).as("q"))
         .select(col("cid"), col("q"))
       cents = assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))

@@ -49,6 +49,9 @@ object Forecast {
   def rollForward(obs: DataFrame, lookback: Int, steps: Int,
                   scorer: StepScorer, stepMinutes: Int = 5,
                   metric: String = "value"): DataFrame = {
+    // lookback = 1 gives a degenerate window: drift scorers divide by
+    // (size - 1) and would silently emit NaN/Infinity — fail fast instead.
+    require(lookback >= 2, s"lookback must be >= 2 (got $lookback)")
     val spark = obs.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(col("location"))
@@ -83,6 +86,7 @@ object Forecast {
     * than `lookback` observations are skipped (incomplete window). */
   def linear(obs: DataFrame, lookback: Int, steps: Int,
              stepMinutes: Int = 5, metric: String = "value"): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2 (got $lookback)")
     val w = Window.partitionBy(col("location"))
       .orderBy(col("event_timestamp").desc, col("event_id").desc)
     val windowed = obs

@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * operators structured the way a production pipeline runs them —
   * batched per partition, schema-typed in and out, no driver collects.
   *
-  * The actual codec is STUBBED (this container has no image/audio
-  * libraries): [[Multimodal.decodeStub]] is a deterministic fake that
-  * treats the payload bytes as the "decoded frame". Everything around it —
-  * the Dataset schemas, the mapPartitions batch shape (the Scala analogue
-  * of `mapInPandas` with Arrow batches), the per-partition batching, and
-  * the downstream aggregations — is real and tested; swapping in a real
-  * decoder changes only the stub's body.
+  * Codec status: [[Multimodal.decodePpm]] is a REAL dependency-free P6
+  * (binary PPM) decoder, dispatched by format through
+  * [[Multimodal.decode]]; other formats fall back to
+  * [[Multimodal.decodeStub]], a deterministic fake that treats the payload
+  * bytes as the "decoded frame" (this container has no image/audio
+  * libraries). Everything around the codec — the Dataset schemas, the
+  * mapPartitions batch shape (the Scala analogue of `mapInPandas` with
+  * Arrow batches), the per-partition batching, and the downstream
+  * aggregations — is real and tested; a JNI/image-library decoder is one
+  * new `decode` case.
   */
 object Multimodal {
 
@@ -60,6 +63,48 @@ object Multimodal {
     * exact downstream values. */
   def decodeStub(payload: Array[Byte], format: String): Array[Byte] = payload
 
+  /** Real P6 (binary) PPM decode — dependency-free: parses the
+    * `P6 <width> <height> <maxval>` header (whitespace- and
+    * `#`-comment-tolerant, per the netpbm spec) and returns (width, height,
+    * raw RGB raster). The one genuine codec behind the batched decode path;
+    * it exercises exactly the seam a JNI/image-library decoder would plug
+    * into. */
+  def decodePpm(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var i = 0
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < payload.length) {
+        val c = payload(i).toChar
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = i
+      while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
+      new String(payload, start, i - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) payload")
+    val w = token().toInt; val h = token().toInt; val maxv = token().toInt
+    require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+    require(maxv > 0 && maxv < 256, s"only 8-bit PPM supported (maxval $maxv)")
+    i += 1 // exactly one whitespace byte separates maxval from the raster
+    val n = w * h * 3
+    require(payload.length - i >= n, "truncated PPM raster")
+    (w, h, java.util.Arrays.copyOfRange(payload, i, i + n))
+  }
+
+  /** Format dispatch: `ppm` decodes for real ([[decodePpm]]); everything
+    * else keeps the documented stub. Every batched operator below routes
+    * through here, so a new codec is one new case. */
+  def decode(payload: Array[Byte], format: String): Array[Byte] =
+    format match {
+      case "ppm" => decodePpm(payload)._3
+      case _     => decodeStub(payload, format)
+    }
+
   /** Feature extraction, batched per partition (the Scala analogue of a
     * Pandas UDF over mapInPandas: fixed-size batches amortize
     * decoder/model-session setup, which dominates real decode workloads). */
@@ -71,7 +116,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // Batch boundary = where a real decoder session would be reused.
         batch.iterator.map { r =>
-          val decoded = decodeStub(r.payload, r.format)
+          val decoded = decode(r.payload, r.format)
           val hist = new Array[Long](16)
           var sum = 0L
           decoded.foreach { b =>
@@ -95,7 +140,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      val decoded = decodeStub(r.payload, r.format)
+      val decoded = decode(r.payload, r.format)
       val out = Array.range(0, decoded.length, factor).map(decoded)
       r.copy(payload = out,
         width = math.max(1, r.width / factor),
@@ -112,7 +157,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
-      val decoded = decodeStub(r.payload, r.format)
+      val decoded = decode(r.payload, r.format)
       decoded.grouped(frameBytes).zipWithIndex.collect {
         case (block, i) if i % stride == 0 => Frame(r.doc_id, i, block)
       }

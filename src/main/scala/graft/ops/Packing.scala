@@ -36,9 +36,16 @@ object Packing {
     val sized = docs.select(col(idCol),
       Sampling.hashKey(col(idCol)).as("__hk"),
       size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
-    // 1. the only corpus-wide shuffle: range partition in stream order
+    // 1. the only corpus-wide shuffle: range partition in stream order.
+    //    PERSISTED: `parted` feeds two plan branches (the offsets aggregate
+    //    and the final join), and RangePartitioner samples its boundaries
+    //    with an RDD-id-derived seed — re-executions can draw DIFFERENT
+    //    boundaries. Correctness must not hinge on ReuseExchange happening
+    //    to dedup the two scans; the persist pins one materialization that
+    //    both branches read.
     val parted = sized.repartitionByRange(col("__hk"), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2-3. per-partition subtotals, then exclusive prefix over partitions
     //      (tiny: one row per partition)
     val offsets = parted.groupBy(col("__pid"))

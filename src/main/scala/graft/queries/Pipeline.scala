@@ -308,12 +308,20 @@ object Pipeline {
         |  SELECT doc_id, n_bytes,
         |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
         |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
-        |  FROM (SELECT doc_id, n_bytes, hx, unnest(range(1, n_bytes + 1)) AS i FROM b))
-        |SELECT doc_id, any_value(n_bytes) AS n_bytes, CAST(sum(u) AS BIGINT) AS sum_bytes,
+        |  FROM (SELECT doc_id, n_bytes, hx, unnest(range(1, n_bytes + 1)) AS i FROM b)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(u) AS BIGINT) AS sum_bytes,
         |""" +
         (0 until 16).map(i => s"       count(*) FILTER (u // 16 = $i) AS h$i").mkString(",\n") +
         """
-        |FROM bytes GROUP BY doc_id ORDER BY doc_id""")) {
+        |  FROM bytes GROUP BY doc_id)
+        |-- LEFT JOIN from b: an empty-text doc has no per-byte rows, but the
+        |-- operator still emits it with zero stats — the oracle must too.
+        |SELECT b.doc_id, b.n_bytes, coalesce(agg.sum_bytes, 0) AS sum_bytes,
+        |""" +
+        (0 until 16).map(i => s"       coalesce(agg.h$i, 0) AS h$i").mkString(",\n") +
+        """
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")) {
       (s, dir) =>
         Multimodal.extractFeatures(
           Multimodal.asMedia(Tables.documents(s, dir))).toDF()

@@ -30,6 +30,23 @@ object TrainingData {
     * bit-identical across engines. */
   private val SampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 0.4, "es" -> 0.3, "fr" -> 0.2, "zh" -> 0.1)
+
+  /** PII-bearing fixture rows union'd into the redaction query input: the
+    * generated corpus contains no PII-shaped text (an oracle over it alone
+    * would be vacuous), so these literals — true positives AND the
+    * false-positive shapes PhoneRe's digit bound exists for (year
+    * sequences, numeric tables, prices) — are what make `t_pii_redact`
+    * hash-checkable. Negative doc_ids can't collide with corpus ids.
+    * Shared verbatim with the oracle SQL's VALUES clause. */
+  private val PiiFixture: Seq[(Long, String)] = Seq(
+    (-8L, "mixed: eve@corp.io at 8.8.8.8 called +1 650 253 0000"),
+    (-7L, "price 19.99 and 29.99 only"),
+    (-6L, "table 12 34 56 78 90 12 34 ends"),
+    (-5L, "years 2024 2025 2026 2027 follow"),
+    (-4L, "dial 555-123-4567 or 0912345678"),
+    (-3L, "call +84 28 3823 4999 or (028) 3823-4999 now"),
+    (-2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+    (-1L, "contact alice@example.com or bob.smith+tag@sub.domain.org today"))
   private val MixWeights: Seq[(String, Double)] = Seq(
     "en" -> 4.0, "de" -> 2.0, "es" -> 2.0, "fr" -> 1.0, "zh" -> 1.0)
 
@@ -251,6 +268,37 @@ object TrainingData {
       (s, dir) =>
         Curation.repetitionStats(Tables.documents(s, dir))
           .orderBy(col("doc_id"))
+    },
+
+    // PII redaction over corpus ∪ PII fixture rows: staged email → IP →
+    // phone masking with per-class audit counts (each counted on the text
+    // as that pass sees it — see Curation.redactPii). The oracle runs the
+    // identical RE2-safe patterns through DuckDB's regexp engine; the
+    // fixture includes the false-positive shapes the tightened PhoneRe
+    // must NOT mask (years, numeric tables, prices).
+    QuerySpec.sql("t_pii_redact",
+      s"""WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ${PiiFixture.map { case (i, t) =>
+            s"($i, '$t')" }.mkString(", ")}) fx(doc_id, text)),
+        |r1 AS (SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '${Curation.EmailRe}')) AS BIGINT) AS n_emails,
+        |         regexp_replace(text, '${Curation.EmailRe}', '<EMAIL>', 'g') AS t1 FROM input),
+        |r2 AS (SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(t1, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ips,
+        |         regexp_replace(t1, '${Curation.Ipv4Re}', '<IP>', 'g') AS t2 FROM r1)
+        |SELECT doc_id, n_emails, n_ips,
+        |       CAST(len(regexp_extract_all(t2, '${Curation.PhoneRe}')) AS BIGINT) AS n_phones,
+        |       regexp_replace(t2, '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+        |FROM r2 ORDER BY doc_id""") {
+      (s, dir) => {
+        import s.implicits._
+        Curation.redactPii(
+            Tables.documents(s, dir).select(col("doc_id"), col("text"))
+              .unionByName(PiiFixture.toDF("doc_id", "text")))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // ---- Deduplication --------------------------------------------------
@@ -541,10 +589,13 @@ object TrainingData {
         |SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM p
         |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""") {
       (s, dir) => {
-        val vecs = Tables.embeddings(s, dir)
-        val planes = EmbeddingSim.autoPlanes(vecs.count())
-        EmbeddingSim.nearDupPairs(vecs, threshold = 0.45, planes = planes,
-            probeHamming1 = true)
+        // Corpus size from parquet FOOTER metadata (memoized, no Spark job)
+        // — a `vecs.count()` here would run a whole extra corpus pass at
+        // plan-build time just to size the blocking.
+        val planes = EmbeddingSim.autoPlanes(
+          Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+        EmbeddingSim.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45,
+            planes = planes, probeHamming1 = true)
           .orderBy(col("vec_a"), col("vec_b"))
       }
     },

@@ -85,6 +85,39 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= r1, "more probes must not lose recall")
   }
 
+  test("trained IVF recall curve: k=32, iters=4 reaches the ship floor at higher nprobe") {
+    // The production operating point: more, smaller cells (k=32 over this
+    // 500-vector corpus ≈ 16 vectors/cell) with the probe count as the
+    // recall/latency knob. The curve is recorded in BASELINE.md.
+    val cents = EmbeddingSim.kmeansCentroids(vectors, k = 32, iters = 4)
+    val curve = Seq(2, 4, 8).map { np =>
+      np -> recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10,
+        nprobe = np, centroids = Some(cents)))
+    }
+    info(curve.map { case (np, r) => f"nprobe=$np recall@10=$r%.2f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(hi >= lo - 0.02, "recall must not degrade as nprobe grows")
+    }
+    assert(curve.last._2 >= 0.7,
+      f"k=32/nprobe=8 must reach ship-quality recall, got ${curve.last._2}%.2f")
+  }
+
+  test("parquetRowCount reads footers only — no Spark job — and matches count()") {
+    val path = s"$dir/embeddings.parquet"
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Tables.parquetRowCount(spark, path)
+      Thread.sleep(500) // listener bus is async; give any job event time to land
+      assert(jobs === 0, "footer-metadata count must not launch a Spark job")
+      assert(n === vectors.count())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("k-means-trained IVF keeps recall at or above its floor") {
     // Lloyd rounds move centroids off the arbitrary lowest-id seed toward
     // the data's density; on a near-uniform corpus the benefit is balance

@@ -59,6 +59,28 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) === ((0L, 0L, 0L, "no pii here at all")))
   }
 
+  test("redactPii phone pattern is digit-bounded: years, tables and prices survive") {
+    // The false-positive shapes the PhoneRe bound exists for: a digit-run
+    // pattern with unanchored spaces would mask all of these in training
+    // text (the round-5 PhoneRe did).
+    val docs = Seq(
+      (0L, "years 2024 2025 2026 2027 follow"),
+      (1L, "table 12 34 56 78 90 12 34 ends"),
+      (2L, "price 19.99 and 29.99 only"),
+      (3L, "released 2024, revised 2026-08-12"),
+      (4L, "dial 555-123-4567 or 0912345678"),       // true positives still hit
+      (5L, "call +84 28 3823 4999 or (028) 3823-4999 now")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out(0L) === ((0L, "years 2024 2025 2026 2027 follow")))
+    assert(out(1L) === ((0L, "table 12 34 56 78 90 12 34 ends")))
+    assert(out(2L) === ((0L, "price 19.99 and 29.99 only")))
+    assert(out(3L) === ((0L, "released 2024, revised 2026-08-12")))
+    assert(out(4L) === ((2L, "dial <PHONE> or <PHONE>")))
+    assert(out(5L) === ((2L, "call <PHONE> or <PHONE> now")))
+  }
+
   test("redactPii counts reconcile with the mask tokens in the output") {
     // the digit run inside the email must not be double-counted as a phone
     // once the email pass has already masked it

@@ -38,6 +38,38 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).payload.length === 19)                          // ceil(38/2)
   }
 
+  /** Golden 2×2 P6 PPM: comment-bearing header + 12 known raster bytes. */
+  private def goldenPpm: Array[Byte] = {
+    val header = "P6\n# golden test image\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Int](
+      255, 0, 0,   0, 255, 0,   // red, green
+      0, 0, 255,   17, 34, 51   // blue, arbitrary
+    ).map(_.toByte)
+    header ++ raster
+  }
+
+  test("decodePpm parses the golden PPM: dimensions, comments, raster") {
+    val (w, h, px) = Multimodal.decodePpm(goldenPpm)
+    assert(w === 2 && h === 2)
+    assert(px.length === 12)
+    assert(px.map(_ & 0xff).toSeq === Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51))
+    // malformed inputs fail fast, not silently
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P3\n1 1\n255\n".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n9 9\n255\nxx".getBytes))
+  }
+
+  test("extractFeatures routes ppm-format payloads through the real decoder") {
+    val media = Seq(Multimodal.MediaRecord(7L, "image", goldenPpm, "ppm", 2, 2, 1))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    // Features are computed over the 12 RASTER bytes, not the 43-byte file:
+    // a stub pass-through would count the header too.
+    assert(f.n_bytes === 12L)
+    assert(f.sum_bytes === (255 + 255 + 255 + 17 + 34 + 51).toLong)
+    assert(f.histogram(15) === 3L)  // the three 255s
+    assert(f.histogram(0) === 6L)   // the six zeros
+  }
+
   test("metadata-only queries prune the payload projection entirely") {
     // The design rule from Multimodal.asMedia's scaladoc: binary payloads in
     // their own leaf columns so metadata queries never materialize them.
