@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.graft.BlockHygiene
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,15 +32,27 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // Hygiene between queries: drop cached relations and persisted RDDs a
-      // query-builder pinned (Dedup persists signatures/features; the CC
-      // loop localCheckpoints — those blocks are NOT cleared by
-      // catalog.clearCache(), only by the RDD-level unpersist below).
-      // BLOCKING: the unpersist must complete inside the untimed gap, or
-      // block eviction runs concurrently with — and pollutes — the next
-      // timed query.
+      // Hygiene between queries — three channels, all inside the untimed gap:
+      // 1. cached relations + persisted/localCheckpointed RDD blocks (Dedup
+      //    signatures, the CC loop's checkpoints): clearCache + BLOCKING
+      //    RDD-level unpersist, or eviction runs concurrently with — and
+      //    pollutes — the next timed query.
+      // 2. broadcast blocks: cleared by NEITHER of the above — ContextCleaner
+      //    only reaps them after driver GC of the Broadcast handle, so across
+      //    68 queries (each auto-broadcasting small join sides) MemoryStore
+      //    pressure accumulates until a memory-hungry query spills
+      //    (BENCH_r06: t_hashed_tf_neardup 39.2 s vs 7.7-8.0 s isolated).
+      //    BlockHygiene.destroyBroadcasts removes them synchronously.
+      // 3. everything weakref-tracked (shuffle state, leftover handles):
+      //    System.gc() lets ContextCleaner's reference queue drain now rather
+      //    than mid-way through a later timed query.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val dropped = BlockHygiene.destroyBroadcasts(spark.sparkContext)
+      System.gc()
+      val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
+      System.err.println(
+        f"[bench-gap] $name%-28s ${elapsed}%8.3f s; dropped $dropped%3d broadcasts; storage used after gap ${storageUsed / 1048576.0}%9.2f MiB")
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

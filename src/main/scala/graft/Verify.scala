@@ -31,9 +31,15 @@ object Verify {
         // Same per-query hygiene as Bench: operators persist/localCheckpoint
         // intermediates (Dedup signatures, the CC loop's checkpoints); without
         // an explicit RDD-level unpersist those blocks accumulate across all
-        // 60+ queries of a verify run.
+        // 60+ queries of a verify run, and broadcast blocks are reaped by
+        // neither call (only ContextCleaner after driver GC — see
+        // BlockHygiene). Cost: the blocking unpersist + broadcast destroy add
+        // a few ms per query (~1-2 s over a full 68-query verify run) —
+        // honest per-query isolation is worth that; correctness output is
+        // unaffected either way.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        org.apache.spark.graft.BlockHygiene.destroyBroadcasts(spark.sparkContext)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
