@@ -34,31 +34,56 @@ object Tables {
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
   }
-  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Keyed on (path, root modification time) so an in-process rewrite of
+    * the table invalidates the memo: HDFS/local dirs get a fresh modTime
+    * when their direct children change. (A rewrite buried two levels deep
+    * that adds no top-level entry would keep the stale memo — acceptable:
+    * Spark's own FileIndex caching has the same granularity.) */
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 
   /** Exact row count from parquet FOOTER metadata — no Spark job, no data
-    * pages read: O(#files) driver-side footer reads, memoized per path.
-    * The cheap way to size corpus-dependent plan parameters (e.g. the LSH
-    * plane count in `emb_neardup_auto`) without paying a full corpus scan
-    * before the query even starts — at 100 TB a `df.count()` pre-pass is a
-    * whole extra job; the footers are already read during planning anyway. */
-  def parquetRowCount(spark: SparkSession, path: String): Long =
-    rowCountCache.getOrElseUpdate(path, {
-      import org.apache.hadoop.fs.Path
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
+    * pages read: O(#files) driver-side footer reads, memoized per
+    * (path, modTime). The cheap way to size corpus-dependent plan
+    * parameters (e.g. the LSH plane count in `emb_neardup_auto`) without
+    * paying a full corpus scan before the query even starts — at 100 TB a
+    * `df.count()` pre-pass is a whole extra job; the footers are already
+    * read during planning anyway.
+    *
+    * Recurses through partitioned / multi-part layouts
+    * (`dir/day=.../part-*.parquet`), skipping Spark bookkeeping files
+    * (`_SUCCESS`, `_metadata`, hidden `.`-files). A directory with zero
+    * parquet files is an error: returning 0 would silently shrink every
+    * metadata-derived plan parameter. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val root = fs.getFileStatus(p)
+    rowCountCache.getOrElseUpdate((path, root.getModificationTime), {
       val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Seq(p)
+        if (root.isDirectory) {
+          val it = fs.listFiles(p, true)
+          val buf = Seq.newBuilder[Path]
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (st.isFile && name.endsWith(".parquet") &&
+                !name.startsWith("_") && !name.startsWith("."))
+              buf += st.getPath
+          }
+          val out = buf.result()
+          require(out.nonEmpty, s"parquetRowCount: no parquet files under " +
+            s"$path — refusing to return 0 and silently shrink plan sizing")
+          out
+        } else Seq(p)
       files.map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
         try rd.getRecordCount finally rd.close()
       }.sum
     })
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

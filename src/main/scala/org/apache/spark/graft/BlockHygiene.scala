@@ -46,4 +46,10 @@ object BlockHygiene {
   def storageMemoryUsed(sc: SparkContext): Long =
     sc.env.blockManager.master.getMemoryStatus.values
       .map { case (max, remaining) => max - remaining }.sum
+
+  /** Block until every queued listener event has been delivered — the
+    * race-free way for a spec to assert "no job was launched" (the bus is
+    * async; a sleep is a guess, this is a guarantee). */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -103,7 +103,16 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("parquetRowCount reads footers only — no Spark job — and matches count()") {
-    val path = s"$dir/embeddings.parquet"
+    // A FRESH path, never counted in this JVM: the (path, modTime) memo is
+    // process-global, so counting a shared fixture path here could hit the
+    // cache and make the no-job assertion vacuous. The write's own jobs and
+    // the count() run before the listener attaches; the listener-bus drain
+    // replaces a sleep (the bus is async — a sleep is a guess, the drain is
+    // a guarantee).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowcount")
+    val path = s"$tmp/emb.parquet"
+    vectors.write.parquet(path)
+    val expected = vectors.count()
     var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -112,9 +121,9 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     spark.sparkContext.addSparkListener(listener)
     try {
       val n = Tables.parquetRowCount(spark, path)
-      Thread.sleep(500) // listener bus is async; give any job event time to land
+      org.apache.spark.graft.BlockHygiene.drainListenerBus(spark.sparkContext)
       assert(jobs === 0, "footer-metadata count must not launch a Spark job")
-      assert(n === vectors.count())
+      assert(n === expected)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

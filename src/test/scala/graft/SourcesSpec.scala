@@ -75,6 +75,23 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       s"expected a partition-pruned scan:\n$scan")
   }
 
+  test("parquetRowCount matches count() on a 2-level partitioned multi-file table") {
+    // Exercises the recursive footer walk: day=X/tenant=Y/part-*.parquet
+    // (several part files per leaf via repartition) plus _SUCCESS markers
+    // that must be skipped.
+    val df = (0 until 200)
+      .map(i => (f"2024-01-${i % 4 + 1}%02d", s"t${i % 3}", i.toLong))
+      .toDF("day", "tenant", "v").repartition(4)
+    val path = tmp("graft-partcount")
+    FileIO.writePartitioned(df, path, "day", "tenant")
+    assert(Tables.parquetRowCount(spark, path) === 200L)
+    // The guard: a directory with no parquet files fails loudly — silently
+    // returning 0 would shrink every metadata-derived plan parameter.
+    val empty = tmp("graft-empty")
+    new java.io.File(empty).mkdirs()
+    intercept[IllegalArgumentException](Tables.parquetRowCount(spark, empty))
+  }
+
   test("S1-shaped parse: fromKafka handles binary key/value columns") {
     val rows = java.util.List.of(
       Row("locA".getBytes("UTF-8"),
