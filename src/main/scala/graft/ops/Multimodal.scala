@@ -91,9 +91,12 @@ object Multimodal {
     require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
     require(maxv > 0 && maxv < 256, s"only 8-bit PPM supported (maxval $maxv)")
     i += 1 // exactly one whitespace byte separates maxval from the raster
-    val n = w * h * 3
-    require(payload.length - i >= n, "truncated PPM raster")
-    (w, h, java.util.Arrays.copyOfRange(payload, i, i + n))
+    // Long arithmetic: a crafted 65536x65536 header would overflow Int to
+    // exactly 0, pass the truncation check, and silently decode an empty
+    // raster instead of failing fast.
+    val n = w.toLong * h * 3
+    require(n <= payload.length - i, "truncated PPM raster")
+    (w, h, java.util.Arrays.copyOfRange(payload, i, i + n.toInt))
   }
 
   /** Format dispatch: `ppm` decodes for real ([[decodePpm]]); everything
@@ -131,20 +134,43 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation resamples pixels; the fake keeps
-    * every `factor`-th byte (deterministic, shape-preserving contract:
-    * output length = ceil(len / factor)). Runs inside the same batched
-    * mapPartitions shape as feature extraction. */
+  /** Downscale by an integer factor. For `format = "ppm"` this is a REAL
+    * nearest-neighbor pixel resample: decode, sample pixel
+    * (x·factor, y·factor), re-emit a VALID P6 payload — so resized outputs
+    * stay decodable by [[decodePpm]] downstream. Other formats keep the
+    * documented byte-stride stub (output length = ceil(len / factor)).
+    * Runs inside the same batched mapPartitions shape as feature
+    * extraction. */
   def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     require(factor > 0, "resize factor must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      val decoded = decode(r.payload, r.format)
-      val out = Array.range(0, decoded.length, factor).map(decoded)
-      r.copy(payload = out,
-        width = math.max(1, r.width / factor),
-        height = math.max(1, r.height / factor))
+      if (r.format == "ppm") {
+        val (w, h, px) = decodePpm(r.payload)
+        val ow = math.max(1, w / factor)
+        val oh = math.max(1, h / factor)
+        val out = new Array[Byte](ow * oh * 3)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val src = ((y * factor) * w + (x * factor)) * 3
+            val dst = (y * ow + x) * 3
+            out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        val header = s"P6\n$ow $oh\n255\n".getBytes("US-ASCII")
+        r.copy(payload = header ++ out, width = ow, height = oh)
+      } else {
+        val decoded = decode(r.payload, r.format)
+        val out = Array.range(0, decoded.length, factor).map(decoded)
+        r.copy(payload = out,
+          width = math.max(1, r.width / factor),
+          height = math.max(1, r.height / factor))
+      }
     })
   }
 

@@ -56,6 +56,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     // malformed inputs fail fast, not silently
     intercept[IllegalArgumentException](Multimodal.decodePpm("P3\n1 1\n255\n".getBytes))
     intercept[IllegalArgumentException](Multimodal.decodePpm("P6\n9 9\n255\nxx".getBytes))
+    // crafted header whose w*h*3 overflows Int to exactly 0: must fail the
+    // truncation check (Long arithmetic), not decode an empty raster
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P6\n65536 65536\n255\nxx".getBytes))
+  }
+
+  test("ppm resize resamples pixels nearest-neighbor and emits a valid P6 payload") {
+    val media = Seq(Multimodal.MediaRecord(7L, "image", goldenPpm, "ppm", 2, 2, 1))
+      .toDS()
+    val out = Multimodal.resize(media, factor = 2).collect().head
+    assert(out.width === 1 && out.height === 1)
+    // Re-decodable: the output is a complete P6 file, not bare raster bytes.
+    val (w, h, px) = Multimodal.decodePpm(out.payload)
+    assert(w === 1 && h === 1)
+    // Nearest-neighbor at factor 2 keeps pixel (0,0) of the golden image: red.
+    assert(px.map(_ & 0xff).toSeq === Seq(255, 0, 0))
+    // Non-ppm formats keep the byte-stride stub contract.
+    val stub = Multimodal.resize(Multimodal.asMedia(docs), factor = 2)
+      .collect().sortBy(_.doc_id)
+    assert(stub(0).payload.toSeq === "ac".getBytes("UTF-8").toSeq)
   }
 
   test("extractFeatures routes ppm-format payloads through the real decoder") {
