@@ -90,8 +90,12 @@ object Curation {
     * masks year sequences ("2024 2025 2026") and numeric table rows in
     * training text (tested in CurationSpec). Four anchor-disjoint forms:
     * international (+CC ...), parenthesized area code, dash/dot-grouped,
-    * and a contiguous 7-15 digit run. Trade-off: a space-grouped national
-    * number with no anchor ("090 1234 5678") is missed — precision over
+    * and a contiguous 7-15 digit run. Dot grouping is allowed ONLY in the
+    * strict NANP 3-3-4 shape ("555.123.4567"): a looser dotted form masks
+    * dotted version strings ("10.15.73") and European dotted dates
+    * ("12.04.2026") — both spec'd as negatives. Trade-offs: a
+    * space-grouped national number with no anchor ("090 1234 5678") and a
+    * non-NANP dotted number ("02.38.23.49.99") are missed — precision over
     * recall, because over-redaction silently corrupts training data while
     * a missed phone is caught by the contiguous/anchored forms in most
     * real corpora. */
@@ -100,7 +104,8 @@ object Curation {
   val PhoneRe: String =
     "\\+[0-9]{1,3}[ .-]?\\(?([0-9][ .()-]{0,2}){5,12}[0-9]" + // +CC, any grouping
     "|\\(0?[0-9]{1,3}\\)[ .-]?([0-9][ .-]?){3,10}[0-9]" +     // (area) grouped
-    "|\\b[0-9]{2,3}([.-][0-9]{2,4}){2,3}\\b" +                // 555-123-4567
+    "|\\b[0-9]{2,3}(-[0-9]{2,4}){2,3}\\b" +                   // 555-123-4567
+    "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b" +                 // 555.123.4567
     "|\\b[0-9]{7,15}\\b"                                      // contiguous run
 
   /** PII redaction: masks emails, IPv4 addresses, then phone-like digit

@@ -35,10 +35,13 @@ object TrainingData {
     * generated corpus contains no PII-shaped text (an oracle over it alone
     * would be vacuous), so these literals — true positives AND the
     * false-positive shapes PhoneRe's digit bound exists for (year
-    * sequences, numeric tables, prices) — are what make `t_pii_redact`
-    * hash-checkable. Negative doc_ids can't collide with corpus ids.
-    * Shared verbatim with the oracle SQL's VALUES clause. */
+    * sequences, numeric tables, prices, dotted versions/dates) — are what
+    * make `t_pii_redact` hash-checkable. Negative doc_ids can't collide
+    * with corpus ids. Shared verbatim with the oracle SQL's VALUES
+    * clause. */
   private val PiiFixture: Seq[(Long, String)] = Seq(
+    (-10L, "macOS 10.15.73 then 11.2.38 shipped, due 12.04.2026 latest"),
+    (-9L, "dial 555.123.4567 today"),
     (-8L, "mixed: eve@corp.io at 8.8.8.8 called +1 650 253 0000"),
     (-7L, "price 19.99 and 29.99 only"),
     (-6L, "table 12 34 56 78 90 12 34 ends"),

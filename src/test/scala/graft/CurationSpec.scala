@@ -69,7 +69,10 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       (2L, "price 19.99 and 29.99 only"),
       (3L, "released 2024, revised 2026-08-12"),
       (4L, "dial 555-123-4567 or 0912345678"),       // true positives still hit
-      (5L, "call +84 28 3823 4999 or (028) 3823-4999 now")
+      (5L, "call +84 28 3823 4999 or (028) 3823-4999 now"),
+      (6L, "macOS 10.15.73 then 11.2.38 shipped"),   // dotted versions survive
+      (7L, "due 12.04.2026 or 31.12.2026 latest"),   // dotted dates survive
+      (8L, "dial 555.123.4567 today")                // strict NANP dotted hits
     ).toDF("doc_id", "text")
     val out = Curation.redactPii(docs)
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
@@ -79,6 +82,9 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ((0L, "released 2024, revised 2026-08-12")))
     assert(out(4L) === ((2L, "dial <PHONE> or <PHONE>")))
     assert(out(5L) === ((2L, "call <PHONE> or <PHONE> now")))
+    assert(out(6L) === ((0L, "macOS 10.15.73 then 11.2.38 shipped")))
+    assert(out(7L) === ((0L, "due 12.04.2026 or 31.12.2026 latest")))
+    assert(out(8L) === ((1L, "dial <PHONE> today")))
   }
 
   test("redactPii counts reconcile with the mask tokens in the output") {
