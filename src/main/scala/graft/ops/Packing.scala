@@ -13,16 +13,23 @@ import org.apache.spark.sql.functions._
   * The core is a corpus-wide running token total — a prefix sum. A bare
   * `Window.orderBy` computes it on ONE partition (the classic global-window
   * scale-killer), so this does the textbook distributed prefix sum instead:
-  *   1. range-repartition by the (hash, id) stream order — a scalable
-  *      sampled shuffle, the only corpus-wide movement;
-  *   2. per-partition token subtotals (one tiny row per partition);
+  *   1. bucket rows by a DETERMINISTIC, order-preserving split of the
+  *      (md5-hash, id) stream order: bucket = ⌊hk·N / 2³²⌋. The hash key is
+  *      uniform on [0, 2³²), so buckets are balanced in expectation with no
+  *      sampling pass at all — where `repartitionByRange` would run an extra
+  *      corpus scan just to sample boundaries, and (because RangePartitioner
+  *      seeds from the RDD id) could draw DIFFERENT boundaries when its two
+  *      plan branches re-execute, a hazard that previously forced a persist
+  *      that library callers then had to remember to release. A pure
+  *      function of the row has no such hazard: both branches recompute the
+  *      same bucketing (and ReuseExchange dedups the physical shuffle).
+  *   2. per-bucket token subtotals (one tiny row per bucket);
   *   3. cumulative offsets over those subtotals — a single-partition window
-  *      over |partitions| rows, which is fine because it is O(partitions),
-  *      not O(corpus);
-  *   4. broadcast the offsets back and finish with a per-partition window.
-  * The result is the exact global cumsum in stream order — partition
+  *      over N rows, fine because it is O(buckets), not O(corpus);
+  *   4. broadcast the offsets back and finish with a per-bucket window.
+  * The result is the exact global cumsum in stream order — bucket
   * boundaries cancel out of the arithmetic, so the output is independent of
-  * the partition count (asserted in PackingSpec).
+  * the bucket count and of input partitioning (asserted in PackingSpec).
   *
   * Stream order is (md5-hash, id): deterministic, reproducible, and an
   * implicit corpus shuffle — exactly what training wants, no rand(). */
@@ -33,34 +40,34 @@ object Packing {
   def packSequences(docs: DataFrame, budget: Long,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sized = docs.select(col(idCol),
       Sampling.hashKey(col(idCol)).as("__hk"),
       size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
-    // 1. the only corpus-wide shuffle: range partition in stream order.
-    //    PERSISTED: `parted` feeds two plan branches (the offsets aggregate
-    //    and the final join), and RangePartitioner samples its boundaries
-    //    with an RDD-id-derived seed — re-executions can draw DIFFERENT
-    //    boundaries. Correctness must not hinge on ReuseExchange happening
-    //    to dedup the two scans; the persist pins one materialization that
-    //    both branches read.
-    val parted = sized.repartitionByRange(col("__hk"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 2-3. per-partition subtotals, then exclusive prefix over partitions
-    //      (tiny: one row per partition)
-    val offsets = parted.groupBy(col("__pid"))
+    // 1. deterministic order-preserving bucketing: hk ∈ [0, 2³²) uniform
+    //    (first 8 md5 hex chars), so ⌊hk·N / 2³²⌋ ∈ [0, N). Integer `div`
+    //    keeps the arithmetic exact; hk·N ≤ 2³²·N fits a long. The
+    //    repartition colocates each bucket (several buckets may share a
+    //    physical partition — the windows below key on __bucket, not on
+    //    spark_partition_id, so that is irrelevant to correctness).
+    val bucketed = sized
+      .withColumn("__bucket", expr(s"(__hk * $nBuckets) div 4294967296"))
+      .repartition(nBuckets, col("__bucket"))
+    // 2-3. per-bucket subtotals, then exclusive prefix over buckets
+    //      (tiny: one row per bucket)
+    val offsets = bucketed.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__psum"))
       .withColumn("__poff",
         coalesce(sum(col("__psum")).over(
-          Window.orderBy(col("__pid"))
+          Window.orderBy(col("__bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__poff"))
-    // 4. exclusive cumsum inside each partition + the partition's offset
+      .select(col("__bucket"), col("__poff"))
+    // 4. exclusive cumsum inside each bucket + the bucket's offset
     //    = exact global exclusive cumsum in (hash, id) stream order
-    val wIn = Window.partitionBy(col("__pid"))
+    val wIn = Window.partitionBy(col("__bucket"))
       .orderBy(col("__hk").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted.join(broadcast(offsets), "__pid")
+    bucketed.join(broadcast(offsets), "__bucket")
       .withColumn("__start",
         col("__poff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col(idCol), col("n_tokens"),
