@@ -299,6 +299,10 @@ object Pipeline {
     // the checker's pandas sort) and the byte mean is pinned by its exact
     // integer numerator (sum_bytes) instead of a float. The oracle redoes
     // the byte statistics from hex(blob), two nibbles per byte.
+    // The corpus payloads here are stub-format BY CONSTRUCTION (documents
+    // carry UTF-8 text, not image bytes), so this query exercises decodeStub;
+    // the real P6 PPM decoder + pixel-aware resize are exercised separately by
+    // MultimodalSpec's golden images (see Multimodal.decodePpm).
     QuerySpec.sql("mm_features",
       ("""WITH b AS (
         |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
