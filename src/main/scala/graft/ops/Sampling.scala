@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - [[stratifiedBernoulli]] is a pure narrow filter — no shuffle at all;
   *    rates ride in as a broadcast literal map.
-  *  - [[stratifiedQuota]] ranks within strata: one shuffle on the stratum
-  *    key. For a hot stratum (≫ quota), pre-thin with a Bernoulli filter at
-  *    a few × quota/|stratum| before ranking so the sort never sees the full
-  *    stratum — the rank-by-hash order is preserved under any hash prefilter
-  *    because both order by the same key.
-  *  - [[mixToWeights]] needs per-stratum counts first (one partial-agg pass,
-  *    output = |strata| rows, broadcast back) — two passes total, no
-  *    corpus-sized shuffle.
+  *  - [[stratifiedQuota]] and [[mixToWeights]] select the quota rows with a
+  *    DISTRIBUTED top-by-hash-rank: a naive
+  *    `row_number over (partition by stratum order by hk)` caps parallelism
+  *    at |strata| — with 5 languages, 5 tasks sort the whole corpus (the
+  *    round-7 100× probe measured 44.7 s for 500 k rows; at real scale one
+  *    task would sort terabytes). Instead: bucket rows by hash-key range
+  *    (order-preserving: every key in bucket b sorts before every key in
+  *    b+1), count per (stratum, bucket) — a map-side-combined aggregate
+  *    whose output is |strata|·B rows — classify each bucket keep-all /
+  *    drop-all / boundary from the tiny cumulative counts, and rank ONLY
+  *    the boundary bucket's rows (≈ corpus/B rows per stratum). The
+  *    corpus-sized path is a narrow filter + broadcast join; nothing
+  *    corpus-sized is ever shuffled or sorted.
   */
 object Sampling {
 
@@ -54,11 +59,60 @@ object Sampling {
     * function of the corpus alone. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, n: Int,
                       keyCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
+    val quotas = df.select(col(stratumCol)).distinct()
+      .withColumn("__quota", lit(n.toLong))
+    takeSmallestPerStratum(df, stratumCol, keyCol, quotas)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The `__quota` smallest-(hash, key) rows of each stratum, selected
+    * without a per-stratum global sort (see the scale-design scaladoc).
+    * `quotas`: one row per stratum with a long `__quota` column; strata
+    * absent from it are dropped. Output column set = input + none (helper
+    * callers re-project). Exactly equivalent to
+    * `row_number over (partition by stratum order by hk, key) <= quota`
+    * for NON-NULL strata (a null stratum never equi-joins its quota row and
+    * is dropped, where a window would have ranked it as its own partition —
+    * callers with nullable strata must filter or coalesce first).
+    */
+  private def takeSmallestPerStratum(df: DataFrame, stratumCol: String,
+                                     keyCol: String,
+                                     quotas: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Order-preserving range bucketing of the 32-bit hash key (same exact-
+    // arithmetic form as Packing: hk·B ≤ 2³²·B fits a long). (hk, key) ties
+    // land in one bucket by construction, so cross-bucket order is total.
+    val rows = df
+      .withColumn("__hk", hashKey(col(keyCol)))
+      .withColumn("__bucket", expr(s"(__hk * $nBuckets) div 4294967296"))
+    // Tiny aggregate: per-(stratum, bucket) row counts (map-side combined),
+    // then per-stratum running offsets over ≤ B rows per stratum.
+    val wCum = Window.partitionBy(col(stratumCol)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = rows.groupBy(col(stratumCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(wCum), lit(0L)))
+      .join(quotas, stratumCol)
+      // keep-all: the whole bucket ranks under the quota. boundary: the
+      // quota lands inside this bucket (at most one per stratum, since the
+      // running offset is monotone). Everything else drops.
+      .filter(col("__before") < col("__quota"))
+      .select(col(stratumCol), col("__bucket"),
+        (col("__before") + col("__cnt") <= col("__quota")).as("__all"),
+        (col("__quota") - col("__before")).as("__rem"))
+    // Corpus side stays narrow: broadcast the per-bucket verdicts back.
+    val tagged = rows.join(broadcast(classified), Seq(stratumCol, "__bucket"))
+    val keepAll = tagged.filter(col("__all"))
+    // Only the boundary buckets (≈ corpus/B rows per stratum) are ranked —
+    // partitioned by (stratum, bucket), so the sort is small AND parallel.
+    val wEdge = Window.partitionBy(col(stratumCol), col("__bucket"))
+      .orderBy(col("__hk").asc, col(keyCol).asc)
+    val fromEdge = tagged.filter(!col("__all"))
+      .withColumn("__rk", row_number().over(wEdge))
+      .filter(col("__rk") <= col("__rem"))
       .drop("__rk")
+    keepAll.unionByName(fromEdge)
   }
 
   /** Weighted mixture rebalance: subsample every stratum so the output
@@ -89,11 +143,7 @@ object Sampling {
         min(col("__cnt") / col("__w")).over(Window.partitionBy()))
       .select(col(stratumCol),
         floor(col("__w") * col("__factor")).cast("long").as("__quota"))
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashKey(col(keyCol)).asc, col(keyCol).asc)
-    weighted.join(quotas, stratumCol)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__quota"))
+    takeSmallestPerStratum(weighted, stratumCol, keyCol, quotas)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -49,4 +49,35 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     val cols = Sampling.mixToWeights(corpus, "lang", Map("en" -> 1.0)).columns
     assert(cols.toSeq === Seq("doc_id", "lang"))
   }
+
+  // The distributed bucket-classified selection must be EXACTLY the
+  // window-rank semantics it replaces (smallest (hash, key) per stratum).
+  private def windowReference(n: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hashKey(col("doc_id")).asc, col("doc_id").asc)
+    corpus.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).select("doc_id").as[Long].collect().toSet
+  }
+
+  test("stratifiedQuota equals the window-rank reference for every quota shape") {
+    // 0 (drop-all), 1, a mid quota (boundary bucket somewhere), stratum-size
+    // (keep-all everywhere), beyond stratum size.
+    for (n <- Seq(0, 1, 7, 25, 100, 1000)) {
+      val got = Sampling.stratifiedQuota(corpus, "lang", n)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === windowReference(n), s"quota=$n diverged")
+    }
+  }
+
+  test("stratifiedQuota is invariant to the bucket count (shuffle partitions)") {
+    val expected = windowReference(13)
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try for (b <- Seq("1", "3", "64")) {
+      spark.conf.set("spark.sql.shuffle.partitions", b)
+      val got = Sampling.stratifiedQuota(corpus, "lang", 13)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"buckets=$b diverged")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
 }
