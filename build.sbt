@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: measured 83.7/83.7 s for the full 68-query bench
+  // across two consecutive runs (vs 92-105 s under default G1, whose
+  // concurrent-marking pauses also landed 3-6 s on one or two random
+  // allocation-heavy queries per run). ZGC measured worse still (122.5 s).
+  // See BASELINE.md round-7 notes.
+  "-XX:+UseParallelGC",
 )
