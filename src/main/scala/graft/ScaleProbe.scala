@@ -111,6 +111,15 @@ object ScaleProbe {
           time(s"$tag/simhash_pairs")(Dedup.simhashPairs(docs).count())),
         "ngram_jaccard" -> (() =>
           time(s"$tag/ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "lang", 0.5).count())),
+        // The df-capped 100-TB shape: replica groups here are 100 deep, so
+        // at 100× their shared shingles have df ≈ 100-200 and the uncapped
+        // self-join's intermediate (L²/2 rows per shingle) exhausts local
+        // disk. maxDf=64 classifies exactly those group-wide shingles as
+        // boilerplate — pair discovery for deep duplicate groups is
+        // minhash_lsh's job (composition order, Dedup.scala scaladoc).
+        "ngram_jaccard_capped" -> (() =>
+          time(s"$tag/ngram_jaccard_capped")(
+            Dedup.ngramJaccardPairs(docs, "lang", 0.5, maxDf = 64).count())),
         "emb_neardup" -> (() =>
           time(s"$tag/emb_neardup")(EmbeddingSim.nearDupPairs(vecs, 0.45, planes = 4).count())),
         "hourly_rollup" -> (() =>

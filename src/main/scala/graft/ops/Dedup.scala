@@ -68,13 +68,41 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs within a blocking column (e.g.
     * language or shard). The shingle equi-join only pairs documents sharing
     * a shingle inside one block — the scalable "verify" stage of a dedup
-    * pipeline. Emits (doc_a < doc_b, jaccard ≥ threshold). */
+    * pipeline. Emits (doc_a < doc_b, jaccard ≥ threshold).
+    *
+    * `maxDf` (off by default) drops shingles shared by more than `maxDf`
+    * documents within a block BEFORE the self-join, and computes Jaccard
+    * over that filtered shingle universe (sizes and intersections both) —
+    * a deterministic, self-consistent semantic, not a sampled approximation.
+    * Why it exists: each shingle with posting-list length L contributes
+    * L²/2 candidate rows, so a corpus whose duplicates cluster in large
+    * groups makes the UNCAPPED join intermediate quadratic in group size —
+    * the round-7 100× probe (500 k docs, replica groups of 100) spilled
+    * > 43 GiB of shuffle and exhausted local disk. Ultra-common shingles
+    * are boilerplate (non-discriminative) by definition; with the cap the
+    * intermediate is bounded by maxDf²/2 per shingle. Documents whose every
+    * shingle is hot leave the universe (no pairs — by construction they
+    * only shared boilerplate). The production-scale pipeline runs
+    * [[minhashLshPairs]] first regardless (see the composition-order
+    * scaladoc at the top of this file). */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        maxDf: Int = Int.MaxValue): DataFrame = {
+    val shAll = shingleRows(docs, Some(blockCol), textCol)
+    val shKept =
+      if (maxDf == Int.MaxValue) shAll
+      else {
+        // The hot list is small (only shingles with df > maxDf survive the
+        // HAVING) — broadcast anti-join keeps the corpus side narrow.
+        val hot = shAll.groupBy(col(blockCol), col("s"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select(col(blockCol), col("s"))
+        shAll.join(broadcast(hot), Seq(blockCol, "s"), "left_anti")
+      }
     // Persisted: the exploded shingle set feeds THREE plan branches (sizes,
     // both self-join sides) and would otherwise re-tokenize the corpus 3×.
-    val sh = shingleRows(docs, Some(blockCol), textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shKept.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"),

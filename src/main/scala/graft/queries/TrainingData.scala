@@ -334,6 +334,36 @@ object TrainingData {
           .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // The df-capped configuration of the same operator — the 100-TB shape:
+    // shingles shared by more than maxDf docs in a block are boilerplate and
+    // are dropped BEFORE the self-join (each shingle with posting-list
+    // length L costs L²/2 candidate rows, so hot shingles make the
+    // intermediate quadratic in duplicate-group size; the uncapped form
+    // exhausted local disk at the 100× probe). Jaccard is computed over the
+    // filtered universe — deterministic, so the oracle mirrors the same
+    // HAVING filter.
+    QuerySpec.sql("dd_ngram_jaccard_capped",
+      """WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |keep AS (SELECT lang, s FROM sh GROUP BY lang, s HAVING count(*) <= 20),
+        |shf AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh JOIN keep USING (lang, s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |          FROM shf a JOIN shf b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "lang", 0.5, maxDf = 20)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     QuerySpec.sql("dd_minhash_lsh",
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

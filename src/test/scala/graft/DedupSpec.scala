@@ -80,6 +80,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(pairs((0L, 2L)) - 5.0 / 9.0) < 1e-12)
   }
 
+  test("ngramJaccardPairs maxDf drops hot shingles from the whole universe") {
+    // "a b c" appears in all six docs (df 6); every other shingle is rare.
+    val hot = Seq(
+      (1L, "a b c d e f g h"),   // 6 shingles
+      (2L, "a b c d e f g z"),   // 6 shingles, 5 shared with d1
+      (3L, "a b c u3 v3 w3 x3"), // filler docs that only share "a b c"
+      (4L, "a b c u4 v4 w4 x4"),
+      (5L, "a b c u5 v5 w5 x5"),
+      (6L, "a b c u6 v6 w6 x6")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    def run(maxDf: Int) =
+      Dedup.ngramJaccardPairs(hot, "lang", threshold = 0.6, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Uncapped: J(1,2) = 5 / (6 + 6 - 5) = 5/7.
+    val un = run(Int.MaxValue)
+    assert(un.keySet === Set((1L, 2L)))
+    assert(math.abs(un((1L, 2L)) - 5.0 / 7.0) < 1e-12)
+    // maxDf = 5 < df("a b c") = 6: that shingle leaves sizes AND
+    // intersections → J(1,2) = 4 / (5 + 5 - 4) = 2/3. Still the only pair.
+    val capped = run(5)
+    assert(capped.keySet === Set((1L, 2L)))
+    assert(math.abs(capped((1L, 2L)) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("connectedComponents resolves transitive chains to the min doc_id") {
     // 1-2, 2-3 chain plus an isolated 10-11 pair: min-label propagation must
     // carry 1 across the chain (two hops) and leave the pair at 10.
