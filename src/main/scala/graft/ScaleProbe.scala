@@ -107,6 +107,18 @@ object ScaleProbe {
       val probes: Seq[(String, () => (String, Double, Long))] = Seq(
         "minhash_lsh" -> (() =>
           time(s"$tag/minhash_lsh")(Dedup.minhashLshPairs(docs).count())),
+        // Times ONLY the marginal batch screen (~1% of docs against the
+        // rest): the corpus signature store is materialized untimed first,
+        // as it would be in deployment — that is the operator's point.
+        "incremental_minhash" -> (() => {
+          val batch = docs.filter(col("doc_id") % 97 === 0)
+          val corpusSig = Dedup.minhashSignature(
+              docs.filter(col("doc_id") % 97 =!= 0), 16)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          corpusSig.count()
+          time(s"$tag/incremental_minhash")(
+            Dedup.minhashLshPairsAgainst(batch, corpusSig).count())
+        }),
         "simhash_pairs" -> (() =>
           time(s"$tag/simhash_pairs")(Dedup.simhashPairs(docs).count())),
         "ngram_jaccard" -> (() =>

@@ -157,31 +157,71 @@ object Dedup {
     * 100 TB the signature is the thing you materialize ONCE. The self-join
     * is pinned shuffle-hash: both sides are the same size by construction,
     * so a broadcast is never the right physical choice at scale. */
-  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+  /** (doc_id, h0..h{n-1}, band, bkey) — one row per (doc, band), the bkey
+    * an md5 of that band's signature slice. The full signature rides along
+    * so band-join consumers compute agreement without a re-join. */
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(docs, numHashes, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
     }
-    val bandRows = sig.select(
+    sig.select(
       (col("doc_id") +: (0 until numHashes).map(i => col(s"h$i"))) :+
         explode(array(bandStructs: _*)).as("bb"): _*)
       .withColumn("band", col("bb.band")).withColumn("bkey", col("bb.bkey"))
       .drop("bb")
-    val agree = (0 until numHashes)
+  }
+
+  private def bandAgreement(numHashes: Int): Column =
+    (0 until numHashes)
       .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    bandRows.as("x").hint("shuffle_hash")
-      .join(bandRows.as("y"),
+      .reduce(_ + _) * lit(1.0) / numHashes
+
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = minhashSignature(docs, numHashes, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val br = bandRows(sig, numHashes, bands)
+    br.as("x").hint("shuffle_hash")
+      .join(br.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        (agree * lit(1.0) / numHashes).as("est_jaccard"))
+        bandAgreement(numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Incremental near-dup: a NEW BATCH against a pre-computed corpus
+    * signature store — the everyday shape at scale: fingerprint the corpus
+    * ONCE ([[minhashSignature]], materialized to a table), then screen each
+    * arriving batch against it without touching corpus text again. Only the
+    * batch is shingled here; the corpus side contributes band rows derived
+    * from its stored fixed-width signature (numHashes longs per doc — the
+    * thing you keep, orders of magnitude smaller than the text).
+    *
+    * Emits (doc_new, doc_corpus, est_jaccard ≥ threshold). Ids present on
+    * both sides (a batch replaying corpus rows) never self-pair. The join is
+    * asymmetric: a small batch's band rows broadcast naturally; Catalyst
+    * picks that when sizes warrant, so no join-strategy pin here (unlike the
+    * self-join in [[minhashLshPairs]], where neither side is small). */
+  def minhashLshPairsAgainst(newDocs: DataFrame, corpusSig: DataFrame,
+                             numHashes: Int = 16, bands: Int = 4,
+                             threshold: Double = 0.5,
+                             textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newBr = bandRows(minhashSignature(newDocs, numHashes, textCol),
+      numHashes, bands)
+    val corpusBr = bandRows(corpusSig, numHashes, bands)
+    newBr.as("x")
+      .join(corpusBr.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_corpus"),
+        bandAgreement(numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
   }

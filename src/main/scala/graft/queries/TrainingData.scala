@@ -394,6 +394,50 @@ object TrainingData {
           .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Incremental dedup — the everyday 100-TB operation: fingerprint the
+    // corpus ONCE, then screen each arriving batch against the stored
+    // signatures without touching corpus text again. Batch = doc_id % 10
+    // = 0 here; the corpus side enters as minhashSignature output only.
+    // Oracle: identical signature/band CTEs over all docs, band-joined
+    // batch-side × corpus-side.
+    QuerySpec.sql("dd_incremental_minhash",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_corpus
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+        |         WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0)
+        |SELECT doc_new, doc_corpus,
+        |       round(len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0, 4) AS est_jaccard
+        |FROM cand JOIN sig sa ON sa.doc_id = doc_new JOIN sig sb ON sb.doc_id = doc_corpus
+        |WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5
+        |ORDER BY doc_new, doc_corpus""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpusSig = Dedup.minhashSignature(
+          docs.filter(col("doc_id") % 10 =!= 0), numHashes = 16)
+        Dedup.minhashLshPairsAgainst(
+            docs.filter(col("doc_id") % 10 === 0), corpusSig,
+            numHashes = 16, bands = 4, threshold = 0.5)
+          .select(col("doc_new"), col("doc_corpus"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy(col("doc_new"), col("doc_corpus"))
+      }
+    },
+
     QuerySpec.sql("dd_simhash",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) || md5('#' || t) AS h FROM tok GROUP BY 1, 2),

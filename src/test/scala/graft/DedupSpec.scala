@@ -46,6 +46,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("minhashLshPairsAgainst matches the self-join restricted to batch-corpus pairs") {
+    val all = docs.filter(col("doc_id") < 4)
+    val batch = all.filter(col("doc_id") % 2 === 0)   // 0, 2
+    val corpus = all.filter(col("doc_id") % 2 =!= 0)  // 1, 3
+    val inc = Dedup.minhashLshPairsAgainst(batch,
+        Dedup.minhashSignature(corpus, 16), threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    // Reference: the full self-join, keeping only (batch, corpus) pairs in
+    // either orientation.
+    val full = Dedup.minhashLshPairs(all, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard"))
+      .flatMap { case ((a, b), j) => Seq((a, b) -> j, (b, a) -> j) }
+      .collect { case ((n, c), j) if n % 2 == 0 && c % 2 == 1 => (n, c) -> j }
+      .toMap
+    assert(inc === full)
+    assert(inc.contains((0L, 1L)))  // the planted exact dup crosses the split
+  }
+
   test("hashedTfCosinePairs scores exact duplicates at cosine 1.0") {
     val pairs = Dedup.hashedTfCosinePairs(docs.filter(col("doc_id") < 4), threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
