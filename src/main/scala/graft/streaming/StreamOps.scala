@@ -78,4 +78,29 @@ object StreamOps {
           } else Iterator.empty
       }
   }
+
+  /** Streaming incremental dedup: screen each arriving micro-batch of
+    * documents against a STATIC corpus signature store
+    * ([[graft.ops.Dedup.minhashSignature]] output, materialized once).
+    *
+    * Why foreachBatch and not a streaming join: the batch side's signature
+    * is an aggregation over its exploded shingles, and a streaming
+    * aggregation keyed by doc_id would accumulate doc state across batches
+    * (wrong semantic — each doc arrives whole in one batch) and force
+    * update mode. Inside foreachBatch the micro-batch is a plain static
+    * frame, so the exact batch operator applies unchanged, per batch —
+    * Spark's own recommended pattern for batch-complete work on streams.
+    * `onPairs` receives (near-dup pairs, batchId); emit to a sink, a delta
+    * table, or a quarantine topic as the deployment demands. */
+  def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
+                           onPairs: (DataFrame, Long) => Unit,
+                           numHashes: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(graft.ops.Dedup.minhashLshPairsAgainst(
+          batch, corpusSig, numHashes, bands, threshold), batchId)
+      }
 }

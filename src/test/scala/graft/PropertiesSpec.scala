@@ -60,6 +60,29 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("distributed quota selection equals the window rank on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Sampling
+    // Random id sets (gaps, duplicates of strata, tiny and larger corpora)
+    // and random quotas, vs the per-stratum window-rank reference the
+    // bucket-classified selection replaced.
+    val gen = for {
+      ids <- Gen.nonEmptyListOf(Gen.choose(0L, 500L)).map(_.distinct)
+      quota <- Gen.choose(0, 30)
+    } yield (ids, quota)
+    samples(gen, 6).foreach { case (ids, quota) =>
+      val df = ids.map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+        .toDF("doc_id", "lang")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(Sampling.hashKey(col("doc_id")).asc, col("doc_id").asc)
+      val expected = df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= quota).select("doc_id").as[Long].collect().toSet
+      val got = Sampling.stratifiedQuota(df, "lang", quota)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"ids=${ids.size} quota=$quota diverged")
+    }
+  }
+
   test("jaccard pairs are within (0,1] with doc_a < doc_b") {
     val texts = Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w"))
       .map(_.mkString(" ")))

@@ -115,4 +115,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(current === Map("a" -> 2L, "b" -> 4L))
     query.stop()
   }
+
+  test("streaming incremental dedup screens each micro-batch against the static signature store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different content about spark engines here"))
+      .toDF("doc_id", "text")
+    // The store: built once, as a deployment would materialize it.
+    val corpusSig = Dedup.minhashSignature(corpus, 16).cache()
+
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val query = StreamOps.screenStreamNearDups(
+      input.toDF().toDF("doc_id", "text"), corpusSig,
+      (pairs, batchId) => collected.synchronized {
+        collected(batchId) = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }).start()
+
+    // Batch with a dup of corpus doc 100 and an unrelated doc.
+    input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "nothing like anything stored before at all"))
+    query.processAllAvailable()
+    // Second batch: a replay of corpus doc 101 under a new id (an 8-word
+    // doc has only 6 shingles, so a one-word edit sits near the 16-hash
+    // LSH detection floor — an exact replay keeps the fixture
+    // deterministic; near-dup sensitivity is covered by DedupSpec).
+    input.addData((3L, "completely different content about spark engines here"))
+    query.processAllAvailable()
+    query.stop()
+
+    val perBatch = collected.synchronized(collected.toMap)
+    assert(perBatch.values.toSeq.map(_.filter(_._1 == 1L)).exists(_ == Set((1L, 100L))),
+      s"batch-1 exact dup not flagged: $perBatch")
+    assert(perBatch.values.flatten.toSet.contains((3L, 101L)),
+      s"batch-2 replayed dup not flagged: $perBatch")
+    // Doc 2 shares nothing with the corpus — never flagged.
+    assert(!perBatch.values.flatten.exists(_._1 == 2L))
+  }
 }
