@@ -64,6 +64,31 @@ object TextStats {
         + lit(0.3) * lengthScore, 4).as("quality"))
   }
 
+  /** Corpus-relative quality gate: keep documents whose [[qualityScore]]
+    * is at or above the `pct`-th percentile of the whole corpus — "drop the
+    * worst X%" without hand-tuning an absolute threshold per corpus.
+    *
+    * `exact = true` uses `percentile` (interpolating, matches DuckDB's
+    * `quantile_cont`, oracle-checkable) — but a single-group exact
+    * percentile funnels EVERY quality value into one reducer, so it is for
+    * verify-scale corpora only. At real scale pass `exact = false`:
+    * `percentile_approx` is a mergeable Greenwald-Khanna sketch (map-side
+    * partials, one small final merge), the standard trade. Either way the
+    * threshold is a 1-row aggregate broadcast back — the corpus-sized side
+    * is a narrow filter, same shape as Recent.anchorMax. */
+  def qualityPercentileFilter(docs: DataFrame, stopwords: Seq[String],
+                              pct: Double, exact: Boolean = true,
+                              textCol: String = "text"): DataFrame = {
+    val scored = qualityScore(docs, stopwords, textCol)
+    val thr = scored.agg(
+      (if (exact) percentile(col("quality"), lit(pct))
+       else percentile_approx(col("quality"), lit(pct), lit(10000)))
+        .as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Marker-token language scoring (n-gram-profile language-ID in its
     * simplest deterministic form): score(candidate) = share of tokens in the
     * candidate's marker set; prediction = rank-1 by (score desc, lang asc).

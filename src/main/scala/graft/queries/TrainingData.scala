@@ -107,6 +107,26 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Corpus-relative quality gate: keep the top quartile by quality score.
+    // The exact interpolating percentile matches DuckDB quantile_cont; the
+    // production path at scale is percentile_approx (see
+    // TextStats.qualityPercentileFilter scaladoc).
+    QuerySpec.sql("t_quality_filter",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         round(len(list_filter(sp, t -> list_contains(['the', 'a'], t))) * 1.0 / len(sp), 4) AS stop_ratio,
+        |         round(0.4 * (1.0 - len(list_filter(sp, t -> list_contains(['the', 'a'], t))) * 1.0 / len(sp))
+        |               + 0.3 * (len(list_distinct(sp)) * 1.0 / len(sp))
+        |               + 0.3 * least(len(sp) * 1.0 / 100.0, 1.0), 4) AS quality
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+        |thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM q)
+        |SELECT doc_id, stop_ratio, quality FROM q, thr
+        |WHERE quality >= t ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.qualityPercentileFilter(Tables.documents(s, dir), Stopwords, 0.75)
+          .orderBy(col("doc_id"))
+    },
+
     QuerySpec.sql("t_lang_id",
       s"""WITH scored AS (
         |  SELECT doc_id, cand,

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextStats
+
+class TextStatsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // Qualities are driven by unique-token ratio and length; "the" is the
+  // only stopword in play. Longer, more varied docs score higher.
+  private val docs = Seq(
+    (1L, "the the the the"),                                   // low: all stop, no variety
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"),     // high: all unique
+    (3L, "alpha alpha alpha alpha beta beta beta beta"),       // mid
+    (4L, "the quick brown fox jumps over lazy dogs daily")     // high-ish
+  ).toDF("doc_id", "text")
+
+  test("qualityPercentileFilter keeps exactly the docs at or above the corpus percentile") {
+    val scored = TextStats.qualityScore(docs, Seq("the"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    // Reference: interpolating median over the four quality values.
+    val sorted = scored.values.toSeq.sorted
+    val median = (sorted(1) + sorted(2)) / 2.0
+    val expected = scored.filter(_._2 >= median).keySet
+    val kept = TextStats.qualityPercentileFilter(docs, Seq("the"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expected)
+    assert(!kept.contains(1L)) // the all-stopword doc is always below median
+  }
+
+  test("the approx percentile path is a consistent quality cut containing the exact cut") {
+    // percentile_approx returns an ACTUAL corpus value (no interpolation),
+    // so its threshold sits at or below the exact interpolated one — the
+    // kept set can only grow, and both paths must cut cleanly by quality
+    // (every kept doc at least as good as every dropped doc).
+    val scored = TextStats.qualityScore(docs, Seq("the"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val exact = TextStats.qualityPercentileFilter(docs, Seq("the"), 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = TextStats.qualityPercentileFilter(docs, Seq("the"), 0.75,
+        exact = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(approx))
+    val dropped = scored.keySet -- approx
+    if (approx.nonEmpty && dropped.nonEmpty)
+      assert(approx.map(scored).min >= dropped.map(scored).max)
+  }
+}
