@@ -91,10 +91,11 @@ object ScaleProbe {
     // scale needs its corpus ON DISK (multi-file at N× — this is exactly the
     // partitioned-layout path of Tables.parquetRowCount). Written under
     // target/, once per (factor, scale).
+    // Always (re)written: an exists() guard would happily reuse the partial
+    // output of a crashed run or stale data from a regenerated corpus.
     def writtenVecs(tag: String, vecs: DataFrame): String = {
       val path = s"target/scaleprobe/vecs_$tag"
-      if (!new java.io.File(path).exists())
-        vecs.write.mode("overwrite").parquet(path)
+      vecs.write.mode("overwrite").parquet(path)
       path
     }
 

@@ -88,17 +88,24 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                         textCol: String = "text",
                         maxDf: Int = Int.MaxValue): DataFrame = {
-    val shAll = shingleRows(docs, Some(blockCol), textCol)
     val shKept =
-      if (maxDf == Int.MaxValue) shAll
+      if (maxDf == Int.MaxValue) shingleRows(docs, Some(blockCol), textCol)
       else {
-        // The hot list is small (only shingles with df > maxDf survive the
-        // HAVING) — broadcast anti-join keeps the corpus side narrow.
+        // Persisted: building the filtered universe evaluates the shingle
+        // set twice (the df aggregate + the anti-join probe side) — without
+        // the cache that is two full tokenize+explode passes. No broadcast
+        // hint on the hot list: on boilerplate-heavy corpora it can itself
+        // grow corpus-like, and a pinned broadcast would collect it to the
+        // driver (the scale-killer hashedTfCosinePairs' scaladoc warns
+        // about); AQE upgrades the anti-join to broadcast at runtime
+        // whenever the list is actually small.
+        val shAll = shingleRows(docs, Some(blockCol), textCol)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val hot = shAll.groupBy(col(blockCol), col("s"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf)
           .select(col(blockCol), col("s"))
-        shAll.join(broadcast(hot), Seq(blockCol, "s"), "left_anti")
+        shAll.join(hot, Seq(blockCol, "s"), "left_anti")
       }
     // Persisted: the exploded shingle set feeds THREE plan branches (sizes,
     // both self-join sides) and would otherwise re-tokenize the corpus 3×.

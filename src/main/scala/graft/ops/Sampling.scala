@@ -56,28 +56,34 @@ object Sampling {
   /** Fixed quota per stratum: deterministically the `n` rows with the
     * smallest hash keys in each stratum (all rows when the stratum is
     * smaller than `n`). Tie-broken by the key itself, so the sample is a
-    * function of the corpus alone. */
+    * function of the corpus alone.
+    *
+    * Contract notes (both selection methods): NULL strata are dropped —
+    * the replaced window-rank form sampled them as their own partition;
+    * coalesce a nullable stratum first if those rows matter. The stratum
+    * column is expected LOW-cardinality (languages, sources, shards): the
+    * per-(stratum, bucket) verdict relation has |strata|·B rows, which is
+    * what the selection joins back against the corpus. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, n: Int,
-                      keyCol: String = "doc_id"): DataFrame = {
-    val quotas = df.select(col(stratumCol)).distinct()
-      .withColumn("__quota", lit(n.toLong))
-    takeSmallestPerStratum(df, stratumCol, keyCol, quotas)
+                      keyCol: String = "doc_id"): DataFrame =
+    takeSmallestPerStratum(df, stratumCol, keyCol,
+      _.withColumn("__quota", lit(n.toLong)))
       .select(df.columns.map(col).toIndexedSeq: _*)
-  }
 
   /** The `__quota` smallest-(hash, key) rows of each stratum, selected
     * without a per-stratum global sort (see the scale-design scaladoc).
-    * `quotas`: one row per stratum with a long `__quota` column; strata
-    * absent from it are dropped. Output column set = input + none (helper
-    * callers re-project). Exactly equivalent to
-    * `row_number over (partition by stratum order by hk, key) <= quota`
-    * for NON-NULL strata (a null stratum never equi-joins its quota row and
-    * is dropped, where a window would have ranked it as its own partition —
-    * callers with nullable strata must filter or coalesce first).
+    * `attachQuota` attaches a long `__quota` column to the per-(stratum,
+    * bucket) counts frame — a literal for fixed quotas (no extra corpus
+    * pass), or an equi-join against a per-stratum quota relation (strata
+    * absent from it are dropped, including NULL, which never equi-joins).
+    * Output column set = input + none (callers re-project). Exactly
+    * equivalent to `row_number over (partition by stratum order by hk,
+    * key) <= quota` for non-null strata.
     */
   private def takeSmallestPerStratum(df: DataFrame, stratumCol: String,
                                      keyCol: String,
-                                     quotas: DataFrame): DataFrame = {
+                                     attachQuota: DataFrame => DataFrame)
+      : DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Order-preserving range bucketing of the 32-bit hash key (same exact-
@@ -90,10 +96,10 @@ object Sampling {
     // then per-stratum running offsets over ≤ B rows per stratum.
     val wCum = Window.partitionBy(col(stratumCol)).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val classified = rows.groupBy(col(stratumCol), col("__bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__before", coalesce(sum(col("__cnt")).over(wCum), lit(0L)))
-      .join(quotas, stratumCol)
+    val classified = attachQuota(
+      rows.groupBy(col(stratumCol), col("__bucket"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__before", coalesce(sum(col("__cnt")).over(wCum), lit(0L))))
       // keep-all: the whole bucket ranks under the quota. boundary: the
       // quota lands inside this bucket (at most one per stratum, since the
       // running offset is monotone). Everything else drops.
@@ -101,8 +107,12 @@ object Sampling {
       .select(col(stratumCol), col("__bucket"),
         (col("__before") + col("__cnt") <= col("__quota")).as("__all"),
         (col("__quota") - col("__before")).as("__rem"))
-    // Corpus side stays narrow: broadcast the per-bucket verdicts back.
-    val tagged = rows.join(broadcast(classified), Seq(stratumCol, "__bucket"))
+    // The corpus side stays narrow when the verdict relation broadcasts —
+    // no pinned hint: at |strata|·B rows it is small for the low-
+    // cardinality strata this targets and AQE broadcasts it at runtime,
+    // while a pathological high-cardinality stratum column degrades to a
+    // shuffle join instead of a driver-side collect failure.
+    val tagged = rows.join(classified, Seq(stratumCol, "__bucket"))
     val keepAll = tagged.filter(col("__all"))
     // Only the boundary buckets (≈ corpus/B rows per stratum) are ranked —
     // partitioned by (stratum, bucket), so the sort is small AND parallel.
@@ -143,7 +153,8 @@ object Sampling {
         min(col("__cnt") / col("__w")).over(Window.partitionBy()))
       .select(col(stratumCol),
         floor(col("__w") * col("__factor")).cast("long").as("__quota"))
-    takeSmallestPerStratum(weighted, stratumCol, keyCol, quotas)
+    takeSmallestPerStratum(weighted, stratumCol, keyCol,
+      _.join(quotas, stratumCol))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }
