@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -91,16 +92,19 @@ object Dedup {
     val shKept =
       if (maxDf == Int.MaxValue) shingleRows(docs, Some(blockCol), textCol)
       else {
-        // Persisted: building the filtered universe evaluates the shingle
-        // set twice (the df aggregate + the anti-join probe side) — without
-        // the cache that is two full tokenize+explode passes. No broadcast
-        // hint on the hot list: on boilerplate-heavy corpora it can itself
-        // grow corpus-like, and a pinned broadcast would collect it to the
-        // driver (the scale-killer hashedTfCosinePairs' scaladoc warns
-        // about); AQE upgrades the anti-join to broadcast at runtime
-        // whenever the list is actually small.
+        // NOT persisted: only the filtered result below is cached, so the
+        // hot-list aggregate costs one extra tokenize+explode pass. The
+        // alternative (persisting this frame too) double-pins corpus-sized
+        // shingle blocks for the session's lifetime — the exact MemoryStore
+        // pressure class the round-6 contagion post-mortem documents — and
+        // an operator returning a lazy frame has no sound point to unpersist
+        // it. No broadcast hint on the hot list: on boilerplate-heavy
+        // corpora it can itself grow corpus-like, and a pinned broadcast
+        // would collect it to the driver (the scale-killer
+        // hashedTfCosinePairs' scaladoc warns about); AQE upgrades the
+        // anti-join to broadcast at runtime whenever the list is actually
+        // small.
         val shAll = shingleRows(docs, Some(blockCol), textCol)
-          .persist(StorageLevel.MEMORY_AND_DISK)
         val hot = shAll.groupBy(col(blockCol), col("s"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf)
@@ -460,16 +464,30 @@ object Dedup {
     * shuffle carries only survivors. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                    bands: Int = 4, textCol: String = "text"): DataFrame = {
+    // Persisted: the parsed-chunk signature is both self-join sides; the
+    // 64-conditional-sum simhash aggregation is the thing to compute once.
+    val sc = simhashChunks(docs, bits, bands, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    simhashBandPairs(sc, maxHamming, bands)
+  }
+
+  /** (doc_id, c0..c{bands-1}) — the simhash bitstring parsed once per doc
+    * into per-band long chunks, the join-ready signature form. */
+  private def simhashChunks(docs: DataFrame, bits: Int, bands: Int,
+                            textCol: String): DataFrame = {
     require(bits % bands == 0 && bits / bands <= 62, "chunk must fit a long")
     val width = bits / bands
     val chunkCols = (0 until bands).map(b =>
       conv(substring(col("simhash"), b * width + 1, width), 2, 10)
         .cast("long").as(s"c$b"))
-    // Persisted: the parsed-chunk signature is both self-join sides; the
-    // 64-conditional-sum simhash aggregation is the thing to compute once.
-    val sc = simhash(docs, bits, textCol)
-      .select(col("doc_id") +: chunkCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    simhash(docs, bits, textCol).select(col("doc_id") +: chunkCols: _*)
+  }
+
+  /** Band self-join + hamming verification over a chunked signature frame
+    * (shared by [[simhashPairs]] and the representative join in
+    * [[simhashEdges]]). */
+  private def simhashBandPairs(sc: DataFrame, maxHamming: Int,
+                               bands: Int): DataFrame = {
     val bandRows = sc.select(col("*"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"c$b").as("bkey"))): _*)).as("bb"))
@@ -486,5 +504,89 @@ object Dedup {
         hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Signature-contracted spanning edges over identical-signature groups:
+    * annotate each row with its group's min-doc_id representative
+    * (window-min over the signature columns — ONE shuffle of fixed-width
+    * signatures), star-connect members to the representative, and return
+    * (star edges, representative signature frame).
+    *
+    * The annotated frame is PERSISTED: it feeds the star filter, the rep
+    * filter, and (through reps) both sides of the downstream band self-join
+    * — without the cache the expensive signature aggregation re-runs four
+    * times. Shared by [[simhashEdges]] and [[minhashLshEdges]]. */
+  private def contractSignatures(sig: DataFrame, sigCols: Seq[Column])
+      : (DataFrame, DataFrame) = {
+    val withRep = sig
+      .withColumn("__rep", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stars = withRep.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val reps = withRep.filter(col("doc_id") === col("__rep")).drop("__rep")
+    (stars, reps)
+  }
+
+  /** Near-dup edges for CLUSTERING consumers ([[connectedComponents]] /
+    * [[canonicalize]]): a spanning edge set whose transitive closure equals
+    * [[simhashPairs]]' — with the all-pairs blowup on duplicate-saturated
+    * corpora contracted away.
+    *
+    * Why it is safe: hamming distance is a function of the SIGNATURE alone,
+    * so documents with identical simhash have identical neighbor sets.
+    * Contract each identical-signature group to its min-doc_id
+    * representative via star edges (hamming 0 — a genuine near-dup edge for
+    * any maxHamming ≥ 0), and run the band self-join on representatives
+    * only. Any full-graph edge (a, b) becomes the path a—rep(a)—rep(b)—b,
+    * and every star edge is itself a full-graph edge, so the components
+    * (and their min labels, and the doc coverage) are identical. Note this
+    * is NOT the naive "one star per band bucket" rewrite — that would
+    * fabricate edges between same-bucket documents that FAIL hamming
+    * verification.
+    *
+    * Why it matters at 100 TB: a replica group of m identical documents
+    * emits m−1 star edges here versus m²/2 verified pairs in
+    * [[simhashPairs]] — and real crawled corpora are exactly replica-
+    * saturated (the round-7 100× probe's ~25 M input pairs into
+    * `dd_cluster_canonical` were dominated by its planted replica groups).
+    * Everything downstream — including the CC loop, whose per-round cost is
+    * edge-bound — shrinks |group|-fold. Pair-LISTING queries keep
+    * [[simhashPairs]]: their output contract is every verified pair with
+    * its distance. */
+  def simhashEdges(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
+                   bands: Int = 4, textCol: String = "text"): DataFrame = {
+    val sc = simhashChunks(docs, bits, bands, textCol)
+    val (stars, reps) = contractSignatures(sc, (0 until bands).map(b => col(s"c$b")))
+    // disjoint by construction (a star's doc_b is never a representative),
+    // so a plain union — no distinct over the combined edge set
+    stars.union(
+      simhashBandPairs(reps, maxHamming, bands).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** MinHash analogue of [[simhashEdges]]: band agreement is also a function
+    * of the signature alone (identical signatures agree at exactly 1.0 ≥ any
+    * threshold ≤ 1), so the same contraction yields a spanning edge set whose
+    * closure equals [[minhashLshPairs]]' — for feeding
+    * [[connectedComponents]] / [[canonicalize]] when the pair volume, not
+    * the pair list, is the cost. */
+  def minhashLshEdges(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold <= 1.0,
+      "star edges assume identical signatures pass the agreement filter")
+    val sig = minhashSignature(docs, numHashes, textCol)
+    val (stars, reps) =
+      contractSignatures(sig, (0 until numHashes).map(i => col(s"h$i")))
+    val br = bandRows(reps, numHashes, bands)
+    val repPairs = br.as("x").hint("shuffle_hash")
+      .join(br.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bandAgreement(numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    stars.union(repPairs)
   }
 }

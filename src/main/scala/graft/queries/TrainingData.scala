@@ -532,7 +532,14 @@ object TrainingData {
         |ORDER BY d.doc_id""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.canonicalize(docs, Dedup.simhashPairs(docs, maxHamming = 3))
+        // simhashEdges, not simhashPairs: the clustering consumer needs a
+        // spanning edge set, not every verified pair — identical-signature
+        // groups are star-contracted, so replica-saturated corpora feed the
+        // CC loop |group|-fold fewer edges with provably identical
+        // components (see Dedup.simhashEdges' scaladoc). The oracle's
+        // recursive CTE still closes the ALL-pairs graph — matching output
+        // is exactly the invariance claim under test.
+        Dedup.canonicalize(docs, Dedup.simhashEdges(docs, maxHamming = 3))
           .orderBy(col("doc_id"))
       }
     },

@@ -123,6 +123,57 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(capped((1L, 2L)) - 2.0 / 3.0) < 1e-12)
   }
 
+  // Replica-saturated corpus for the signature-contraction invariance tests:
+  // a 3-deep identical group (0-2), a 2-deep identical near-dup group (3-4),
+  // and two unrelated singletons.
+  private lazy val replicaCorpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the sleepy dog"),
+    (4L, "the quick brown fox jumps over the sleepy dog"),
+    (5L, "completely different content about spark engines here"),
+    (6L, "another unrelated document text entirely separate words")
+  ).toDF("doc_id", "text")
+
+  private def componentsOf(pairs: org.apache.spark.sql.DataFrame) =
+    Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("simhashEdges closure equals simhashPairs closure, with fewer edges") {
+    val pairs = Dedup.simhashPairs(replicaCorpus, maxHamming = 3)
+    val edges = Dedup.simhashEdges(replicaCorpus, maxHamming = 3)
+    val comps = componentsOf(edges)
+    assert(comps === componentsOf(pairs))
+    // the identical groups must be clustered under their min ids
+    assert(comps(1L) === 0L && comps(2L) === 0L && comps(4L) === comps(3L))
+    // contraction fires: the 3-replica group alone is 3 all-pairs vs 2 stars
+    assert(edges.count() < pairs.count())
+    // every star edge is a genuine hamming-0 pair — edges ⊆ verified pairs
+    val pairSet = Dedup.simhashPairs(replicaCorpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet.subsetOf(pairSet))
+  }
+
+  test("minhashLshEdges closure equals minhashLshPairs closure, with fewer edges") {
+    val pairs = Dedup.minhashLshPairs(replicaCorpus, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = Dedup.minhashLshEdges(replicaCorpus, threshold = 0.5)
+    assert(componentsOf(edges) === componentsOf(pairs))
+    assert(edges.count() < pairs.count())
+  }
+
+  test("signature-contracted edges on an all-unique corpus degrade to the pair join") {
+    // no identical signatures → zero star edges; the rep join IS the full join
+    val unique = docs.filter(col("doc_id") =!= 1)
+    val edgeSet = Dedup.simhashEdges(unique, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairSet = Dedup.simhashPairs(unique, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet === pairSet)
+  }
+
   test("connectedComponents resolves transitive chains to the min doc_id") {
     // 1-2, 2-3 chain plus an isolated 10-11 pair: min-label propagation must
     // carry 1 across the chain (two hops) and leave the pair at 10.
