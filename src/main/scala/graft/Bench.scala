@@ -13,14 +13,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: JIT/codegen/scheduler cold-start otherwise lands on
-    // whichever query happens to run first.
-    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     // sorted: deterministic execution order makes per-query timings
     // comparable across runs (Map order varies per JVM).
     // Optional comma-separated query filter for targeted local iteration
     // (the driver sets no filter and measures everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def hygiene(): Int = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val dropped = BlockHygiene.destroyBroadcasts(spark.sparkContext)
+      System.gc()
+      dropped
+    }
+    // Untimed warm-up: the driver measures a fresh JVM, so cold-start —
+    // janino compiles of every query's generated code, C1/C2 of the shared
+    // shuffle/agg/window/parquet paths, scheduler init — otherwise lands on
+    // whichever queries run first alphabetically (BENCH_r07 billed ~25 s of
+    // JIT to ann_*/dd_cluster_canonical over their warm envelopes, purely by
+    // sort order). Running the full registry once at the smallest SF
+    // compiles all of it before anything is timed; plan shapes (and thus the
+    // generated classes) are data-volume-independent, so sf0.001 warms
+    // exactly the code sf0.1 runs. Skippable for targeted local iteration
+    // via SPARK_GRAFT_NOWARMUP=1 (the driver sets no env, so it always
+    // warms).
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory && !sys.env.contains("SPARK_GRAFT_NOWARMUP")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+          try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-warmup] $name failed: ${e.getMessage}")
+          }
+        }
+      hygiene()
+      System.err.println(
+        f"[bench-warmup] registry warmed at ${warmDir.getPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -46,10 +77,7 @@ object Bench {
       // 3. everything weakref-tracked (shuffle state, leftover handles):
       //    System.gc() lets ContextCleaner's reference queue drain now rather
       //    than mid-way through a later timed query.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      val dropped = BlockHygiene.destroyBroadcasts(spark.sparkContext)
-      System.gc()
+      val dropped = hygiene()
       val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
       System.err.println(
         f"[bench-gap] $name%-28s ${elapsed}%8.3f s; dropped $dropped%3d broadcasts; storage used after gap ${storageUsed / 1048576.0}%9.2f MiB")

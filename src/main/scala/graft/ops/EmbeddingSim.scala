@@ -229,7 +229,13 @@ object EmbeddingSim {
     * plane count (which goes quadratic the moment the corpus outgrows it).
     * Clamped to [4, 24]: fewer than 4 planes blocks nothing useful, more
     * than 24 makes buckets so small that hamming-1 probing can't hold
-    * recall. */
+    * recall.
+    *
+    * Sizing callers typically feed this `Tables.parquetRowCount`, whose
+    * (path, directory-modTime) memo goes stale on an in-place file rewrite
+    * that adds no top-level directory entry (`Tables.scala` documents the
+    * granularity) — a stale count only shifts the plane count by the log2
+    * of the size drift, so blocking degrades gradually, never wrongly. */
   def autoPlanes(corpusSize: Long, targetPerBucket: Long = 64): Int = {
     val raw = math.ceil(
       math.log(math.max(1.0, corpusSize.toDouble / targetPerBucket)) / math.log(2.0)).toInt

@@ -8,16 +8,16 @@ import org.apache.spark.sql.functions._
   * operators structured the way a production pipeline runs them —
   * batched per partition, schema-typed in and out, no driver collects.
   *
-  * Codec status: [[Multimodal.decodePpm]] is a REAL dependency-free P6
-  * (binary PPM) decoder, dispatched by format through
-  * [[Multimodal.decode]]; other formats fall back to
-  * [[Multimodal.decodeStub]], a deterministic fake that treats the payload
-  * bytes as the "decoded frame" (this container has no image/audio
-  * libraries). Everything around the codec — the Dataset schemas, the
-  * mapPartitions batch shape (the Scala analogue of `mapInPandas` with
-  * Arrow batches), the per-partition batching, and the downstream
-  * aggregations — is real and tested; a JNI/image-library decoder is one
-  * new `decode` case.
+  * Codec status: [[Multimodal.decodePpm]] (P6 binary RGB) and
+  * [[Multimodal.decodePgm]] (P5 binary grayscale) are REAL dependency-free
+  * netpbm decoders, dispatched by format through [[Multimodal.decode]];
+  * other formats fall back to [[Multimodal.decodeStub]], a deterministic
+  * fake that treats the payload bytes as the "decoded frame" (this
+  * container has no image/audio libraries). Everything around the codecs —
+  * the Dataset schemas, the mapPartitions batch shape (the Scala analogue
+  * of `mapInPandas` with Arrow batches), the per-partition batching, and
+  * the downstream aggregations — is real and tested; a JNI/image-library
+  * decoder is one new `decode` case.
   */
 object Multimodal {
 
@@ -63,13 +63,13 @@ object Multimodal {
     * exact downstream values. */
   def decodeStub(payload: Array[Byte], format: String): Array[Byte] = payload
 
-  /** Real P6 (binary) PPM decode — dependency-free: parses the
-    * `P6 <width> <height> <maxval>` header (whitespace- and
+  /** Shared binary-netpbm decode (P5 PGM / P6 PPM — same header grammar,
+    * different magic and channel count): parses the
+    * `<magic> <width> <height> <maxval>` header (whitespace- and
     * `#`-comment-tolerant, per the netpbm spec) and returns (width, height,
-    * raw RGB raster). The one genuine codec behind the batched decode path;
-    * it exercises exactly the seam a JNI/image-library decoder would plug
-    * into. */
-  def decodePpm(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    * raw raster of width·height·channels bytes). */
+  private def decodeNetpbm(payload: Array[Byte], magic: String,
+                           channels: Int): (Int, Int, Array[Byte]) = {
     var i = 0
     def skipWs(): Unit = {
       var done = false
@@ -86,25 +86,45 @@ object Multimodal {
       while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
       new String(payload, start, i - start, "US-ASCII")
     }
-    require(token() == "P6", "not a binary PPM (P6) payload")
+    require(token() == magic, s"not a binary netpbm ($magic) payload")
     val w = token().toInt; val h = token().toInt; val maxv = token().toInt
-    require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
-    require(maxv > 0 && maxv < 256, s"only 8-bit PPM supported (maxval $maxv)")
+    require(w > 0 && h > 0, s"bad $magic dimensions ${w}x$h")
+    require(maxv > 0 && maxv < 256, s"only 8-bit $magic supported (maxval $maxv)")
     i += 1 // exactly one whitespace byte separates maxval from the raster
     // Long arithmetic: a crafted 65536x65536 header would overflow Int to
     // exactly 0, pass the truncation check, and silently decode an empty
     // raster instead of failing fast.
-    val n = w.toLong * h * 3
-    require(n <= payload.length - i, "truncated PPM raster")
+    val n = w.toLong * h * channels
+    require(n <= payload.length - i, s"truncated $magic raster")
     (w, h, java.util.Arrays.copyOfRange(payload, i, i + n.toInt))
   }
 
-  /** Format dispatch: `ppm` decodes for real ([[decodePpm]]); everything
-    * else keeps the documented stub. Every batched operator below routes
-    * through here, so a new codec is one new case. */
+  /** Real P6 (binary RGB) PPM decode — dependency-free. A genuine codec
+    * behind the batched decode path; it exercises exactly the seam a
+    * JNI/image-library decoder would plug into. */
+  def decodePpm(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    decodeNetpbm(payload, "P6", 3)
+
+  /** Real P5 (binary grayscale) PGM decode — same netpbm header grammar as
+    * [[decodePpm]], one channel per pixel. */
+  def decodePgm(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    decodeNetpbm(payload, "P5", 1)
+
+  /** Bytes per pixel for the formats that decode for real; None = stub. */
+  private def realChannels(format: String): Option[Int] = format match {
+    case "ppm" => Some(3)
+    case "pgm" => Some(1)
+    case _     => None
+  }
+
+  /** Format dispatch: `ppm`/`pgm` decode for real ([[decodePpm]] /
+    * [[decodePgm]]); everything else keeps the documented stub. Every
+    * batched operator below routes through here, so a new codec is one new
+    * case. */
   def decode(payload: Array[Byte], format: String): Array[Byte] =
     format match {
       case "ppm" => decodePpm(payload)._3
+      case "pgm" => decodePgm(payload)._3
       case _     => decodeStub(payload, format)
     }
 
@@ -134,42 +154,45 @@ object Multimodal {
     }
   }
 
-  /** Downscale by an integer factor. For `format = "ppm"` this is a REAL
-    * nearest-neighbor pixel resample: decode, sample pixel
-    * (x·factor, y·factor), re-emit a VALID P6 payload — so resized outputs
-    * stay decodable by [[decodePpm]] downstream. Other formats keep the
-    * documented byte-stride stub (output length = ceil(len / factor)).
-    * Runs inside the same batched mapPartitions shape as feature
-    * extraction. */
+  /** Downscale by an integer factor. For the real codecs (`ppm`/`pgm`) this
+    * is a REAL nearest-neighbor pixel resample: decode, sample pixel
+    * (x·factor, y·factor), re-emit a VALID payload of the same format — so
+    * resized outputs stay decodable by [[decodePpm]]/[[decodePgm]]
+    * downstream. Other formats keep the documented byte-stride stub (output
+    * length = ceil(len / factor)). Runs inside the same batched
+    * mapPartitions shape as feature extraction. */
   def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     require(factor > 0, "resize factor must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      if (r.format == "ppm") {
-        val (w, h, px) = decodePpm(r.payload)
-        val ow = math.max(1, w / factor)
-        val oh = math.max(1, h / factor)
-        val out = new Array[Byte](ow * oh * 3)
-        var y = 0
-        while (y < oh) {
-          var x = 0
-          while (x < ow) {
-            val src = ((y * factor) * w + (x * factor)) * 3
-            val dst = (y * ow + x) * 3
-            out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
-            x += 1
+      realChannels(r.format) match {
+        case Some(ch) =>
+          val magic = if (ch == 3) "P6" else "P5"
+          val (w, h, px) = decodeNetpbm(r.payload, magic, ch)
+          val ow = math.max(1, w / factor)
+          val oh = math.max(1, h / factor)
+          val out = new Array[Byte](ow * oh * ch)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              val src = ((y * factor) * w + (x * factor)) * ch
+              val dst = (y * ow + x) * ch
+              var c = 0
+              while (c < ch) { out(dst + c) = px(src + c); c += 1 }
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        val header = s"P6\n$ow $oh\n255\n".getBytes("US-ASCII")
-        r.copy(payload = header ++ out, width = ow, height = oh)
-      } else {
-        val decoded = decode(r.payload, r.format)
-        val out = Array.range(0, decoded.length, factor).map(decoded)
-        r.copy(payload = out,
-          width = math.max(1, r.width / factor),
-          height = math.max(1, r.height / factor))
+          val header = s"$magic\n$ow $oh\n255\n".getBytes("US-ASCII")
+          r.copy(payload = header ++ out, width = ow, height = oh)
+        case None =>
+          val decoded = decode(r.payload, r.format)
+          val out = Array.range(0, decoded.length, factor).map(decoded)
+          r.copy(payload = out,
+            width = math.max(1, r.width / factor),
+            height = math.max(1, r.height / factor))
       }
     })
   }

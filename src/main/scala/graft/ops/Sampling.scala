@@ -58,12 +58,14 @@ object Sampling {
     * smaller than `n`). Tie-broken by the key itself, so the sample is a
     * function of the corpus alone.
     *
-    * Contract notes (both selection methods): NULL strata are dropped —
-    * the replaced window-rank form sampled them as their own partition;
-    * coalesce a nullable stratum first if those rows matter. The stratum
-    * column is expected LOW-cardinality (languages, sources, shards): the
-    * per-(stratum, bucket) verdict relation has |strata|·B rows, which is
-    * what the selection joins back against the corpus. */
+    * Contract notes: NULL strata form their own stratum with the same
+    * quota, exactly like the window-rank form this replaces (the selection
+    * join is null-safe on the stratum). [[mixToWeights]] still drops them —
+    * NULL is never a key of `weights`, and its contract drops strata absent
+    * from the map. The stratum column is expected LOW-cardinality
+    * (languages, sources, shards): the per-(stratum, bucket) verdict
+    * relation has |strata|·B rows, which is what the selection joins back
+    * against the corpus. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, n: Int,
                       keyCol: String = "doc_id"): DataFrame =
     takeSmallestPerStratum(df, stratumCol, keyCol,
@@ -85,7 +87,12 @@ object Sampling {
                                      attachQuota: DataFrame => DataFrame)
       : DataFrame = {
     val spark = df.sparkSession
-    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Floored: selection granularity must not degrade with a small shuffle
+    // setting — at nBuckets=1 the "boundary bucket" is the whole stratum and
+    // the code silently regresses to the single-task per-stratum sort this
+    // rewrite eliminates (still correct, no longer parallel).
+    val nBuckets =
+      math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 32)
     // Order-preserving range bucketing of the 32-bit hash key (same exact-
     // arithmetic form as Packing: hk·B ≤ 2³²·B fits a long). (hk, key) ties
     // land in one bucket by construction, so cross-bucket order is total.
@@ -111,8 +118,15 @@ object Sampling {
     // no pinned hint: at |strata|·B rows it is small for the low-
     // cardinality strata this targets and AQE broadcasts it at runtime,
     // while a pathological high-cardinality stratum column degrades to a
-    // shuffle join instead of a driver-side collect failure.
-    val tagged = rows.join(classified, Seq(stratumCol, "__bucket"))
+    // shuffle join instead of a driver-side collect failure. Null-safe on
+    // the stratum (<=>), so a NULL stratum is selected as its own group
+    // rather than silently dropped by the equi-join.
+    val cls = classified
+      .withColumnRenamed(stratumCol, "__cstratum")
+      .withColumnRenamed("__bucket", "__cbucket")
+    val tagged = rows.join(cls,
+        col(stratumCol) <=> col("__cstratum") && col("__bucket") === col("__cbucket"))
+      .drop("__cstratum", "__cbucket")
     val keepAll = tagged.filter(col("__all"))
     // Only the boundary buckets (≈ corpus/B rows per stratum) are ranked —
     // partitioned by (stratum, bucket), so the sort is small AND parallel.

@@ -332,6 +332,52 @@ object Pipeline {
           .select(Seq(col("doc_id"), col("n_bytes"), col("sum_bytes")) ++
             (0 until 16).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
           .orderBy(col("doc_id"))
+    },
+
+    // Multimodal resize, oracle-checkable slice: factor-2 downscale over the
+    // stub-format corpus (documents carry UTF-8 text, so the byte-stride
+    // path runs: resized payload = every 2nd byte). The oracle recomputes
+    // the stride from hex(blob) — per-byte count and exact integer sum pin
+    // the stride semantics — and the halved metadata dims from asMedia's
+    // doc_id-derived width/height. The pixel-aware ppm/pgm resample is
+    // golden-tested in MultimodalSpec (decode → resample → re-emit needs
+    // real image bytes, not text).
+    QuerySpec.sql("mm_resize_stats",
+      """WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)
+        |  WHERE (i - 1) % 2 = 0),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bytes, CAST(sum(u) AS BIGINT) AS sum_bytes
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       greatest(1, (b.doc_id % 64 + 16) // 2) AS width,
+        |       greatest(1, (b.doc_id % 48 + 16) // 2) AS height,
+        |       coalesce(agg.n_bytes, 0) AS n_bytes,
+        |       coalesce(agg.sum_bytes, 0) AS sum_bytes
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""") {
+      (s, dir) => {
+        val resized = Multimodal.resize(
+          Multimodal.asMedia(Tables.documents(s, dir)), factor = 2)
+        // width/height ride on the media rows; n_bytes/sum_bytes come from
+        // the feature extractor over the SAME resized dataset (stub decode
+        // = identity, so they describe the resized payload exactly). The
+        // join is doc_id-equi and AQE-broadcast at verify scale.
+        Multimodal.extractFeatures(resized).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("sum_bytes"))
+          .join(resized.toDF().select(col("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height")), Seq("doc_id"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_bytes"))
+          .orderBy(col("doc_id"))
+      }
     }
   )
 }

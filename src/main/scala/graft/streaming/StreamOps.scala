@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.storage.StorageLevel
 
 /** Stateful / windowed Structured Streaming operators — the scale path
   * beyond the reference's stateless memory-sink split (SURVEY.md §2.10):
@@ -91,16 +92,27 @@ object StreamOps {
     * frame, so the exact batch operator applies unchanged, per batch —
     * Spark's own recommended pattern for batch-complete work on streams.
     * `onPairs` receives (near-dup pairs, batchId); emit to a sink, a delta
-    * table, or a quarantine topic as the deployment demands. */
+    * table, or a quarantine topic as the deployment demands.
+    *
+    * The signature store is persisted HERE (idempotent if the caller
+    * already cached it): "materialized once" must not depend on caller
+    * discipline — an unpersisted corpusSig would re-execute the full
+    * corpus shingle+minhash lineage on EVERY micro-batch, unbounding
+    * exactly the per-batch cost this operator exists to bound. */
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,
                            numHashes: Int = 16, bands: Int = 4,
                            threshold: Double = 0.5)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sig =
+      if (corpusSig.storageLevel == StorageLevel.NONE)
+        corpusSig.persist(StorageLevel.MEMORY_AND_DISK)
+      else corpusSig
     docsStream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onPairs(graft.ops.Dedup.minhashLshPairsAgainst(
-          batch, corpusSig, numHashes, bands, threshold), batchId)
+          batch, sig, numHashes, bands, threshold), batchId)
       }
+  }
 }

@@ -78,6 +78,36 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(stub(0).payload.toSeq === "ac".getBytes("UTF-8").toSeq)
   }
 
+  /** Golden 3×2 P5 PGM: comment-bearing header + 6 known grayscale bytes. */
+  private def goldenPgm: Array[Byte] = {
+    val header = "P5\n# golden grayscale\n3 2\n255\n".getBytes("US-ASCII")
+    header ++ Array[Int](0, 128, 255, 10, 20, 30).map(_.toByte)
+  }
+
+  test("decodePgm parses the golden PGM: dimensions, comments, raster") {
+    val (w, h, px) = Multimodal.decodePgm(goldenPgm)
+    assert(w === 3 && h === 2)
+    assert(px.map(_ & 0xff).toSeq === Seq(0, 128, 255, 10, 20, 30))
+    // a P6 payload must not pass the P5 magic check, and vice versa
+    intercept[IllegalArgumentException](Multimodal.decodePgm(goldenPpm))
+    intercept[IllegalArgumentException](Multimodal.decodePpm(goldenPgm))
+    intercept[IllegalArgumentException](Multimodal.decodePgm("P5\n9 9\n255\nxx".getBytes))
+  }
+
+  test("pgm resize resamples single-channel pixels and emits a valid P5 payload") {
+    val media = Seq(Multimodal.MediaRecord(8L, "image", goldenPgm, "pgm", 3, 2, 1))
+      .toDS()
+    val out = Multimodal.resize(media, factor = 2).collect().head
+    assert(out.width === 1 && out.height === 1)
+    val (w, h, px) = Multimodal.decodePgm(out.payload)
+    assert(w === 1 && h === 1)
+    assert(px.map(_ & 0xff).toSeq === Seq(0))  // pixel (0,0) of the golden
+    // and the features path decodes the resized output's raster, not the file
+    val f = Multimodal.extractFeatures(Multimodal.resize(media, 1)).collect().head
+    assert(f.n_bytes === 6L)
+    assert(f.sum_bytes === (0 + 128 + 255 + 10 + 20 + 30).toLong)
+  }
+
   test("extractFeatures routes ppm-format payloads through the real decoder") {
     val media = Seq(Multimodal.MediaRecord(7L, "image", goldenPpm, "ppm", 2, 2, 1))
       .toDS()

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Packing, Sampling}
@@ -42,6 +44,43 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
   test("a doc never starts past the budget boundary it spans") {
     packed(docs).values.foreach { case (_, _, off) =>
       assert(off >= 0 && off < 10)
+    }
+  }
+
+  test("property: pack-boundary arithmetic is a gapless exclusive cumsum") {
+    // Random corpora whose docs regularly EXCEED the budget (up to 3×), so
+    // budget-spanning is exercised, not incidental. Fixed-seed generator
+    // loop, same rationale as PropertiesSpec (no scalatest-scalacheck
+    // bridge offline).
+    val corpusGen = for {
+      budget <- Gen.choose(4L, 12L)
+      sizes <- Gen.nonEmptyListOf(Gen.choose(1, (budget * 3).toInt))
+    } yield (budget, sizes)
+    val cases = (0 until 4).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default.withSize(30), Seed(7L + i)))
+    cases.foreach { case (budget, sizes) =>
+      val df = sizes.zipWithIndex
+        .map { case (n, id) => (id.toLong, Seq.fill(n)("tok").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val rows = Packing.packSequences(df, budget)
+        .withColumn("hk", Sampling.hashKey(col("doc_id")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Long]("hk")))
+        .sortBy { case (id, _, _, _, hk) => (hk, id) }
+      // continuity: each doc starts exactly where the previous one ends —
+      // start reconstructed from (pack_id, pack_offset), so a doc spanning
+      // packs must carry __start % budget, never a reset offset
+      var expectedStart = 0L
+      rows.foreach { case (id, n, packId, off, _) =>
+        assert(packId * budget + off === expectedStart,
+          s"doc $id (budget $budget): start ${packId * budget + off} != $expectedStart")
+        assert(off >= 0 && off < budget)
+        expectedStart += n
+      }
+      // total-token identity: the stream is gapless end to end
+      val (_, lastN, lastPack, lastOff, _) = rows.last
+      assert(lastPack * budget + lastOff + lastN === sizes.map(_.toLong).sum)
     }
   }
 }

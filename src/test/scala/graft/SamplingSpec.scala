@@ -70,6 +70,23 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stratifiedQuota samples NULL strata as their own stratum (window-rank parity)") {
+    // every 10th doc has a NULL lang: the null-safe selection join must
+    // sample them under the same quota, exactly like the window-rank form —
+    // NOT silently drop them (the equi-join regression ADVICE r7 flagged)
+    val nullable = corpus.withColumn("lang",
+      when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("lang")))
+    val out = Sampling.stratifiedQuota(nullable, "lang", 7)
+    val byStratum = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byStratum(None) === 7L, s"NULL stratum missing or short: $byStratum")
+    assert(byStratum.values.forall(_ === 7L))
+    // and mixToWeights still drops NULL (never a key of the weights map)
+    val mixed = Sampling.mixToWeights(nullable, "lang",
+      Map("en" -> 1.0, "de" -> 1.0, "zh" -> 1.0))
+    assert(mixed.filter(col("lang").isNull).count() === 0L)
+  }
+
   test("stratifiedQuota is invariant to the bucket count (shuffle partitions)") {
     val expected = windowReference(13)
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
