@@ -43,6 +43,26 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Doc-level contamination verdict — the relation the decontamination
+    * filter actually consumes (an anti-join on doc_id): one row per
+    * contaminated document, with how many benchmark docs it leaks
+    * (`n_bench_hits`) and its strongest overlap (`max_shared`).
+    *
+    * Scale rationale (same output-compaction argument as
+    * [[Dedup.simhashEdges]], applied to the decision relation): the pair
+    * LISTING grows with true (doc, bench) pairs — 2.6 M rows at the round-7
+    * 100× probe, quadratic within replica groups — while the verdict is
+    * bounded by |docs|. The pair aggregation itself is unchanged (minShared
+    * applies per benchmark doc, so the (doc, bench) agg must happen), but
+    * everything after it — the shuffle into this agg's output, the write,
+    * the downstream anti-join build side — carries ≤ one row per doc. */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, minShared: Int,
+                       n: Int = 3, textCol: String = "text",
+                       excludeSameId: Boolean = false): DataFrame =
+    contamination(docs, benchmark, minShared, n, textCol, excludeSameId)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("n_shared")).as("max_shared"))
+
   /** Repetition (boilerplate) statistics, Gopher-style: the fraction of
     * duplicated 2-grams and 3-grams per document. High ratios mark
     * templated/spammy text for the quality filter. Narrow projections — no

@@ -276,6 +276,31 @@ object TrainingData {
       }
     },
 
+    // Doc-level contamination verdict: the same sweep aggregated to one row
+    // per contaminated document (n benchmark hits + strongest overlap) —
+    // the relation a decontamination anti-join consumes, bounded at |docs|
+    // where the pair listing is output-bound (2.6 M pairs at the 100×
+    // probe). Scale rationale in Curation.contaminatedDocs' scaladoc.
+    QuerySpec.sql("t_contaminated_docs",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+        |pairs AS (SELECT sh.doc_id, bench_id, count(*) AS n_shared
+        |          FROM sh JOIN bench ON sh.s = bench.s AND sh.doc_id != bench_id
+        |          GROUP BY 1, 2
+        |          HAVING count(*) >= 3)
+        |SELECT doc_id, count(*) AS n_bench_hits, max(n_shared) AS max_shared
+        |FROM pairs GROUP BY doc_id ORDER BY doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contaminatedDocs(docs, docs.filter(col("doc_id") % 97 === 0),
+            minShared = 3, excludeSameId = true)
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Gopher-style repetition ratios: duplicated-2gram/3gram share per doc,
     // the boilerplate signal a quality filter thresholds on.
     QuerySpec.sql("t_repetition",

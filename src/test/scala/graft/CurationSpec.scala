@@ -29,6 +29,25 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(extHits.contains((1L, 1L)), "id-equal cross-namespace pair dropped")
   }
 
+  test("contaminatedDocs aggregates the pair sweep to one verdict row per doc") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // benchmark member
+      (5L, "alpha beta gamma delta epsilon zeta"),   // benchmark member (dup)
+      (1L, "alpha beta gamma delta epsilon eta"),    // shares 3 with BOTH
+      (2L, "alpha beta gamma nothing else here"),    // under minShared
+      (3L, "totally unrelated content goes right here")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val out = Curation.contaminatedDocs(docs, bench, minShared = 3,
+        excludeSameId = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 leaks both benchmark docs (3 shared trigrams each); docs 0 and 5
+    // leak each other (identical text → 4 shared); 2 and 3 are clean
+    assert(out(1L) === ((2L, 3L)))
+    assert(out(0L) === ((1L, 4L)) && out(5L) === ((1L, 4L)))
+    assert(!out.contains(2L) && !out.contains(3L))
+  }
+
   test("repetitionStats measures duplicated n-gram share") {
     val docs = Seq(
       (0L, "spam spam spam spam spam"),      // every 2-gram identical: 3/4 dup
