@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -511,23 +510,36 @@ object Dedup {
   }
 
   /** Signature-contracted spanning edges over identical-signature groups:
-    * annotate each row with its group's min-doc_id representative
-    * (window-min over the signature columns — ONE shuffle of fixed-width
-    * signatures), star-connect members to the representative, and return
-    * (star edges, representative signature frame).
+    * aggregate each group to its min-doc_id representative, star-connect
+    * members to it, and return (star edges, representative signature
+    * frame).
     *
-    * The annotated frame is PERSISTED: it feeds the star filter, the rep
-    * filter, and (through reps) both sides of the downstream band self-join
-    * — without the cache the expensive signature aggregation re-runs four
-    * times. Shared by [[simhashEdges]] and [[minhashLshEdges]]. */
-  private def contractSignatures(sig: DataFrame, sigCols: Seq[Column])
+    * Deliberately groupBy + join-back, NOT `min over (partition by sig)`:
+    * the operator's whole point is million-deep identical-signature groups,
+    * and a window partitioned by the signature hands each group to ONE task
+    * that must sort it (WindowExec) — unsplittable skew at exactly the
+    * corpora this targets. The hash aggregate partial-aggregates map-side
+    * (each mapper emits one candidate min per signature it sees), and the
+    * join back is an equi-join AQE's skew handling CAN split; on
+    * duplicate-heavy corpora the rep relation is far smaller than the
+    * corpus and AQE broadcasts it outright. The rep signature frame is the
+    * aggregate itself — no second join.
+    *
+    * `sig` is PERSISTED: it feeds the aggregate and the star join probe —
+    * without the cache the expensive signature build re-runs. Shared by
+    * [[simhashEdges]] and [[minhashLshEdges]]. */
+  private def contractSignatures(sig: DataFrame, sigColNames: Seq[String])
       : (DataFrame, DataFrame) = {
-    val withRep = sig
-      .withColumn("__rep", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val stars = withRep.filter(col("doc_id") =!= col("__rep"))
+    val sigCols = sigColNames.map(col)
+    val cached = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = cached.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id") +: sigCols: _*)
+    val stars = cached
+      .join(reps.select(col("doc_id").as("__rep") +: sigCols: _*),
+        sigColNames)
+      .filter(col("doc_id") =!= col("__rep"))
       .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val reps = withRep.filter(col("doc_id") === col("__rep")).drop("__rep")
     (stars, reps)
   }
 
@@ -560,7 +572,7 @@ object Dedup {
   def simhashEdges(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                    bands: Int = 4, textCol: String = "text"): DataFrame = {
     val sc = simhashChunks(docs, bits, bands, textCol)
-    val (stars, reps) = contractSignatures(sc, (0 until bands).map(b => col(s"c$b")))
+    val (stars, reps) = contractSignatures(sc, (0 until bands).map(b => s"c$b"))
     // disjoint by construction (a star's doc_b is never a representative),
     // so a plain union — no distinct over the combined edge set
     stars.union(
@@ -580,7 +592,7 @@ object Dedup {
       "star edges assume identical signatures pass the agreement filter")
     val sig = minhashSignature(docs, numHashes, textCol)
     val (stars, reps) =
-      contractSignatures(sig, (0 until numHashes).map(i => col(s"h$i")))
+      contractSignatures(sig, (0 until numHashes).map(i => s"h$i"))
     val br = bandRows(reps, numHashes, bands)
     val repPairs = br.as("x").hint("shuffle_hash")
       .join(br.as("y"),
