@@ -149,6 +149,13 @@ object ScaleProbe {
           time(s"$tag/contamination")(
             Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
               minShared = 3, excludeSameId = true).count())),
+        // the doc-level verdict over the same sweep: output bounded by
+        // |docs| where the pair listing above is output-bound (quadratic
+        // within replica groups)
+        "contaminated_docs" -> (() =>
+          time(s"$tag/contaminated_docs")(
+            Curation.contaminatedDocs(docs, docs.filter(col("doc_id") % 97 === 0),
+              minShared = 3, excludeSameId = true).count())),
         "pack_sequences" -> (() =>
           time(s"$tag/pack_sequences")(
             Packing.packSequences(docs, budget = 4096L).count())),

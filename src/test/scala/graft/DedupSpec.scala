@@ -164,6 +164,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(edges.count() < pairs.count())
   }
 
+  test("property: edge-feed closure equals pair closure on random duplicate-heavy corpora") {
+    // Random corpora drawn from a SMALL sentence pool, so identical and
+    // near-identical docs occur constantly — the regime the contraction
+    // exists for. Fixed-seed generator loop (PropertiesSpec rationale).
+    import org.scalacheck.{Gen, rng}
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the sleepy dog",
+      "the quick brown fox leaps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "sphinx of black quartz judge my vow tonight")
+    val corpusGen = Gen.nonEmptyListOf(Gen.choose(0, pool.size - 1))
+    val cases = (0 until 3).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default.withSize(25), rng.Seed(11L + i)))
+    cases.foreach { picks =>
+      val corpus = picks.zipWithIndex
+        .map { case (p, id) => (id.toLong, pool(p)) }.toDF("doc_id", "text")
+      val viaPairs = componentsOf(Dedup.simhashPairs(corpus, maxHamming = 3))
+      val viaEdges = componentsOf(Dedup.simhashEdges(corpus, maxHamming = 3))
+      assert(viaEdges === viaPairs, s"diverged on picks=$picks")
+    }
+  }
+
   test("signature-contracted edges on an all-unique corpus degrade to the pair join") {
     // no identical signatures → zero star edges; the rep join IS the full join
     val unique = docs.filter(col("doc_id") =!= 1)
