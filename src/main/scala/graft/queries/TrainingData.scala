@@ -613,6 +613,70 @@ object TrainingData {
       }
     },
 
+    // The FULL composition contract from Dedup's scaladoc, end-to-end:
+    // exact dedup FIRST (collapse identical copies for one (hash, id)
+    // shuffle), near-dup edges over the survivors only, transitive
+    // closure, then route every original doc through its exact canonical
+    // to the cluster canonical. This is the production shape — the
+    // near-dup stage never sees duplicate-saturated band buckets — and the
+    // oracle rebuilds the same three stages declaratively.
+    QuerySpec.sql("dd_pipeline_canonical",
+      """WITH RECURSIVE fpx AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f FROM documents),
+        |ex AS (SELECT f, min(doc_id) AS ec FROM fpx GROUP BY f),
+        |m AS (SELECT fpx.doc_id, ex.ec FROM fpx JOIN ex USING (f)),
+        |surv AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.ec),
+        |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |          WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |sc AS (SELECT ex.ec AS doc_id, coalesce(c.component, ex.ec) AS cc
+        |       FROM ex LEFT JOIN comp c ON c.doc_id = ex.ec)
+        |SELECT m.doc_id, sc.cc AS canonical_id,
+        |       CAST(m.doc_id = sc.cc AS BIGINT) AS is_canonical
+        |FROM m JOIN sc ON sc.doc_id = m.ec
+        |ORDER BY m.doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val exact = Dedup.exact(docs) // (fp, canonical_id, n_copies)
+        val exactCanon = docs
+          .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+          .join(exact.select(col("fp"), col("canonical_id").as("exact_canon")), Seq("fp"))
+          .select(col("doc_id"), col("exact_canon"))
+        val survivors = docs.join(
+          exact.select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val canon = Dedup.canonicalize(survivors,
+          Dedup.minhashLshEdges(survivors, threshold = 0.5))
+        exactCanon
+          .join(canon.select(col("doc_id").as("exact_canon"), col("canonical_id")),
+            Seq("exact_canon"))
+          .select(col("doc_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).cast("long").as("is_canonical"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // ---- Sampling (training-data mix) -----------------------------------
 
     // Per-stratum Bernoulli rates: keep iff hash32(doc_id) < floor(rate·2³²).
