@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, EmbeddingSim, Forecast, Packing, Rollup, Sampling}
+import graft.ops.{AsofJoin, Curation, Dedup, EmbeddingSim, Forecast, Latest, Packing, Rollup, Sampling, Sequences}
 import graft.ingest.Parse
 
 /** Empirical scale probe: replicates the sf0.1 corpus N× (fresh ids, jittered
@@ -159,6 +159,20 @@ object ScaleProbe {
         "pack_sequences" -> (() =>
           time(s"$tag/pack_sequences")(
             Packing.packSequences(docs, budget = 4096L).count())),
+        // window-based event operators (union+window as-of, session_window):
+        // replicas use fresh user_id key spaces, so per-key partition sizes
+        // stay constant and these must scale ~linearly
+        "asof_join" -> (() =>
+          time(s"$tag/asof_join") {
+            val views = Latest.keepFirst(obs.filter(col("code") === "view"),
+              Seq("location", "event_timestamp"), Seq(col("event_id").desc))
+            AsofJoin.leftAsof(obs.filter(col("code") === "purchase"), views,
+              key = "location", ts = "event_timestamp",
+              leftId = "event_id", rightId = "event_id").count()
+          }),
+        "sessionize" -> (() =>
+          time(s"$tag/sessionize")(
+            Sequences.sessionize(obs, gapMinutes = 480).count())),
         "sample_mix" -> (() =>
           time(s"$tag/sample_mix")(
             Sampling.mixToWeights(docs, "lang", mixWeights).count())),

@@ -659,7 +659,11 @@ object TrainingData {
         |ORDER BY m.doc_id""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val exact = Dedup.exact(docs) // (fp, canonical_id, n_copies)
+        // Persisted: feeds both the doc→exact-canonical map and the
+        // survivor semi-join — without the cache the corpus fingerprint
+        // groupBy runs twice. Fixed-width rows (fp + two longs).
+        val exact = Dedup.exact(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val exactCanon = docs
           .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
           .join(exact.select(col("fp"), col("canonical_id").as("exact_canon")), Seq("fp"))
