@@ -173,6 +173,12 @@ object ScaleProbe {
         "sessionize" -> (() =>
           time(s"$tag/sessionize")(
             Sequences.sessionize(obs, gapMinutes = 480).count())),
+        // the quality gate's SCALE path (mergeable percentile_approx
+        // sketch, not the single-reducer exact percentile the oracle uses)
+        "quality_filter_approx" -> (() =>
+          time(s"$tag/quality_filter_approx")(
+            graft.ops.TextStats.qualityPercentileFilter(
+              docs, Seq("the", "a"), 0.75, exact = false).count())),
         "sample_mix" -> (() =>
           time(s"$tag/sample_mix")(
             Sampling.mixToWeights(docs, "lang", mixWeights).count())),
