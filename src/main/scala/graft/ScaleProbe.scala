@@ -139,12 +139,14 @@ object ScaleProbe {
           time(s"$tag/hourly_rollup")(Rollup.hourly(obs, Seq("value")).count())),
         "forecast" -> (() =>
           time(s"$tag/forecast")(Forecast.linear(obs, 24, 12).count())),
-        // simhashEdges (signature-contracted spanning feed), matching what
-        // dd_cluster_canonical ships: at N× the replica groups are N deep,
-        // so the contraction is exactly what bounds the CC loop's input.
+        // simhashComponents (signature-contracted feed, fixpoint on rep-rep
+        // edges only), matching what dd_cluster_canonical ships: at N× the
+        // replica groups are N deep, so the contraction is exactly what
+        // bounds the CC loop's input.
         "cc_canonical" -> (() =>
           time(s"$tag/cc_canonical")(
-            Dedup.canonicalize(docs, Dedup.simhashEdges(docs, maxHamming = 3)).count())),
+            Dedup.canonicalizeFrom(docs,
+              Dedup.simhashComponents(docs, maxHamming = 3)).count())),
         "contamination" -> (() =>
           time(s"$tag/contamination")(
             Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),

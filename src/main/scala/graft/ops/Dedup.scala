@@ -420,15 +420,8 @@ object Dedup {
     * and at 100 TB (where the paired set can be huge) the shuffled equi-join
     * is the right plan anyway. */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
-                   maxIters: Int = 20): DataFrame = {
-    val comp = connectedComponents(pairs, maxIters)
-    docs.select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("canonical_id"))
-      .withColumn("is_canonical",
-        (col("doc_id") === col("canonical_id")).cast("long"))
-  }
+                   maxIters: Int = 20): DataFrame =
+    canonicalizeFrom(docs, connectedComponents(pairs, maxIters))
 
   /** SimHash fingerprint (`bits` as a bitstring, default 64): bit i is the
     * sign of the count-weighted sum of ±1 over tokens, where token bit i =
@@ -587,6 +580,14 @@ object Dedup {
     * the pair list, is the cost. */
   def minhashLshEdges(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
+    val (stars, repPairs) = minhashStarsAndRepPairs(docs, numHashes, bands,
+      threshold, textCol)
+    stars.union(repPairs)
+  }
+
+  private def minhashStarsAndRepPairs(docs: DataFrame, numHashes: Int,
+                                      bands: Int, threshold: Double,
+                                      textCol: String): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold <= 1.0,
       "star edges assume identical signatures pass the agreement filter")
@@ -603,6 +604,68 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    stars.union(repPairs)
+    (stars, repPairs)
   }
+
+  /** Components of (stars ∪ repPairs) WITHOUT feeding the stars into the
+    * fixpoint: run [[connectedComponents]] on the rep-rep edges only, then
+    * assign members through the star map in one join.
+    *
+    * Why the labels are identical: every member's doc_id is > its rep's
+    * (the rep is its group's minimum), so the minimum over any cluster
+    * equals the minimum over the cluster's REPS — which is exactly the
+    * rep-graph component label. Members inherit it; a rep whose group has
+    * members but no rep-pair edge labels its own cluster. The fixpoint —
+    * the expensive iterative part — thus never iterates over the degree-1
+    * star nodes: on a duplicate-saturated corpus both its edge relation
+    * and its label relation shrink from O(docs) to O(distinct contents
+    * with near-dups). */
+  private def contractedComponents(stars: DataFrame,
+                                   repPairs: DataFrame): DataFrame = {
+    // Persisted: stars feeds the member-assignment join and the
+    // unpaired-rep anti-join (and its lineage contains the signature
+    // aggregation, which must not re-run).
+    val st = stars.persist(StorageLevel.MEMORY_AND_DISK)
+    val repComp = connectedComponents(repPairs)
+    val memberComp = st.as("s")
+      .join(repComp.as("rc"), col("s.doc_a") === col("rc.doc_id"), "left")
+      .select(col("s.doc_b").as("doc_id"),
+        coalesce(col("rc.component"), col("s.doc_a")).as("component"))
+    val unpairedReps = st.select(col("doc_a").as("doc_id")).distinct()
+      .join(repComp, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    repComp.union(memberComp).union(unpairedReps)
+  }
+
+  /** (doc_id, component) over every doc with a simhash near-dup, computed
+    * via [[contractedComponents]] — the clustering entry point the
+    * `dd_cluster_canonical` query ships. Same labels as
+    * `connectedComponents(simhashEdges(docs))`, with the fixpoint running
+    * on rep-rep edges only. */
+  def simhashComponents(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
+                        bands: Int = 4, textCol: String = "text"): DataFrame = {
+    val sc = simhashChunks(docs, bits, bands, textCol)
+    val (stars, reps) = contractSignatures(sc, (0 until bands).map(b => s"c$b"))
+    contractedComponents(stars,
+      simhashBandPairs(reps, maxHamming, bands).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** MinHash analogue of [[simhashComponents]]. */
+  def minhashLshComponents(docs: DataFrame, numHashes: Int = 16,
+                           bands: Int = 4, threshold: Double = 0.5,
+                           textCol: String = "text"): DataFrame = {
+    val (stars, repPairs) = minhashStarsAndRepPairs(docs, numHashes, bands,
+      threshold, textCol)
+    contractedComponents(stars, repPairs)
+  }
+
+  /** [[canonicalize]] from a precomputed component relation (the tail of
+    * canonicalize, shared with the contracted clustering entry points). */
+  def canonicalizeFrom(docs: DataFrame, components: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(components, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("canonical_id")).cast("long"))
 }

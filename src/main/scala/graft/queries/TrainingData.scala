@@ -557,14 +557,14 @@ object TrainingData {
         |ORDER BY d.doc_id""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // simhashEdges, not simhashPairs: the clustering consumer needs a
-        // spanning edge set, not every verified pair — identical-signature
-        // groups are star-contracted, so replica-saturated corpora feed the
-        // CC loop |group|-fold fewer edges with provably identical
-        // components (see Dedup.simhashEdges' scaladoc). The oracle's
+        // simhashComponents, not simhashPairs: identical-signature groups
+        // are star-contracted (a replica group of m feeds m−1 edges, not
+        // m²/2 pairs) AND the CC fixpoint runs on rep-rep edges only, with
+        // members assigned through the star map in one join — provably the
+        // same labels (Dedup.contractedComponents' scaladoc). The oracle's
         // recursive CTE still closes the ALL-pairs graph — matching output
         // is exactly the invariance claim under test.
-        Dedup.canonicalize(docs, Dedup.simhashEdges(docs, maxHamming = 3))
+        Dedup.canonicalizeFrom(docs, Dedup.simhashComponents(docs, maxHamming = 3))
           .orderBy(col("doc_id"))
       }
     },
@@ -608,7 +608,8 @@ object TrainingData {
         |ORDER BY d.doc_id""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.canonicalize(docs, Dedup.minhashLshEdges(docs, threshold = 0.5))
+        Dedup.canonicalizeFrom(docs,
+            Dedup.minhashLshComponents(docs, threshold = 0.5))
           .orderBy(col("doc_id"))
       }
     },
@@ -670,8 +671,8 @@ object TrainingData {
           .select(col("doc_id"), col("exact_canon"))
         val survivors = docs.join(
           exact.select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        val canon = Dedup.canonicalize(survivors,
-          Dedup.minhashLshEdges(survivors, threshold = 0.5))
+        val canon = Dedup.canonicalizeFrom(survivors,
+          Dedup.minhashLshComponents(survivors, threshold = 0.5))
         exactCanon
           .join(canon.select(col("doc_id").as("exact_canon"), col("canonical_id")),
             Seq("exact_canon"))

@@ -164,6 +164,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(edges.count() < pairs.count())
   }
 
+  test("contracted components entry points equal the full fixpoint over all pairs") {
+    // simhashComponents / minhashLshComponents never feed star edges into
+    // the CC loop — labels must still equal the fixpoint over the ALL-pairs
+    // graph, including member docs (via stars) and unpaired-rep clusters.
+    val viaSimhash = Dedup.simhashComponents(replicaCorpus, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSimhash === componentsOf(Dedup.simhashPairs(replicaCorpus, maxHamming = 3)))
+    val viaMinhash = Dedup.minhashLshComponents(replicaCorpus, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMinhash === componentsOf(
+      Dedup.minhashLshPairs(replicaCorpus, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))))
+    // canonicalizeFrom(simhashComponents) ≡ canonicalize(simhashPairs)
+    val a = Dedup.canonicalizeFrom(replicaCorpus,
+        Dedup.simhashComponents(replicaCorpus, maxHamming = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.canonicalize(replicaCorpus,
+        Dedup.simhashPairs(replicaCorpus, maxHamming = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("property: edge-feed closure equals pair closure on random duplicate-heavy corpora") {
     // Random corpora drawn from a SMALL sentence pool, so identical and
     // near-identical docs occur constantly — the regime the contraction
@@ -184,6 +206,9 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       val viaPairs = componentsOf(Dedup.simhashPairs(corpus, maxHamming = 3))
       val viaEdges = componentsOf(Dedup.simhashEdges(corpus, maxHamming = 3))
       assert(viaEdges === viaPairs, s"diverged on picks=$picks")
+      val viaComponents = Dedup.simhashComponents(corpus, maxHamming = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaComponents === viaPairs, s"components diverged on picks=$picks")
     }
   }
 
