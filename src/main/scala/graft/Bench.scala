@@ -32,8 +32,11 @@ object Bench {
     // JIT to ann_*/dd_cluster_canonical over their warm envelopes, purely by
     // sort order). Running the full registry once at the smallest SF
     // compiles all of it before anything is timed; plan shapes (and thus the
-    // generated classes) are data-volume-independent, so sf0.001 warms
-    // exactly the code sf0.1 runs. Skippable for targeted local iteration
+    // generated classes) are MOSTLY data-volume-independent — AQE can pick a
+    // broadcast join at sf0.001 where the measured SF runs shuffle-hash /
+    // sort-merge, so a few generated-code paths of the measured plans can
+    // stay cold (a residual, much smaller, first-query JIT bias than the
+    // ~25 s this pass removes). Skippable for targeted local iteration
     // via SPARK_GRAFT_NOWARMUP=1 (the driver sets no env, so it always
     // warms).
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

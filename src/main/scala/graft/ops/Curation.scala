@@ -63,6 +63,45 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_hits"), max(col("n_shared")).as("max_shared"))
 
+  /** Tracking query parameters stripped by [[canonicalUrl]]: the
+    * analytics/click-id params that vary per crawl visit without changing
+    * the page — exactly the noise that splinters one page into thousands of
+    * "distinct" URLs in a crawled corpus. */
+  val TrackingParamRe: String = "utm_[A-Za-z0-9_]*|gclid|fbclid|ref"
+
+  /** URL canonicalization key — the dedup key every crawled-corpus pipeline
+    * groups on BEFORE content dedup (two crawl visits of one page are the
+    * cheapest duplicates to kill: no shingling, no signatures, one narrow
+    * projection + the exact-dedup groupBy).
+    *
+    * Normalization (in order): trim; drop the `#fragment`; drop the scheme
+    * (http/https/ftp… all collapse — scheme variants of one page are
+    * duplicates); lowercase the HOST only (DNS is case-insensitive, paths
+    * are not) and strip a leading `www.`; remove tracking params
+    * ([[TrackingParamRe]]) wherever they sit in the query string; collapse
+    * trailing slashes; drop a dangling `?`. Deliberately preserved: ports
+    * (`:8080` is a different origin), punycode hosts (`xn--…` must NOT be
+    * decoded — a homograph-normalization pass is a security decision, not a
+    * dedup key), path/query case, and non-tracking param order (reordering
+    * params is rewriting semantics; leave it to the content-dedup stage).
+    *
+    * Pure codegen'd per-row expression chain (RE2-safe patterns — no
+    * lookarounds/backrefs, so DuckDB reproduces it verbatim); no shuffle. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noScheme, "^[^/?]*", 0)), "^www\\.", "")
+    val rest = regexp_replace(noScheme, "^[^/?]*", "")
+    // tracking params: any `&p=v` occurrence, then a leading `?p=v&` (its
+    // successor is promoted to first param), then a lone `?p=v` tail
+    val t1 = regexp_replace(rest, s"&($TrackingParamRe)=[^&]*", "")
+    val t2 = regexp_replace(t1, s"\\?($TrackingParamRe)=[^&]*&", "?")
+    val t3 = regexp_replace(t2, s"\\?($TrackingParamRe)=[^&]*$$", "")
+    val t4 = regexp_replace(t3, "/+$", "") // collapse trailing slashes
+    concat(host, regexp_replace(t4, "\\?$", ""))
+  }
+
   /** Repetition (boilerplate) statistics, Gopher-style: the fraction of
     * duplicated 2-grams and 3-grams per document. High ratios mark
     * templated/spammy text for the quality filter. Narrow projections — no

@@ -520,7 +520,20 @@ object Dedup {
     *
     * `sig` is PERSISTED: it feeds the aggregate and the star join probe —
     * without the cache the expensive signature build re-runs. Shared by
-    * [[simhashEdges]] and [[minhashLshEdges]]. */
+    * [[simhashEdges]] and [[minhashLshEdges]].
+    *
+    * Cache-lifetime note (applies to every operator here returning a lazy
+    * frame over a persisted input, see also [[minhashLshPairs]] /
+    * [[simhashPairs]] / [[hashedTfCosinePairs]]): the pinned frames live
+    * until the session drops them — an operator returning a LAZY result has
+    * no sound point to unpersist (the caller may execute the plan any
+    * number of times). Long-lived library sessions that interleave many
+    * dedup calls should bound MemoryStore pressure between pipelines via
+    * `spark.catalog.clearCache()` +
+    * `sparkContext.getPersistentRDDs.values.foreach(_.unpersist())` —
+    * exactly what Bench/ScaleProbe's hygiene gap does. MEMORY_AND_DISK (not
+    * MEMORY_ONLY) keeps eviction from silently re-running the signature
+    * build mid-plan. */
   private def contractSignatures(sig: DataFrame, sigColNames: Seq[String])
       : (DataFrame, DataFrame) = {
     val sigCols = sigColNames.map(col)
@@ -564,6 +577,8 @@ object Dedup {
     * its distance. */
   def simhashEdges(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                    bands: Int = 4, textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0,
+      "star edges assume hamming-0 pairs pass the filter")
     val sc = simhashChunks(docs, bits, bands, textCol)
     val (stars, reps) = contractSignatures(sc, (0 until bands).map(b => s"c$b"))
     // disjoint by construction (a star's doc_b is never a representative),
@@ -644,6 +659,8 @@ object Dedup {
     * on rep-rep edges only. */
   def simhashComponents(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                         bands: Int = 4, textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0,
+      "star edges assume hamming-0 pairs pass the filter")
     val sc = simhashChunks(docs, bits, bands, textCol)
     val (stars, reps) = contractSignatures(sc, (0 until bands).map(b => s"c$b"))
     contractedComponents(stars,

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * operators structured the way a production pipeline runs them —
   * batched per partition, schema-typed in and out, no driver collects.
   *
-  * Codec status: [[Multimodal.decodePpm]] (P6 binary RGB) and
-  * [[Multimodal.decodePgm]] (P5 binary grayscale) are REAL dependency-free
-  * netpbm decoders, dispatched by format through [[Multimodal.decode]];
+  * Codec status: [[Multimodal.decodePpm]] (P6 binary RGB),
+  * [[Multimodal.decodePgm]] (P5 binary grayscale) and
+  * [[Multimodal.decodeWav]] (RIFF/WAV integer PCM, with
+  * [[Multimodal.encodeWavPcm16]] as its writer half) are REAL
+  * dependency-free codecs, dispatched by format through [[Multimodal.decode]];
   * other formats fall back to [[Multimodal.decodeStub]], a deterministic
   * fake that treats the payload bytes as the "decoded frame" (this
   * container has no image/audio libraries). Everything around the codecs —
@@ -36,6 +38,19 @@ object Multimodal {
 
   /** One sampled "frame" (fixed-size byte block) of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Decoded PCM audio: header metadata + the raw little-endian sample
+    * bytes of the data chunk. */
+  case class WavPcm(channels: Int, sample_rate: Int, bits_per_sample: Int,
+                    data: Array[Byte])
+
+  /** Extracted features per audio row. All-long so hash-compared outputs
+    * stay in exact integer arithmetic end-to-end: `n_samples` counts sample
+    * VALUES (frames × channels) and `sum_samples` is their exact integer
+    * sum (signed for 16-bit PCM, unsigned 0-255 for 8-bit). */
+  case class AudioFeatures(doc_id: Long, channels: Long, sample_rate: Long,
+                           bits_per_sample: Long, n_samples: Long,
+                           sum_samples: Long)
 
   /** Adapt documents to media rows: payload = utf-8 bytes of the text,
     * metadata derived deterministically. In production this is a parquet
@@ -110,6 +125,130 @@ object Multimodal {
   def decodePgm(payload: Array[Byte]): (Int, Int, Array[Byte]) =
     decodeNetpbm(payload, "P5", 1)
 
+  /** Real RIFF/WAV PCM decode — dependency-free, like the netpbm codecs
+    * (reference's media handling is opaque blobs; this is the audio leg of
+    * the multimodal-columns surface). Walks the RIFF chunk list generically
+    * (unknown chunks like `LIST`/`fact` are skipped, odd-sized chunks
+    * consume their pad byte per the RIFF spec), takes the `fmt ` chunk that
+    * must precede `data`, and returns the first data chunk's raw bytes with
+    * the header metadata. Only uncompressed integer PCM (audioFormat 1,
+    * 8 or 16 bits/sample) is supported — the same "real codec for the
+    * self-describing formats, fail fast on the rest" contract as
+    * [[decodePpm]]/[[decodePgm]]. */
+  def decodeWav(payload: Array[Byte]): WavPcm = {
+    def tag(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var i = 12
+    while (i + 8 <= payload.length) {
+      val id = tag(i)
+      val size = u32(i + 4)
+      val body = i + 8
+      require(size <= payload.length - body, s"truncated RIFF chunk '$id'")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          val audioFormat = u16(body)
+          require(audioFormat == 1,
+            s"only uncompressed PCM supported (audioFormat $audioFormat)")
+          val channels = u16(body + 2)
+          val rate = u32(body + 4)
+          val bits = u16(body + 14)
+          require(channels > 0, "zero-channel wav")
+          require(bits == 8 || bits == 16,
+            s"only 8/16-bit integer PCM supported ($bits)")
+          fmt = Some((channels, rate.toInt, bits))
+        case "data" =>
+          val (channels, rate, bits) = fmt.getOrElse(
+            sys.error("data chunk before fmt chunk"))
+          require(size % (channels * bits / 8) == 0,
+            "data chunk is not a whole number of sample frames")
+          return WavPcm(channels, rate, bits,
+            java.util.Arrays.copyOfRange(payload, body, body + size.toInt))
+        case _ => // skip unknown chunk (LIST, fact, cue ...)
+      }
+      i = body + size.toInt + (size.toInt & 1) // odd chunks carry a pad byte
+    }
+    sys.error("no data chunk in RIFF/WAVE payload")
+  }
+
+  /** Dependency-free RIFF/WAV writer for 16-bit signed little-endian PCM —
+    * the encode half of the audio path, so resampled/synthesized audio
+    * re-enters the pipeline as a VALID payload (same re-emit contract as
+    * the pixel-aware [[resize]]). */
+  def encodeWavPcm16(samples: Array[Short], channels: Int = 1,
+                     sampleRate: Int = 16000): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      "samples must be a whole number of frames")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort) // PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels * 2) // byte rate
+    out.putShort((channels * 2).toShort)  // block align
+    out.putShort(16.toShort)              // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Adapt documents to AUDIO media rows: each UTF-8 text byte u becomes
+    * one centered 16-bit mono sample (u − 128)·256 at 16 kHz, written
+    * through the REAL wav encoder — so the downstream feature query
+    * exercises encode → RIFF walk → decode end-to-end while staying
+    * recomputable from the text bytes by an independent engine (the
+    * `mm_audio_stats` oracle). Batched mapPartitions like every codec-side
+    * operator here. */
+  def asAudio(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, text) =>
+          val samples = text.getBytes("UTF-8")
+            .map(b => (((b & 0xff) - 128) * 256).toShort)
+          MediaRecord(id, "audio", encodeWavPcm16(samples), "wav",
+            0, 0, samples.length)
+      }))
+  }
+
+  /** Audio feature extraction over wav media rows: exact integer sample
+    * count and sum plus the decoded header metadata — the audio analogue of
+    * [[extractFeatures]], same batched mapPartitions seam. */
+  def extractAudioFeatures(media: Dataset[MediaRecord],
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      require(r.format == "wav", s"not an audio payload (${r.format})")
+      val w = decodeWav(r.payload)
+      var sum = 0L
+      var n = 0L
+      if (w.bits_per_sample == 16) {
+        var i = 0
+        while (i < w.data.length) {
+          sum += ((w.data(i) & 0xff) | (w.data(i + 1) << 8)).toShort
+          n += 1
+          i += 2
+        }
+      } else {
+        w.data.foreach { b => sum += (b & 0xff); n += 1 }
+      }
+      AudioFeatures(r.doc_id, w.channels.toLong, w.sample_rate.toLong,
+        w.bits_per_sample.toLong, n, sum)
+    }))
+  }
+
   /** Bytes per pixel for the formats that decode for real; None = stub. */
   private def realChannels(format: String): Option[Int] = format match {
     case "ppm" => Some(3)
@@ -125,6 +264,7 @@ object Multimodal {
     format match {
       case "ppm" => decodePpm(payload)._3
       case "pgm" => decodePgm(payload)._3
+      case "wav" => decodeWav(payload).data // decoded frame = raw PCM bytes
       case _     => decodeStub(payload, format)
     }
 

@@ -74,4 +74,36 @@ object Packing {
         floor(col("__start") / budget).cast("long").as("pack_id"),
         (col("__start") % budget).as("pack_offset"))
   }
+
+  /** The full pack→slice span map the training writer consumes:
+    * (pack_id, idCol, doc_offset, pack_offset, len) with one row per
+    * (document, pack) intersection — a document spanning k packs emits k
+    * slices, so concatenating each pack's slices in pack_offset order
+    * yields exactly `budget` tokens for every non-terminal pack (asserted
+    * as a property in PackingSpec). `doc_offset` is the slice's first token
+    * WITHIN the document, `pack_offset` its position within the pack.
+    *
+    * Pure arithmetic over [[packSequences]]' exclusive cumsum: each doc
+    * explodes over the integer pack range
+    * [start div budget, (start+n−1) div budget] — integer `div`, never a
+    * double divide, so the arithmetic stays exact past 2⁵³ total tokens
+    * (a 100 TB corpus is ~10¹³-10¹⁴ tokens). The fan-out is
+    * 1 + n_tokens/budget rows per doc (output-bound, no extra shuffle);
+    * zero-token documents occupy no span and emit no slice. */
+  def packManifest(docs: DataFrame, budget: Long,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    packSequences(docs, budget, idCol, textCol)
+      .filter(col("n_tokens") > 0)
+      .withColumn("__start", col("pack_id") * budget + col("pack_offset"))
+      .withColumn("pack_id",
+        explode(sequence(col("pack_id"),
+          expr(s"(__start + n_tokens - 1) div $budget"))))
+      .select(col("pack_id"), col(idCol),
+        greatest(col("pack_id") * budget - col("__start"), lit(0L))
+          .as("doc_offset"),
+        greatest(col("__start") - col("pack_id") * budget, lit(0L))
+          .as("pack_offset"),
+        (least((col("pack_id") + 1) * budget, col("__start") + col("n_tokens"))
+          - greatest(col("pack_id") * budget, col("__start"))).as("len"))
 }

@@ -65,7 +65,17 @@ object Sampling {
     * from the map. The stratum column is expected LOW-cardinality
     * (languages, sources, shards): the per-(stratum, bucket) verdict
     * relation has |strata|·B rows, which is what the selection joins back
-    * against the corpus. */
+    * against the corpus.
+    *
+    * Config interaction: the bucket count B is
+    * `max(spark.sql.shuffle.partitions, 32)` — a 32-bucket selection-
+    * granularity FLOOR, so a deliberately low shuffle setting does not
+    * collapse the boundary bucket into the whole stratum (which would
+    * silently regress to the single-task per-stratum sort this operator
+    * eliminates). Output is provably invariant to the bucket count
+    * (SamplingSpec's invariance property); only selection parallelism is
+    * affected. The same floor applies to [[mixToWeights]], which selects
+    * through the same path. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, n: Int,
                       keyCol: String = "doc_id"): DataFrame =
     takeSmallestPerStratum(df, stratumCol, keyCol,

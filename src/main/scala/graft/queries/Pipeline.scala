@@ -378,6 +378,38 @@ object Pipeline {
             col("n_bytes"), col("sum_bytes"))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // Multimodal AUDIO slice: each doc's text bytes become centered 16-bit
+    // mono PCM samples written through the REAL wav encoder, then decoded
+    // back through the REAL RIFF walker and reduced to exact integer
+    // features. The oracle recomputes sample count/sum straight from the
+    // text bytes ((u − 128)·256 per byte, hex-unnest pattern as in
+    // mm_features) and pins the header metadata the decoder must surface —
+    // so a wrong chunk walk, sign handling, or sample width breaks the hash.
+    QuerySpec.sql("mm_audio_stats",
+      """WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_samples,
+        |         CAST(sum((u - 128) * 256) AS BIGINT) AS sum_samples
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT b.doc_id, 1::BIGINT AS channels, 16000::BIGINT AS sample_rate,
+        |       16::BIGINT AS bits_per_sample,
+        |       coalesce(agg.n_samples, 0) AS n_samples,
+        |       coalesce(agg.sum_samples, 0) AS sum_samples
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""") {
+      (s, dir) =>
+        Multimodal.extractAudioFeatures(
+          Multimodal.asAudio(Tables.documents(s, dir))).toDF()
+          .orderBy(col("doc_id"))
     }
   )
 }

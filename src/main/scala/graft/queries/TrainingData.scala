@@ -53,6 +53,34 @@ object TrainingData {
   private val MixWeights: Seq[(String, Double)] = Seq(
     "en" -> 4.0, "de" -> 2.0, "es" -> 2.0, "fr" -> 1.0, "zh" -> 1.0)
 
+  /** URL fixture for `dd_url_canonical` (same rationale as [[PiiFixture]]:
+    * the corpus has no URL column, so crawl-shaped URLs are constructed —
+    * and these literals pin the NEGATIVE space: ports and punycode
+    * preserved, path case preserved, scheme/www/tracking/fragment/trailing-
+    * slash variants collapsed). Shared verbatim with the oracle VALUES. */
+  private val UrlFixture: Seq[(Long, String)] = Seq(
+    (-8L, "https://example.com:8080/a/"),  // port is a different origin
+    (-7L, "http://xn--bcher-kva.example/b"), // punycode NOT decoded
+    (-6L, "HTTPS://WWW.Example.com/A/B/"), // case/scheme/www/slash variant…
+    (-5L, "http://example.com/A/B"),       // …of this — one group
+    (-4L, "https://example.com/path?utm_source=x&utm_campaign=y"),
+    (-3L, "https://example.com/path?gclid=abc123"),
+    (-2L, "https://example.com/path"),     // -4/-3/-2: one group
+    (-1L, "https://example.com/Path"))     // path case preserved: NOT -2's group
+
+  /** The crawl-URL construction for `dd_url_canonical`, written once and
+    * rendered to both engines: pages are `doc_id div 3` (so ~3 crawl
+    * variants of each page exist to collapse), and the `doc_id mod 5`
+    * variant exercises tracking params, a ref'd trailing slash, a
+    * fragment, a REAL param that must survive, and slash runs. */
+  private val UrlVariantCaseSql: String =
+    """CASE CAST(doc_id % 5 AS INT)
+      |  WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+      |  WHEN 1 THEN '/?ref=home'
+      |  WHEN 2 THEN '#section-2'
+      |  WHEN 3 THEN '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_medium=email'
+      |  ELSE '///' END""".stripMargin
+
   /** One unrolled Lloyd round for the ann_ivf_trained oracle: assign every
     * vector to its nearest centroid from `prev`, then rebuild each cell's
     * centroid as the per-dimension floor(mean) — the exact arithmetic of
@@ -357,6 +385,58 @@ object TrainingData {
         |FROM documents GROUP BY 1 ORDER BY fp""") {
       (s, dir) =>
         Dedup.exact(Tables.documents(s, dir)).orderBy(col("fp"))
+    },
+
+    // URL-canonicalization dedup — the curation pass BEFORE content dedup:
+    // crawl variants of one page (scheme/www/case, tracking params,
+    // fragments, trailing slashes) collapse onto one canonical key; group
+    // by it, keep the min doc_id. The oracle applies the identical RE2-safe
+    // regex chain (Curation.canonicalUrl) in DuckDB; the fixture pins the
+    // preserved-by-design negatives (ports, punycode, path case).
+    QuerySpec.sql("dd_url_canonical",
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |         'https://WWW.' || source || '.Example.COM/' || lang || '/doc/' ||
+        |         CAST(doc_id // 3 AS VARCHAR) || $UrlVariantCaseSql AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ${UrlFixture.map { case (i, u) =>
+            s"($i, '$u')" }.mkString(", ")}) fx(doc_id, url)),
+        |ns AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(trim(url), '#.*', ''),
+        |                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS s
+        |       FROM u),
+        |c AS (SELECT doc_id,
+        |        regexp_replace(lower(regexp_extract(s, '^[^/?]*')), '^www\\.', '') ||
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          regexp_replace(s, '^[^/?]*', ''),
+        |          '&(${Curation.TrackingParamRe})=[^&]*', '', 'g'),
+        |          '\\?(${Curation.TrackingParamRe})=[^&]*&', '?'),
+        |          '\\?(${Curation.TrackingParamRe})=[^&]*$$', ''),
+        |          '/+$$', ''),
+        |          '\\?$$', '') AS canonical_url
+        |      FROM ns)
+        |SELECT canonical_url, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM c GROUP BY 1 ORDER BY canonical_url""") {
+      (s, dir) => {
+        import s.implicits._
+        val constructed = Tables.documents(s, dir).select(col("doc_id"),
+          expr("""'https://WWW.' || source || '.Example.COM/' || lang ||
+                 |'/doc/' || CAST(doc_id div 3 AS STRING) ||
+                 |CASE CAST(doc_id % 5 AS INT)
+                 |  WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                 |  WHEN 1 THEN '/?ref=home'
+                 |  WHEN 2 THEN '#section-2'
+                 |  WHEN 3 THEN '?id=' || CAST(doc_id div 3 AS STRING) || '&utm_medium=email'
+                 |  ELSE '///' END""".stripMargin).as("url"))
+        constructed.unionByName(UrlFixture.toDF("doc_id", "url"))
+          .select(col("doc_id"),
+            Curation.canonicalUrl(col("url")).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy(col("canonical_url"))
+      }
     },
 
     QuerySpec.sql("dd_ngram_jaccard",
@@ -765,6 +845,34 @@ object TrainingData {
       (s, dir) =>
         Packing.packSequences(Tables.documents(s, dir), budget = 4096L)
           .orderBy(col("doc_id"))
+    },
+
+    // The full pack→slice manifest (the training writer's span map): every
+    // (doc, pack) intersection with doc/pack offsets and slice length —
+    // docs spanning multiple packs emit one row per pack. The oracle
+    // mirrors the arithmetic with range() over the same global cumsum.
+    QuerySpec.sql("pack_manifest",
+      """WITH s AS (SELECT doc_id,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY hk ASC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM s),
+        |x AS (SELECT doc_id, n_tokens, strt,
+        |        unnest(range(strt // 4096, (strt + n_tokens - 1) // 4096 + 1)) AS pack_id
+        |      FROM c WHERE n_tokens > 0)
+        |SELECT pack_id, doc_id,
+        |       greatest(pack_id * 4096 - strt, 0) AS doc_offset,
+        |       greatest(strt - pack_id * 4096, 0) AS pack_offset,
+        |       least((pack_id + 1) * 4096, strt + n_tokens)
+        |         - greatest(pack_id * 4096, strt) AS len
+        |FROM x ORDER BY pack_id, doc_id""") {
+      (s, dir) =>
+        Packing.packManifest(Tables.documents(s, dir), budget = 4096L)
+          .orderBy(col("pack_id"), col("doc_id"))
     },
 
     // ---- Similarity search ----------------------------------------------

@@ -80,6 +80,29 @@ object StreamOps {
       }
   }
 
+  /** Streaming EXACT dedup on the content fingerprint — the streaming twin
+    * of [[graft.ops.Dedup.exact]], completing the incremental-dedup story
+    * next to [[screenStreamNearDups]] (minhash screen): the first arrival
+    * of each distinct content (case/whitespace-normalized md5,
+    * [[graft.ops.TextStats.fingerprint]]) passes, replays and re-crawls of
+    * the same content drop in-stream.
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) bounds
+    * the state store: fingerprints older than the watermark delay are
+    * evicted, so state scales with the distinct-content arrival RATE, not
+    * corpus lifetime — at 100 TB/day an unbounded fingerprint set is a
+    * state-store OOM. Content recurring farther apart than the delay is
+    * the STATIC store's job ([[screenStreamNearDups]]' corpusSig pattern);
+    * the two compose exactly like exact-first → near-dup in the batch
+    * composition contract (Dedup's scaladoc). */
+  def dedupExactStream(docsStream: DataFrame, watermarkDelay: String,
+                       tsCol: String = "event_timestamp",
+                       textCol: String = "text"): DataFrame =
+    docsStream
+      .withColumn("fp", graft.ops.TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming incremental dedup: screen each arriving micro-batch of
     * documents against a STATIC corpus signature store
     * ([[graft.ops.Dedup.minhashSignature]] output, materialized once).

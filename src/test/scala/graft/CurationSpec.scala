@@ -106,6 +106,33 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(8L) === ((1L, "dial <PHONE> today")))
   }
 
+  test("canonicalUrl collapses crawl variants and preserves the negatives") {
+    def canon(urls: String*): Seq[String] = {
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("doc_id", "url")
+      df.select(col("doc_id"), Curation.canonicalUrl(col("url")).as("c"))
+        .collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    }
+    // variants of ONE page all land on the same key
+    assert(canon(
+      "https://WWW.Example.com/A/B/",
+      "http://example.com/A/B",
+      "example.com/A/B///",
+      "https://example.com/A/B#frag",
+      "https://example.com/A/B?utm_source=x&utm_campaign=y",
+      "https://example.com/A/B?fbclid=123").distinct === Seq("example.com/A/B"))
+    // tracking params drop wherever they sit; real params survive in order
+    assert(canon("https://a.com/p?utm_a=1&id=2&ref=x&q=3") === Seq("a.com/p?id=2&q=3"))
+    assert(canon("https://a.com/p?ref=home") === Seq("a.com/p"))
+    // preserved by design: ports, punycode hosts, path/query case
+    assert(canon("https://example.com:8080/a/") === Seq("example.com:8080/a"))
+    assert(canon("http://xn--bcher-kva.example/b") === Seq("xn--bcher-kva.example/b"))
+    assert(canon("https://example.com/Path").head !== canon("https://example.com/path").head)
+    // host case folds, www strips, bare-host forms normalize cleanly
+    assert(canon("HTTP://WWW.EXAMPLE.COM") === Seq("example.com"))
+    assert(canon("https://example.com/") === Seq("example.com"))
+  }
+
   test("redactPii counts reconcile with the mask tokens in the output") {
     // the digit run inside the email must not be double-counted as a phone
     // once the email pass has already masked it

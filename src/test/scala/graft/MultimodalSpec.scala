@@ -129,6 +129,67 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       s"payload encode must be pruned from a metadata-only plan:\n$plan")
   }
 
+  /** Golden WAV: 16-bit mono PCM with a LIST chunk between fmt and data
+    * (exercises the generic chunk walk) and an odd-sized skipped chunk
+    * (exercises the RIFF pad byte). */
+  private def goldenWav: Array[Byte] = {
+    val samples = Array[Short](-32768, -1, 0, 1, 32767)
+    val plain = Multimodal.encodeWavPcm16(samples, channels = 1, sampleRate = 8000)
+    // splice extra chunks between "fmt " (ends at byte 36) and "data"
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 0) // 3-byte body + pad byte
+    val out = plain.take(36) ++ extra ++ plain.drop(36)
+    // fix the RIFF size field (bytes 4-7, LE) for the spliced length
+    val riffLen = out.length - 8
+    (0 until 4).foreach(i => out(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte)
+    out
+  }
+
+  test("decodeWav walks RIFF chunks, skips unknown/odd chunks, decodes PCM") {
+    val w = Multimodal.decodeWav(goldenWav)
+    assert(w.channels === 1 && w.sample_rate === 8000 && w.bits_per_sample === 16)
+    assert(w.data.length === 10)
+    // little-endian signed 16-bit round trip of the golden samples
+    val decoded = w.data.grouped(2)
+      .map(p => ((p(0) & 0xff) | (p(1) << 8)).toShort).toSeq
+    assert(decoded === Seq[Short](-32768, -1, 0, 1, 32767))
+    // malformed inputs fail fast: wrong magic, truncated data chunk,
+    // compressed (non-PCM) audioFormat
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav("RIFXxxxxWAVE".getBytes))
+    val truncated = goldenWav.dropRight(4)
+    // fix nothing: the data chunk now claims more bytes than remain
+    intercept[IllegalArgumentException](Multimodal.decodeWav(truncated))
+    val mulaw = Multimodal.encodeWavPcm16(Array[Short](0))
+    mulaw(20) = 7 // audioFormat = 7 (µ-law)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(mulaw))
+  }
+
+  test("asAudio → extractAudioFeatures is exact over the text bytes") {
+    val f = Multimodal.extractAudioFeatures(Multimodal.asAudio(docs))
+      .collect().sortBy(_.doc_id).head
+    // "abcd": bytes 97..100 → samples (u−128)·256; sum = (394−512)·256
+    assert(f.channels === 1L && f.sample_rate === 16000L && f.bits_per_sample === 16L)
+    assert(f.n_samples === 4L)
+    assert(f.sum_samples === -30208L)
+    // 8-bit PCM sums unsigned byte values
+    val wav8 = {
+      val s16 = Multimodal.encodeWavPcm16(Array[Short](0, 0, 0))
+      // rewrite header to 8-bit: bits (byte 34), block align (32), byte
+      // rate (28), and a 3-byte data chunk
+      val header = s16.take(44)
+      header(34) = 8; header(32) = 1
+      header(28) = 0x40; header(29) = 0x3e // byte rate 16000
+      header(40) = 3 // data size 3
+      header.take(44) ++ Array[Byte](0, 128.toByte, 255.toByte)
+    }
+    val w8 = Multimodal.decodeWav(wav8.take(44 + 3))
+    assert(w8.bits_per_sample === 8)
+    assert(w8.data.map(_ & 0xff).sum === 0 + 128 + 255)
+  }
+
   test("frameSample takes every stride-th fixed-size block") {
     val frames = Multimodal.frameSample(Multimodal.asMedia(docs),
       frameBytes = 16, stride = 2).collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)

@@ -83,4 +83,59 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
       assert(lastPack * budget + lastOff + lastN === sizes.map(_.toLong).sum)
     }
   }
+
+  test("property: packManifest tiles every non-terminal pack to exactly the budget") {
+    val corpusGen = for {
+      budget <- Gen.choose(4L, 12L)
+      sizes <- Gen.nonEmptyListOf(Gen.choose(0, (budget * 3).toInt))
+    } yield (budget, sizes)
+    val cases = (0 until 4).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default.withSize(30), Seed(41L + i)))
+    cases.foreach { case (budget, sizes) =>
+      val df = sizes.zipWithIndex
+        .map { case (n, id) => (id.toLong, Seq.fill(n)("tok").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val slices = Packing.packManifest(df, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // NOTE "" splits to one empty token, so n_tokens ≥ 1 here; the
+      // zero-token guard is still exercised by construction (filter > 0).
+      val total = slices.map(_._5).sum
+      val totalTokens = Packing.packSequences(df, budget)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      assert(total === totalTokens, "slice lengths must tile the token stream")
+      val maxPack = slices.map(_._1).max
+      // every non-terminal pack is filled to exactly the budget, with
+      // contiguous non-overlapping slices
+      slices.groupBy(_._1).foreach { case (pack, ss) =>
+        val inOrder = ss.sortBy(_._4)
+        if (pack < maxPack)
+          assert(inOrder.map(_._5).sum === budget,
+            s"pack $pack (budget $budget) must be exactly full")
+        var cursor = 0L
+        inOrder.foreach { case (_, _, _, packOff, len) =>
+          assert(packOff === cursor, s"pack $pack: slice at $packOff != $cursor")
+          assert(len > 0)
+          cursor += len
+        }
+      }
+      // per-doc identity: slices reassemble each document contiguously
+      slices.groupBy(_._2).foreach { case (_, ss) =>
+        val inOrder = ss.sortBy(_._3)
+        var cursor = 0L
+        inOrder.foreach { case (_, _, docOff, _, len) =>
+          assert(docOff === cursor)
+          cursor += len
+        }
+      }
+      // consistency with packSequences: each doc's FIRST slice is its
+      // (pack_id, pack_offset) row there
+      val packedRows = Packing.packSequences(df, budget).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      slices.groupBy(_._2).foreach { case (id, ss) =>
+        val first = ss.minBy(_._3)
+        assert((first._1, first._4) === packedRows(id))
+      }
+    }
+  }
 }

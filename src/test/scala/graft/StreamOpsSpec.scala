@@ -156,4 +156,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     // Doc 2 shares nothing with the corpus — never flagged.
     assert(!perBatch.values.flatten.exists(_._1 == 2L))
   }
+
+  test("streaming exact dedup drops fingerprint replays, keeps genuinely new docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = StreamOps.dedupExactStream(
+        input.toDF().toDF("doc_id", "event_timestamp", "text"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("stream_exact_dedup")
+      .outputMode("append").start()
+
+    input.addData(
+      (1L, ts(10, 0), "The quick brown fox"),
+      (2L, ts(10, 1), "a completely different document"))
+    query.processAllAvailable()
+    input.addData(
+      // replay under a new id, within the watermark window → dropped
+      (3L, ts(10, 2), "The quick brown fox"),
+      // case/whitespace variant: the SAME fingerprint by the normalize
+      // contract (exact dedup is normalization-insensitive) → dropped
+      (4L, ts(10, 3), "the  QUICK   brown fox"),
+      // one token differs → genuinely new content → kept
+      (5L, ts(10, 4), "The quick brown foxes"))
+    query.processAllAvailable()
+
+    val kept = spark.table("stream_exact_dedup").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 5L))
+    query.stop()
+  }
 }
