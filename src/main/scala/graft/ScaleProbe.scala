@@ -14,14 +14,20 @@ import graft.ingest.Parse
   */
 object ScaleProbe {
 
-  private def replicateDocs(docs: DataFrame, n: Int): DataFrame = {
+  /** `exact = false` (default): prefix a replica marker token so replicas
+    * are near- but not exact dups of each other (keeps dedup joins honest).
+    * `exact = true`: byte-identical replicas under fresh ids — the
+    * duplicate-SATURATED corpus shape the exact-first composition contract
+    * targets (SPARK_GRAFT_PROBE_EXACTDUP=1; used by the
+    * pipeline_canonical vs cluster_minhash comparison). */
+  private def replicateDocs(docs: DataFrame, n: Int,
+                            exact: Boolean = false): DataFrame = {
     val base = docs.count()
     (0 until n).map { i =>
-      // jitter: prefix a replica marker token so replicas are near- but
-      // not exact dups of each other (keeps dedup joins honest)
       docs.select(
         (col("doc_id") + lit(i * base)).as("doc_id"),
-        concat(lit(s"r$i "), col("text")).as("text"),
+        (if (exact) col("text")
+         else concat(lit(s"r$i "), col("text"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
   }
@@ -175,6 +181,32 @@ object ScaleProbe {
         "sessionize" -> (() =>
           time(s"$tag/sessionize")(
             Sequences.sessionize(obs, gapMinutes = 480).count())),
+        // hashed-TF cosine verification over raw LSH band candidates — the
+        // round-9 probe target: the candidate feed is minhashLshPairs at
+        // threshold 0 (quadratic within identical-signature groups), so on
+        // a duplicate-saturated corpus this measures whether the
+        // O(candidates)-pinned join chain stays candidate-bound
+        "hashed_tf" -> (() =>
+          time(s"$tag/hashed_tf")(
+            Dedup.hashedTfCosinePairs(docs, threshold = 0.95).count())),
+        // standalone minhash clustering vs the composed exact-first
+        // pipeline on the SAME corpus — the composition-order contract's
+        // measured claim (run with SPARK_GRAFT_PROBE_EXACTDUP=1 so replica
+        // groups are byte-identical, the corpus shape the contract targets)
+        "cluster_minhash" -> (() =>
+          time(s"$tag/cluster_minhash")(
+            Dedup.canonicalizeFrom(docs,
+              Dedup.minhashLshComponents(docs, threshold = 0.5)).count())),
+        "pipeline_canonical" -> (() =>
+          time(s"$tag/pipeline_canonical")(
+            Dedup.pipelineCanonical(docs, threshold = 0.5).count())),
+        // union-feed CC (stars INSIDE the fixpoint) vs the contracted
+        // cc_canonical above — the paired comparison BASELINE.md cites
+        "cc_union_feed" -> (() =>
+          time(s"$tag/cc_union_feed")(
+            Dedup.canonicalizeFrom(docs,
+              Dedup.connectedComponents(
+                Dedup.simhashEdges(docs, maxHamming = 3))).count())),
         // the quality gate's SCALE path (mergeable percentile_approx
         // sketch, not the single-reducer exact percentile the oracle uses)
         "quality_filter_approx" -> (() =>
@@ -208,7 +240,8 @@ object ScaleProbe {
     // 1× with the 100× corpus resident vs ~11 s in Bench. Ratios from that
     // layout flattered the N× side.
     val r1 = suite("1x", docs1, vecs1, ev1, Nil)
-    val docsN = replicateDocs(docs1, factor).cache()
+    val exactDup = sys.env.get("SPARK_GRAFT_PROBE_EXACTDUP").contains("1")
+    val docsN = replicateDocs(docs1, factor, exact = exactDup).cache()
     val vecsN = replicateVecs(vecs1, factor).cache()
     val evN = replicateEvents(ev1, factor).cache()
     println(s"corpus: docs ${docsN.count()}, vecs ${vecsN.count()}, events ${evN.count()}")

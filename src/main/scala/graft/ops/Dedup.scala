@@ -676,6 +676,41 @@ object Dedup {
     contractedComponents(stars, repPairs)
   }
 
+  /** The composed production pipeline from the composition-order contract
+    * at the top of this file, end-to-end: exact dedup FIRST (collapse
+    * identical copies for one (hash, id) shuffle — so the near-dup stage
+    * never shingles or bands a duplicate-saturated corpus), minhash edges
+    * over the SURVIVORS only, transitive closure, then every original doc
+    * routed through its exact canonical to the cluster canonical. Ships as
+    * the `dd_pipeline_canonical` query; probed at 100× against standalone
+    * clustering in ScaleProbe (`pipeline_canonical` vs `cluster_minhash`).
+    *
+    * Output: (doc_id, canonical_id, is_canonical) over every input doc. */
+  def pipelineCanonical(docs: DataFrame, threshold: Double = 0.5,
+                        numHashes: Int = 16, bands: Int = 4,
+                        textCol: String = "text"): DataFrame = {
+    // Persisted: feeds both the doc→exact-canonical map and the survivor
+    // semi-join — without the cache the corpus fingerprint groupBy runs
+    // twice. Fixed-width rows (fp + two longs).
+    val exactAgg = exact(docs, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactCanon = docs
+      .select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fp"))
+      .join(exactAgg.select(col("fp"), col("canonical_id").as("exact_canon")),
+        Seq("fp"))
+      .select(col("doc_id"), col("exact_canon"))
+    val survivors = docs.join(
+      exactAgg.select(col("canonical_id").as("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val canon = canonicalizeFrom(survivors,
+      minhashLshComponents(survivors, numHashes, bands, threshold, textCol))
+    exactCanon
+      .join(canon.select(col("doc_id").as("exact_canon"), col("canonical_id")),
+        Seq("exact_canon"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("is_canonical"))
+  }
+
   /** [[canonicalize]] from a precomputed component relation (the tail of
     * canonicalize, shared with the contracted clustering entry points). */
   def canonicalizeFrom(docs: DataFrame, components: DataFrame): DataFrame =

@@ -738,28 +738,10 @@ object TrainingData {
         |       CAST(m.doc_id = sc.cc AS BIGINT) AS is_canonical
         |FROM m JOIN sc ON sc.doc_id = m.ec
         |ORDER BY m.doc_id""") {
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        // Persisted: feeds both the doc→exact-canonical map and the
-        // survivor semi-join — without the cache the corpus fingerprint
-        // groupBy runs twice. Fixed-width rows (fp + two longs).
-        val exact = Dedup.exact(docs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val exactCanon = docs
-          .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-          .join(exact.select(col("fp"), col("canonical_id").as("exact_canon")), Seq("fp"))
-          .select(col("doc_id"), col("exact_canon"))
-        val survivors = docs.join(
-          exact.select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        val canon = Dedup.canonicalizeFrom(survivors,
-          Dedup.minhashLshComponents(survivors, threshold = 0.5))
-        exactCanon
-          .join(canon.select(col("doc_id").as("exact_canon"), col("canonical_id")),
-            Seq("exact_canon"))
-          .select(col("doc_id"), col("canonical_id"),
-            (col("doc_id") === col("canonical_id")).cast("long").as("is_canonical"))
+      (s, dir) =>
+        // the composed contract as one library call — Dedup.pipelineCanonical
+        Dedup.pipelineCanonical(Tables.documents(s, dir), threshold = 0.5)
           .orderBy(col("doc_id"))
-      }
     },
 
     // ---- Sampling (training-data mix) -----------------------------------
