@@ -181,11 +181,13 @@ object ScaleProbe {
         "sessionize" -> (() =>
           time(s"$tag/sessionize")(
             Sequences.sessionize(obs, gapMinutes = 480).count())),
-        // hashed-TF cosine verification over raw LSH band candidates — the
-        // round-9 probe target: the candidate feed is minhashLshPairs at
-        // threshold 0 (quadratic within identical-signature groups), so on
-        // a duplicate-saturated corpus this measures whether the
-        // O(candidates)-pinned join chain stays candidate-bound
+        // hashed-TF cosine pairs, exact-fingerprint-contracted (the r9
+        // rewrite): the uncontracted chain OOM'd at 100× (hash-map build
+        // over the candidates×dims intermediate). With EXACTDUP=1 the
+        // verify stage is bounded by distinct contents and the quadratic
+        // part is the output expansion; without it (marker-prefix near
+        // dups) nothing contracts and the listing is output-bound by
+        // contract — both shapes worth measuring.
         "hashed_tf" -> (() =>
           time(s"$tag/hashed_tf")(
             Dedup.hashedTfCosinePairs(docs, threshold = 0.95).count())),

@@ -260,15 +260,20 @@ object Dedup {
       .agg(sum(col("sgn") * col("cnt")).as("v"))
   }
 
-  /** Two-stage near-dup pipeline: MinHash-LSH candidate pairs verified by
-    * hashed-TF cosine — the 100 TB composition (a naive inverted-index
-    * all-pairs cosine degenerates to n²·cells on low-entropy corpora;
-    * measured 42 s vs ~6 s at sf0.1). The sparse dot product only joins
-    * features of CANDIDATE pairs; candidates with no shared feature cell
-    * drop out (their cosine would be ≈ 0). Integer-exact until the final
-    * sqrt/divide. */
-  def hashedTfCosinePairs(docs: DataFrame, threshold: Double,
-                          dims: Int = 64, textCol: String = "text"): DataFrame = {
+  /** The uncontracted cosine-verify chain: MinHash-LSH band candidates
+    * verified by hashed-TF cosine. [[hashedTfCosinePairs]] runs this on
+    * exact-fingerprint REPRESENTATIVES and expands afterwards; it is
+    * `private[graft]` (not private) so the equivalence spec can pit the
+    * contracted operator against this reference form directly.
+    *
+    * A naive inverted-index all-pairs cosine degenerates to n²·cells on
+    * low-entropy corpora; measured 42 s vs ~6 s at sf0.1. The sparse dot
+    * product only joins features of CANDIDATE pairs; candidates with no
+    * shared feature cell drop out (their cosine would be ≈ 0).
+    * Integer-exact until the final sqrt/divide. */
+  private[graft] def cosineVerifyPairs(docs: DataFrame, threshold: Double,
+                                       dims: Int = 64,
+                                       textCol: String = "text"): DataFrame = {
     // candidates = raw LSH band collisions (threshold 0: the cosine stage
     // IS the verifier; an est-filter here would just shadow it)
     val cand = minhashLshPairs(docs, threshold = 0.0, textCol = textCol)
@@ -286,25 +291,116 @@ object Dedup {
     // O(candidates), and — unlike the broadcast pin this replaces — nothing
     // ever collects a corpus-growing relation onto the driver (a
     // broadcast(cand) here measured 48 s..261 s run-to-run at sf0.1 and is
-    // a driver-memory scale-killer at 100 TB). cand and feats are persisted:
-    // each is consumed by ≥2 plan branches, and persisting also bounds the
-    // work a shuffle-hash build side re-executes.
-    val dots = cand.hint("shuffle_hash")
-      .join(feats.as("a"), col("a.doc_id") === col("doc_a"))
-      .hint("shuffle_hash")
-      .join(feats.as("b"),
+    // a driver-memory scale-killer at 100 TB).
+    //
+    // The hints sit on the feats/norms SIDES, not the accumulated left
+    // chain: a one-sided SHUFFLE_HASH hint names the BUILD side, and the
+    // round-9 100× probe showed why that placement is load-bearing — with
+    // the hint on the left, the second join built its hash map over the
+    // cand⋈feats intermediate (candidates × dims rows; ~1.6 B at the probe)
+    // and died with SparkOutOfMemoryError "cannot build hash map". Built on
+    // feats/norms, the per-partition build is corpus-linear and the
+    // quadratic intermediate only ever STREAMS. cand and feats are
+    // persisted: each is consumed by ≥2 plan branches, and persisting also
+    // bounds the work a shuffle-hash build side re-executes.
+    val dots = cand
+      .join(feats.as("a").hint("shuffle_hash"), col("a.doc_id") === col("doc_a"))
+      .join(feats.as("b").hint("shuffle_hash"),
         col("b.doc_id") === col("doc_b") && col("a.idx") === col("b.idx"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("a.v") * col("b.v")).as("dot"))
-    dots.hint("shuffle_hash")
-      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
-      .hint("shuffle_hash")
-      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+    dots
+      .join(norms.as("na").hint("shuffle_hash"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb").hint("shuffle_hash"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("dot").cast("double") /
           (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double")))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Two-stage near-dup pipeline: MinHash-LSH candidate pairs verified by
+    * hashed-TF cosine, with the verification contracted through EXACT
+    * content fingerprints — the 100 TB composition.
+    *
+    * Why contract, and why on the exact fingerprint: the raw candidate feed
+    * (band collisions at threshold 0) is quadratic within identical-
+    * signature groups, and the round-9 100× probe (500 k docs, 100-deep
+    * replica groups) OOM'd the uncontracted chain. Cosine is a function of
+    * the hashed-TF vector, which is a function of the (normalized) text —
+    * so all members of an exact-fingerprint group share every cosine, and
+    * the verification only needs to run once per DISTINCT content. The
+    * minhash signature is NOT a sound contraction key here (identical
+    * signatures ⇒ identical features only for exact dups), hence
+    * [[TextStats.fingerprint]].
+    *
+    * Exact output equivalence with `cosineVerifyPairs(docs)` (spec'd on
+    * fixed and random duplicate-heavy corpora):
+    *  - members inherit their rep's minhash signature, so a member pair
+    *    band-collides iff the rep pair does, and scores the same cosine —
+    *    cross-group pairs expand through the member map at the rep pair's
+    *    verified value;
+    *  - within-group pairs are exact dups: they band-collide iff the doc
+    *    has a signature at all (≥ 1 shingle ⇔ ≥ 3 tokens) and score
+    *    dot/(√n2·√n2) = 1.0 when n2 > 0 — emitted directly at 1.0 for
+    *    qualifying groups. (An all-zero hashed-TF vector — every cell
+    *    cancelling exactly — made the uncontracted form emit a NaN cosine
+    *    that survives the filter only through Spark's NaN ordering;
+    *    excluded here deliberately.)
+    *
+    * The expansion joins are equi-joins on rep id whose output IS the pair
+    * listing (output-bound by contract, like [[simhashPairs]]); the
+    * expensive stage — shingling, banding, feature joins — is bounded by
+    * distinct contents. Clustering consumers that don't need the listing
+    * should feed [[canonicalize]] from edges instead (composition-order
+    * scaladoc at the top of this file). */
+  def hashedTfCosinePairs(docs: DataFrame, threshold: Double,
+                          dims: Int = 64, textCol: String = "text"): DataFrame = {
+    require(threshold <= 1.0,
+      "identical-content expansion assumes cosine-1.0 pairs pass the filter")
+    // Persisted (cache-lifetime note on contractSignatures applies): the
+    // exact aggregate feeds the member map and the rep semi-join; the
+    // member map feeds three expansion branches.
+    val exactAgg = exact(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val memberOf = docs
+      .select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fp"))
+      .join(exactAgg.select(col("fp"), col("canonical_id").as("rep"))
+        .hint("shuffle_hash"), Seq("fp"))
+      .select(col("rep"), col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = docs.join(
+      exactAgg.select(col("canonical_id").as("doc_id")).hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    val repPairs = cosineVerifyPairs(reps, threshold, dims, textCol)
+    // cross-group expansion: every member inherits its rep's verified pairs
+    val cross = repPairs.as("p")
+      .join(memberOf.as("ma").hint("shuffle_hash"),
+        col("ma.rep") === col("p.doc_a"))
+      .join(memberOf.as("mb").hint("shuffle_hash"),
+        col("mb.rep") === col("p.doc_b"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("p.cosine"))
+    // within-group expansion, for groups whose rep would self-qualify in
+    // the uncontracted chain: a signature exists (≥ 3 tokens) and the
+    // cosine is defined (n2 > 0). norms' plan subtree matches the feats
+    // relation cosineVerifyPairs persisted, so the cache serves it.
+    val norms = hashedTfFeatures(reps, dims, textCol)
+      .groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
+    val qualified = reps
+      .filter(size(TextStats.tokens(col(textCol))) >= 3)
+      .select(col("doc_id").as("rep"))
+      .join(norms.filter(col("n2") > 0).select(col("doc_id").as("rep"))
+        .hint("shuffle_hash"), Seq("rep"), "left_semi")
+    val qm = memberOf.join(qualified.hint("shuffle_hash"), Seq("rep"), "left_semi")
+    val within = qm.as("x")
+      .join(qm.as("y").hint("shuffle_hash"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("cosine"))
+    // disjoint by construction (cross spans two fingerprint groups, within
+    // stays inside one), so a plain union
+    cross.union(within)
   }
 
   /** Connected components over a near-dup pair relation: every document in a

@@ -71,6 +71,49 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs((0L, 1L)) === 1.0)
   }
 
+  test("hashedTfCosinePairs equals the uncontracted verify chain on a replica corpus") {
+    // The contracted operator (exact-fingerprint reps verified, pairs
+    // expanded through the member map) must reproduce the uncontracted
+    // chain's listing EXACTLY — ids, orientation, and cosine values.
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    val contracted = pairsOf(Dedup.hashedTfCosinePairs(replicaCorpus, threshold = 0.5))
+    val reference = pairsOf(Dedup.cosineVerifyPairs(replicaCorpus, threshold = 0.5))
+    assert(contracted === reference)
+    // the 3-deep identical group contributes all three pairs at exactly 1.0
+    assert(contracted((0L, 1L)) === 1.0)
+    assert(contracted((0L, 2L)) === 1.0)
+    assert(contracted((1L, 2L)) === 1.0)
+  }
+
+  test("property: contracted cosine pairs equal the uncontracted chain on random corpora") {
+    import org.scalacheck.{Gen, rng}
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the sleepy dog",
+      "pack my box with five dozen liquor jugs today",
+      "sphinx of black quartz judge my vow tonight")
+    val corpusGen = Gen.nonEmptyListOf(Gen.choose(0, pool.size - 1))
+    val cases = (0 until 3).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default.withSize(20), rng.Seed(23L + i)))
+    cases.foreach { picks =>
+      val corpus = picks.zipWithIndex
+        .map { case (p, id) => (id.toLong, pool(p)) }.toDF("doc_id", "text")
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+      val contracted = pairsOf(Dedup.hashedTfCosinePairs(corpus, threshold = 0.3))
+      val reference = pairsOf(Dedup.cosineVerifyPairs(corpus, threshold = 0.3))
+      assert(contracted === reference, s"diverged on picks=$picks")
+    }
+  }
+
+  test("hashedTfCosinePairs emits nothing for sub-shingle docs") {
+    // docs shorter than one shingle never band, so identical copies of them
+    // must not pair — the within-group expansion's qualification gate.
+    val shorties = Seq((0L, "ab"), (1L, "ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    assert(Dedup.hashedTfCosinePairs(shorties, threshold = 0.0).count() === 0L)
+  }
+
   test("hashedTfCosinePairs plan contains no broadcast of candidate-derived relations") {
     // The broadcast pin this plan used to carry grows with the corpus and
     // was measured 5× run-to-run unstable; every join must stay a shuffled
