@@ -61,10 +61,20 @@ object ScaleProbe {
     * timing's materialization (e.g. cc_canonical re-deriving the simhash
     * signature that simhash_pairs just persisted via CacheManager plan
     * matching) — every probe measures the operator COLD. The replica
-    * corpora are re-cached afterwards since clearCache drops them too. */
+    * corpora are re-cached afterwards since clearCache drops them too.
+    *
+    * Broadcast teardown is NOT optional here: clearCache/unpersist leave
+    * broadcast pieces behind, ContextCleaner only reaps them after a driver
+    * GC, and at 48 GiB ParallelGC barely ever runs — so the 1× legs (where
+    * AQE broadcasts nearly every join) quietly fill storage memory and a
+    * 4-op probe run measured its own control op 3× slower than the same op
+    * probed alone (minhash_lsh 79.3 s vs 26.1 s at 100×, round 9). Same
+    * fix as Bench.scala's untimed gap. */
   private def flush(spark: SparkSession, keep: Seq[DataFrame]): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    org.apache.spark.graft.BlockHygiene.destroyBroadcasts(spark.sparkContext)
+    System.gc()
     keep.foreach { df => df.cache(); df.count() }
   }
 
