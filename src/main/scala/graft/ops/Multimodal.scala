@@ -9,17 +9,20 @@ import org.apache.spark.sql.functions._
   * batched per partition, schema-typed in and out, no driver collects.
   *
   * Codec status: [[Multimodal.decodePpm]] (P6 binary RGB),
-  * [[Multimodal.decodePgm]] (P5 binary grayscale) and
+  * [[Multimodal.decodePgm]] (P5 binary grayscale),
   * [[Multimodal.decodeWav]] (RIFF/WAV integer PCM, with
-  * [[Multimodal.encodeWavPcm16]] as its writer half) are REAL
-  * dependency-free codecs, dispatched by format through [[Multimodal.decode]];
-  * other formats fall back to [[Multimodal.decodeStub]], a deterministic
-  * fake that treats the payload bytes as the "decoded frame" (this
-  * container has no image/audio libraries). Everything around the codecs —
-  * the Dataset schemas, the mapPartitions batch shape (the Scala analogue
-  * of `mapInPandas` with Arrow batches), the per-partition batching, and
-  * the downstream aggregations — is real and tested; a JNI/image-library
-  * decoder is one new `decode` case.
+  * [[Multimodal.encodeWavPcm16]] as its writer half) and
+  * [[Multimodal.decodeImage]] (PNG/JPEG/BMP/GIF via the JDK's built-in
+  * `javax.imageio` readers, with [[Multimodal.encodePng]] as the lossless
+  * writer half) are REAL dependency-free codecs, dispatched by format
+  * through [[Multimodal.decode]]; the remaining formats (video containers,
+  * compressed audio) fall back to [[Multimodal.decodeStub]], a
+  * deterministic fake that treats the payload bytes as the "decoded frame"
+  * (no ffmpeg-class library exists in this container). Everything around
+  * the codecs — the Dataset schemas, the mapPartitions batch shape (the
+  * Scala analogue of `mapInPandas` with Arrow batches), the per-partition
+  * batching, and the downstream aggregations — is real and tested; a
+  * JNI/ffmpeg decoder is one new `decode` case.
   */
 object Multimodal {
 
@@ -202,6 +205,113 @@ object Multimodal {
     out.array()
   }
 
+  /** Real PNG/JPEG/BMP/GIF decode via the JDK's built-in `javax.imageio`
+    * readers — zero new dependencies (`java.desktop` ships with every JDK
+    * and runs fully headless), so the common web-crawl image formats do NOT
+    * need the stub. Pixels are normalized to a row-major 3-channel RGB
+    * raster regardless of the source color model (palette GIF, grayscale
+    * PNG, ...), so downstream features are deterministic across reader
+    * implementations.
+    *
+    * The payload is wrapped in a `MemoryCacheImageInputStream` explicitly:
+    * `ImageIO.read(InputStream)` defaults to a FILE-cache stream that spools
+    * every blob to executor /tmp — a hidden disk write per decode that
+    * throttles exactly the batched hot path this operator runs in (and the
+    * alternative, the global `ImageIO.setUseCache(false)`, mutates
+    * JVM-process-wide state a library must not touch). */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read(ImageInputStream) closes the stream itself (unlike the
+    // other read overloads) — closing again throws.
+    val img = javax.imageio.ImageIO.read(iis)
+    require(img != null, "no ImageIO reader recognized the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    // Long guard like decodeNetpbm: a pathological header must fail fast,
+    // not wrap Int and allocate a tiny raster.
+    require(w.toLong * h * 3 <= Int.MaxValue, s"image too large (${w}x$h)")
+    val out = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val d = (y * w + x) * 3
+        out(d) = ((p >> 16) & 0xff).toByte
+        out(d + 1) = ((p >> 8) & 0xff).toByte
+        out(d + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Lossless PNG writer for a row-major 3-channel RGB raster — the encode
+    * half of the ImageIO path (same re-emit contract as [[encodeWavPcm16]]
+    * and the netpbm re-emit in [[resize]]). Memory-cached output stream for
+    * the same no-temp-file reason as [[decodeImage]]. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"raster length ${rgb.length} != ${width}x$height x3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        row(x) = ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) |
+          (rgb(s + 2) & 0xff)
+        x += 1
+      }
+      img.setRGB(0, y, width, 1, row, 0, width)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      require(javax.imageio.ImageIO.write(img, "png", ios), "no PNG writer")
+      ios.flush()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** The ImageIO-backed formats: decoded for real by [[decodeImage]]. */
+  private val imageIoFormats = Set("png", "jpg", "jpeg", "bmp", "gif")
+
+  /** Adapt documents to PNG image rows: each UTF-8 text byte u becomes one
+    * gray pixel (u, u, u) of a 1×n image written through the REAL PNG
+    * encoder — so the downstream feature query exercises encode → ImageIO
+    * decode → RGB normalization end-to-end while staying recomputable from
+    * the text bytes by an independent engine (the `mm_image_stats` oracle;
+    * the audio twin is [[asAudio]]). Empty texts become a single black
+    * pixel (PNG has no 0-dimension images) — the oracle mirrors it with
+    * `greatest(n, 1)`. */
+  def asImagePng(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val gray = if (bytes.isEmpty) Array[Byte](0) else bytes
+          val rgb = new Array[Byte](gray.length * 3)
+          var i = 0
+          while (i < gray.length) {
+            rgb(3 * i) = gray(i); rgb(3 * i + 1) = gray(i)
+            rgb(3 * i + 2) = gray(i)
+            i += 1
+          }
+          MediaRecord(id, "image", encodePng(1, gray.length, rgb), "png",
+            1, gray.length, 1)
+      }))
+  }
+
   /** Adapt documents to AUDIO media rows: each UTF-8 text byte u becomes
     * one centered 16-bit mono sample (u − 128)·256 at 16 kHz, written
     * through the REAL wav encoder — so the downstream feature query
@@ -257,14 +367,16 @@ object Multimodal {
   }
 
   /** Format dispatch: `ppm`/`pgm` decode for real ([[decodePpm]] /
-    * [[decodePgm]]); everything else keeps the documented stub. Every
-    * batched operator below routes through here, so a new codec is one new
-    * case. */
+    * [[decodePgm]]), `png`/`jpg`/`jpeg`/`bmp`/`gif` through the JDK's
+    * ImageIO readers ([[decodeImage]]); everything else keeps the
+    * documented stub. Every batched operator below routes through here, so
+    * a new codec is one new case. */
   def decode(payload: Array[Byte], format: String): Array[Byte] =
     format match {
       case "ppm" => decodePpm(payload)._3
       case "pgm" => decodePgm(payload)._3
       case "wav" => decodeWav(payload).data // decoded frame = raw PCM bytes
+      case f if imageIoFormats(f) => decodeImage(payload)._3
       case _     => decodeStub(payload, format)
     }
 
@@ -294,13 +406,38 @@ object Multimodal {
     }
   }
 
-  /** Downscale by an integer factor. For the real codecs (`ppm`/`pgm`) this
-    * is a REAL nearest-neighbor pixel resample: decode, sample pixel
-    * (x·factor, y·factor), re-emit a VALID payload of the same format — so
-    * resized outputs stay decodable by [[decodePpm]]/[[decodePgm]]
-    * downstream. Other formats keep the documented byte-stride stub (output
-    * length = ceil(len / factor)). Runs inside the same batched
-    * mapPartitions shape as feature extraction. */
+  /** Shared nearest-neighbor downscale of a row-major raster: sample pixel
+    * (x·factor, y·factor), output max(1, dim/factor) per axis. */
+  private def resampleRaster(w: Int, h: Int, ch: Int, px: Array[Byte],
+                             factor: Int): (Int, Int, Array[Byte]) = {
+    val ow = math.max(1, w / factor)
+    val oh = math.max(1, h / factor)
+    val out = new Array[Byte](ow * oh * ch)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val src = ((y * factor) * w + (x * factor)) * ch
+        val dst = (y * ow + x) * ch
+        var c = 0
+        while (c < ch) { out(dst + c) = px(src + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Downscale by an integer factor. For the real codecs this is a REAL
+    * nearest-neighbor pixel resample: decode, resample, re-emit a VALID
+    * payload — netpbm re-emits its own format; the ImageIO formats
+    * (`png`/`jpg`/`jpeg`/`bmp`/`gif`) re-emit PNG with the row's `format`
+    * updated, because a resized image must re-enter the pipeline LOSSLESSLY
+    * (re-encoding through a lossy jpg writer would make every downstream
+    * value encoder-version-dependent — the same determinism contract the
+    * hash-compared oracles rely on everywhere else). Other formats keep the
+    * documented byte-stride stub (output length = ceil(len / factor)). Runs
+    * inside the same batched mapPartitions shape as feature extraction. */
   def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     require(factor > 0, "resize factor must be positive")
     val spark = media.sparkSession
@@ -310,23 +447,14 @@ object Multimodal {
         case Some(ch) =>
           val magic = if (ch == 3) "P6" else "P5"
           val (w, h, px) = decodeNetpbm(r.payload, magic, ch)
-          val ow = math.max(1, w / factor)
-          val oh = math.max(1, h / factor)
-          val out = new Array[Byte](ow * oh * ch)
-          var y = 0
-          while (y < oh) {
-            var x = 0
-            while (x < ow) {
-              val src = ((y * factor) * w + (x * factor)) * ch
-              val dst = (y * ow + x) * ch
-              var c = 0
-              while (c < ch) { out(dst + c) = px(src + c); c += 1 }
-              x += 1
-            }
-            y += 1
-          }
+          val (ow, oh, out) = resampleRaster(w, h, ch, px, factor)
           val header = s"$magic\n$ow $oh\n255\n".getBytes("US-ASCII")
           r.copy(payload = header ++ out, width = ow, height = oh)
+        case None if imageIoFormats(r.format) =>
+          val (w, h, px) = decodeImage(r.payload)
+          val (ow, oh, out) = resampleRaster(w, h, 3, px, factor)
+          r.copy(payload = encodePng(ow, oh, out), format = "png",
+            width = ow, height = oh)
         case None =>
           val decoded = decode(r.payload, r.format)
           val out = Array.range(0, decoded.length, factor).map(decoded)

@@ -380,6 +380,46 @@ object Pipeline {
       }
     },
 
+    // Multimodal IMAGE slice through the REAL JDK ImageIO codec: each doc's
+    // text bytes become gray pixels of a 1×n PNG written through the real
+    // PNG encoder, decoded back through ImageIO and normalized to an RGB
+    // raster, then reduced by the standard feature extractor. The oracle
+    // recomputes everything from the text bytes: each byte u contributes
+    // THREE raster bytes of value u (gray → R=G=B), so n_bytes = 3·n and
+    // sum_bytes = 3·sum(u); empty texts encode as a single black pixel
+    // (n_bytes = 3, sum 0) — a wrong color normalization, row order, or
+    // roundtrip loss anywhere in encode→decode breaks the hash.
+    QuerySpec.sql("mm_image_stats",
+      """WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)),
+        |agg AS (
+        |  SELECT doc_id, CAST(3 * sum(u) AS BIGINT) AS sum_bytes
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT b.doc_id, 1::BIGINT AS width,
+        |       greatest(b.n, 1)::BIGINT AS height,
+        |       CAST(3 * greatest(b.n, 1) AS BIGINT) AS n_bytes,
+        |       coalesce(agg.sum_bytes, 0) AS sum_bytes
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""") {
+      (s, dir) =>
+        // width/height derive from the DECODED raster (images are 1-wide by
+        // construction, so height = raster_len/3) — one pipeline branch, no
+        // second encode pass or self-join; a dims-transpose bug would slip
+        // the product but fails MultimodalSpec's non-square exact roundtrip.
+        Multimodal.extractFeatures(
+            Multimodal.asImagePng(Tables.documents(s, dir))).toDF()
+          .select(col("doc_id"), lit(1L).as("width"),
+            (col("n_bytes") / 3).cast("long").as("height"),
+            col("n_bytes"), col("sum_bytes"))
+          .orderBy(col("doc_id"))
+    },
+
     // Multimodal AUDIO slice: each doc's text bytes become centered 16-bit
     // mono PCM samples written through the REAL wav encoder, then decoded
     // back through the REAL RIFF walker and reduced to exact integer

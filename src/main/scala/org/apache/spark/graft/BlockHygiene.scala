@@ -33,11 +33,21 @@ object BlockHygiene {
 
   /** Synchronously destroy every broadcast's blocks. Safe between queries:
     * each bench/verify query builds a fresh plan, so no broadcast handle is
-    * ever re-read after its gap. Returns the number of broadcasts removed. */
+    * ever re-read after its gap. Returns the number of broadcasts removed.
+    *
+    * Best-effort per id: the ids are a SNAPSHOT, and the ContextCleaner
+    * (woken by the System.gc() in the same hygiene gap) can reap a
+    * broadcast between the snapshot and the blocking remove — the remove
+    * then surfaces "Block broadcast_N does not exist" from an executor
+    * endpoint, which is exactly the end state this method wants. Swallow
+    * it; anything the cleaner got to first is already gone. */
   def destroyBroadcasts(sc: SparkContext): Int = {
     val ids = broadcastIds(sc)
     val master = sc.env.blockManager.master
-    ids.foreach(id => master.removeBroadcast(id, true, true))
+    ids.foreach { id =>
+      try master.removeBroadcast(id, true, true)
+      catch { case _: org.apache.spark.SparkException => }
+    }
     ids.length
   }
 

@@ -190,6 +190,93 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(w8.data.map(_ & 0xff).sum === 0 + 128 + 255)
   }
 
+  test("encodePng → decodeImage roundtrips an RGB raster exactly") {
+    // deterministic pseudo-random raster (PNG is lossless, so exact)
+    val (w, h) = (5, 4)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.encodePng(w, h, rgb)
+    assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val (dw, dh, out) = Multimodal.decodeImage(png)
+    assert(dw === w && dh === h)
+    assert(out.toSeq === rgb.toSeq)
+    // dispatch routes the ImageIO formats
+    assert(Multimodal.decode(png, "png").toSeq === rgb.toSeq)
+    // malformed payloads fail fast (no reader claims them)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage("not an image".getBytes))
+  }
+
+  test("decodeImage decodes JPEG and BMP through the JDK readers") {
+    // BMP is lossless RGB — exact roundtrip through the bmp writer
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 29 % 256).toByte)
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val s = (y * 3 + x) * 3
+      img.setRGB(x, y, ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+    }
+    def write(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val (bw, bh, bout) = Multimodal.decodeImage(write("bmp"))
+    assert(bw === 3 && bh === 2 && bout.toSeq === rgb.toSeq)
+    // JPEG is lossy: pin dimensions, and pixel values only to a tolerance
+    // on a uniform-gray image (DCT is near-exact on constant blocks)
+    val gray = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) gray.setRGB(x, y, 0x808080)
+    val gbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", gbos))
+    val (jw, jh, jout) = Multimodal.decodeImage(gbos.toByteArray)
+    assert(jw === 8 && jh === 8)
+    assert(jout.forall(b => math.abs((b & 0xff) - 0x80) <= 3))
+  }
+
+  test("imageio resize resamples nearest-neighbor and re-emits lossless PNG") {
+    // 4×4 gray gradient: pixel (x, y) = 16·(4y + x)
+    val rgb = Array.tabulate(4 * 4 * 3)(i => (16 * (i / 3)).toByte)
+    val media = Seq(Multimodal.MediaRecord(7L, "image",
+      Multimodal.encodePng(4, 4, rgb), "png", 4, 4, 1)).toDS()
+    val resized = Multimodal.resize(media, factor = 2).collect().head
+    assert(resized.width === 2 && resized.height === 2)
+    assert(resized.format === "png")
+    val (rw, rh, out) = Multimodal.decodeImage(resized.payload)
+    assert(rw === 2 && rh === 2)
+    // nearest-neighbor picks source pixels (0,0), (2,0), (0,2), (2,2)
+    val expect = Seq(0, 2, 8, 10).map(p => (16 * p).toByte)
+      .flatMap(v => Seq(v, v, v))
+    assert(out.toSeq === expect)
+    // a lossy-format input re-enters the pipeline as PNG, still decodable
+    val gray = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) gray.setRGB(x, y, 0x404040)
+    val jbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", jbos))
+    val jm = Seq(Multimodal.MediaRecord(8L, "image", jbos.toByteArray,
+      "jpg", 4, 4, 1)).toDS()
+    val jr = Multimodal.resize(jm, factor = 2).collect().head
+    assert(jr.format === "png" && jr.width === 2 && jr.height === 2)
+    val (jrw, jrh, _) = Multimodal.decodeImage(jr.payload)
+    assert(jrw === 2 && jrh === 2)
+  }
+
+  test("asImagePng → extractFeatures is exact over the text bytes") {
+    val f = Multimodal.extractFeatures(
+      Multimodal.asImagePng(docs)).collect().sortBy(_.doc_id).head
+    // "abcd": each byte u becomes gray RGB (u,u,u) → 12 raster bytes,
+    // sum = 3·(97+98+99+100)
+    assert(f.n_bytes === 12L)
+    assert(f.sum_bytes === 3L * 394L)
+    // empty text encodes a single black pixel
+    val empty = Seq((9L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fe = Multimodal.extractFeatures(Multimodal.asImagePng(empty))
+      .collect().head
+    assert(fe.n_bytes === 3L && fe.sum_bytes === 0L)
+  }
+
   test("frameSample takes every stride-th fixed-size block") {
     val frames = Multimodal.frameSample(Multimodal.asMedia(docs),
       frameBytes = 16, stride = 2).collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)
