@@ -106,4 +106,75 @@ object Packing {
           .as("pack_offset"),
         (least((col("pack_id") + 1) * budget, col("__start") + col("n_tokens"))
           - greatest(col("pack_id") * budget, col("__start"))).as("len"))
+
+  /** Deterministic per-epoch global training order: every document gets a
+    * dense rank `epoch_pos` ∈ [0, |docs|) in the order of
+    * (md5("e<epoch>:" || id), id) — a seeded corpus-wide shuffle that is
+    * reproducible across runs and engines, different per epoch, and needs
+    * no `rand()`. Training dataloaders consume this instead of an actual
+    * shuffle: at 100 TB a global random permutation IS a sort on a uniform
+    * key, and the only non-scalable part is the dense RANK, which a bare
+    * `Window.orderBy` would compute on one partition. This uses the same
+    * distributed two-level pattern as [[packSequences]]'s prefix sum:
+    * order-preserving bucketing on the hash's 32-bit prefix (lexicographic
+    * order of fixed-width lowercase hex ≡ numeric order of the prefix, so
+    * bucket boundaries respect full-key order), per-bucket counts, an
+    * O(buckets) offset window, then a per-bucket `row_number` + offset.
+    * Ties on the full 128-bit key are broken by id — deterministic even
+    * under the (negligible) chance of an md5 collision. */
+  def epochOrder(docs: DataFrame, epoch: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = docs.select(col(idCol),
+      md5(concat(lit(s"e$epoch:"), col(idCol).cast("string"))).as("__ek"))
+    val bucketed = keyed
+      .withColumn("__hk", conv(substring(col("__ek"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__bucket", expr(s"(__hk * $nBuckets) div 4294967296"))
+      .repartition(nBuckets, col("__bucket"))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__poff",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__poff"))
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__ek").asc, col(idCol).asc)
+    bucketed.join(broadcast(offsets), "__bucket")
+      .select(col(idCol),
+        (col("__poff") + row_number().over(wIn) - 1).cast("long")
+          .as("epoch_pos"))
+  }
+
+  /** Sliding-window chunking: split each document into fixed-size token
+    * windows of `chunkTokens` advancing by `stride` — the standard long-doc
+    * treatment for context-window training and retrieval indexing (stride <
+    * chunkTokens overlaps windows so no span is ever split across a chunk
+    * boundary without also appearing whole). Chunk count per doc is
+    * 1 for n ≤ chunkTokens, else ⌈(n − chunkTokens)/stride⌉ + 1, so the
+    * last window always reaches the end of the document and no start index
+    * exceeds n. The whole operator is narrow — per-row `sequence`/`explode`
+    * arithmetic, no shuffle, output bounded by n_tokens/stride rows per
+    * doc — so it scales with total corpus tokens like any projection.
+    * Tokenization is [[TextStats.tokens]] (single-space split; an empty
+    * text is one empty token, yielding exactly one empty chunk). */
+  def chunkSliding(docs: DataFrame, chunkTokens: Int, stride: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens] so windows cover every token")
+    val toks = TextStats.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .withColumn("__nc", when(col("__n") <= chunkTokens, lit(1))
+        .otherwise(expr(s"(__n - $chunkTokens + $stride - 1) div $stride + 1")))
+      .withColumn("chunk_id", explode(sequence(lit(0), col("__nc") - 1)))
+      .withColumn("__start", col("chunk_id") * stride)
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__start").cast("long").as("start_tok"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
 }

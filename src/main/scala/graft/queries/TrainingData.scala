@@ -857,6 +857,42 @@ object TrainingData {
           .orderBy(col("pack_id"), col("doc_id"))
     },
 
+    // Deterministic per-epoch global training order: dense rank in
+    // (md5('e3:' || id), id) order via the distributed two-level rank (the
+    // oracle's single window IS the plan the operator exists to avoid).
+    QuerySpec.sql("epoch_order",
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('e3:' || doc_id::VARCHAR) ASC, doc_id ASC) - 1
+        |         AS BIGINT) AS epoch_pos
+        |FROM documents ORDER BY doc_id""") {
+      (s, dir) =>
+        Packing.epochOrder(Tables.documents(s, dir), epoch = 3)
+          .orderBy(col("doc_id"))
+    },
+
+    // Sliding-window chunking (64-token windows, stride 32): per-doc window
+    // arithmetic mirrored exactly — chunk count, start indices, tail
+    // truncation, and the reassembled chunk TEXT all hash-compared.
+    QuerySpec.sql("chunk_sliding",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 31) // 32 + 1 END AS nc
+        |      FROM t),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 32 AS start_tok,
+        |       least(64, n - chunk_id * 32) AS n_tokens,
+        |       array_to_string(
+        |         list_slice(toks, chunk_id * 32 + 1,
+        |                    least(chunk_id * 32 + 64, n)), ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_id""") {
+      (s, dir) =>
+        Packing.chunkSliding(Tables.documents(s, dir),
+            chunkTokens = 64, stride = 32)
+          .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // ---- Similarity search ----------------------------------------------
 
     // Near-dup pairs blocked on a 4-plane hyperplane signature: the pair

@@ -14,6 +14,10 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
     .map(i => (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
     .toDF("doc_id", "text")
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def packed(df: org.apache.spark.sql.DataFrame) =
     Packing.packSequences(df, budget = 10L)
       .collect()
@@ -137,5 +141,74 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
         assert((first._1, first._4) === packedRows(id))
       }
     }
+  }
+
+  test("epochOrder is a dense permutation matching a local seeded sort") {
+    val out = Packing.epochOrder(docs, epoch = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSeq.sorted === (0L until 200L))
+    val expected = (0L until 200L)
+      .sortBy(id => (md5Hex(s"e3:$id"), id))
+      .zipWithIndex.map { case (id, pos) => id -> pos.toLong }.toMap
+    assert(out === expected)
+  }
+
+  test("epochOrder is partitioning-invariant and epoch-sensitive") {
+    val one = Packing.epochOrder(docs.repartition(1), epoch = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Packing.epochOrder(docs.repartition(13), epoch = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === many)
+    val other = Packing.epochOrder(docs, epoch = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one !== other, "different epochs must yield different orders")
+    assert(other.values.toSeq.sorted === (0L until 200L))
+  }
+
+  // Distinct tokens (t<doc>_<pos>) so chunk-TEXT assertions can catch a
+  // wrong slice, not just a wrong length.
+  private val chunkDocs = (0L until 60L)
+    .map(i => (i, (0 until (i % 11 + 1).toInt).map(j => s"t${i}_$j").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("chunkSliding covers every token and reaches every doc's end") {
+    val texts = chunkDocs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val chunks = Packing.chunkSliding(chunkDocs, chunkTokens = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = texts(id)
+      val inOrder = cs.sortBy(_._2)
+      // ids dense from 0; starts advance by exactly the stride
+      assert(inOrder.map(_._2) === (0L until inOrder.length.toLong))
+      inOrder.foreach { case (_, cid, start, n, text) =>
+        assert(start === cid * 2)
+        assert(n === math.min(4L, toks.length - start))
+        assert(text === toks.slice(start.toInt, start.toInt + 4).mkString(" "))
+      }
+      // the final window reaches the document's last token, and no window
+      // starts at or past the end
+      val (_, _, lastStart, lastN, _) = inOrder.last
+      assert(lastStart + lastN === toks.length.toLong)
+      assert(lastStart < toks.length.toLong)
+    }
+    // exactly one chunk for docs at or under the window size
+    texts.filter(_._2.length <= 4).keys.foreach { id =>
+      assert(chunks.count(_._1 == id) === 1)
+    }
+  }
+
+  test("chunkSliding with stride == chunkTokens partitions the token stream") {
+    val texts = chunkDocs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    Packing.chunkSliding(chunkDocs, chunkTokens = 3, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+      .groupBy(_._1).foreach { case (id, cs) =>
+        val rebuilt = cs.sortBy(_._2).map(_._3).mkString(" ")
+        assert(rebuilt === texts(id).mkString(" "),
+          s"doc $id: non-overlapping chunks must reassemble the text")
+      }
   }
 }
