@@ -241,7 +241,19 @@ object ScaleProbe {
         }),
         "kmeans_ivf" -> (() =>
           time(s"$tag/kmeans_ivf")(
-            EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2).count())))
+            EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2).count())),
+        // the mm_image_stats hot path: per-doc PNG deflate (real ImageIO
+        // writer) + inflate + RGB-normalized feature reduce — all narrow
+        // per-row codec work in batched mapPartitions, expected ~linear
+        "image_codec" -> (() =>
+          time(s"$tag/image_codec")(
+            graft.ops.Multimodal.extractFeatures(
+              graft.ops.Multimodal.asImagePng(docs)).count())),
+        // the distributed dense rank: one shuffle on the bucket key + an
+        // O(buckets) offset window — must scale like any single shuffle
+        "epoch_order" -> (() =>
+          time(s"$tag/epoch_order")(
+            Packing.epochOrder(docs, epoch = 3).count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }

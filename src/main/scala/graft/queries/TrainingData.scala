@@ -16,7 +16,13 @@ object TrainingData {
   /** Stopword set for quality scoring (drawn from the corpus vocabulary). */
   private val Stopwords = Seq("the", "a")
 
-  /** Marker-token profiles for the language-ID heuristic. */
+  /** Marker-token profiles for the language-ID heuristic. The tokens are
+    * English-looking for every label because the SYNTHETIC corpus draws all
+    * languages from one English-word vocabulary — what varies per `lang` is
+    * which tokens are frequent, and that frequency skew is exactly what the
+    * n-gram-marker heuristic keys on. Real deployments supply real marker
+    * profiles; the operator ([[graft.ops.TextStats.languageId]]) is
+    * profile-agnostic. */
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("data", "group", "order", "window"),
     "en" -> Seq("the", "a", "table", "row"),
