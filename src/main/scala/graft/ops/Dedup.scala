@@ -816,4 +816,31 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
       .withColumn("is_canonical",
         (col("doc_id") === col("canonical_id")).cast("long"))
+
+  /** Keep-POLICY selection over near-dup clusters: where
+    * [[canonicalizeFrom]] keeps the min-id member (an arbitrary but stable
+    * choice), production dedup usually keeps the BEST member — here the one
+    * maximizing `scoreCol` (longest, highest quality score, …), ties broken
+    * toward the smaller id so the output is total-order deterministic.
+    * Emits (doc_id, keep_id, is_kept) for every input doc.
+    *
+    * Scale shape: one hash-aggregate `max_by` per cluster (the struct
+    * ordering (score, −id) realizes argmax-then-min-id in a single pass,
+    * map-side combinable — NOT a per-cluster window, which would sort
+    * million-deep duplicate clusters in single tasks) plus one equi-join
+    * back on the cluster label. Both relations are O(|docs|); nothing
+    * scales with cluster depth. */
+  def keepBest(docs: DataFrame, components: DataFrame, scoreCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    val labeled = docs.select(col(idCol), col(scoreCol))
+      .join(components, Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("component"), col(idCol)).as("__cluster"))
+    val best = labeled.groupBy(col("__cluster"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("__nid"))).as("keep_id"))
+    labeled.join(best, "__cluster")
+      .select(col(idCol), col("keep_id"),
+        (col(idCol) === col("keep_id")).cast("long").as("is_kept"))
+  }
 }

@@ -297,6 +297,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(4L) === (4L, 1L))
   }
 
+  test("keepBest keeps the highest-score member per cluster, min id on ties") {
+    // components: {10,11,12} labeled 10, {20,21} labeled 20; 30 singleton
+    val scored = Seq(
+      (10L, 5L), (11L, 9L), (12L, 9L),   // 11 and 12 tie at 9 → keep 11
+      (20L, 3L), (21L, 7L),              // 21 wins
+      (30L, 1L)                          // singleton keeps itself
+    ).toDF("doc_id", "score")
+    val comps = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "component")
+    val out = Dedup.keepBest(scored, comps, "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 6)
+    assert(out(10L) === (11L, 0L))
+    assert(out(11L) === (11L, 1L))
+    assert(out(12L) === (11L, 0L))
+    assert(out(20L) === (21L, 0L))
+    assert(out(21L) === (21L, 1L))
+    assert(out(30L) === (30L, 1L))
+  }
+
+  test("keepBest plan aggregates, never windows, over the cluster label") {
+    val scored = Seq((0L, 1L)).toDF("doc_id", "score")
+    val comps = Seq((0L, 0L)).toDF("doc_id", "component")
+    val plan = Dedup.keepBest(scored, comps, "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "argmax must be an aggregate, not a window")
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = Seq((0L, "Hello  World"), (1L, "hello world"))
       .toDF("doc_id", "text")
