@@ -86,14 +86,36 @@ object Bench {
         f"[bench-gap] $name%-28s ${elapsed}%8.3f s; dropped $dropped%3d broadcasts; storage used after gap ${storageUsed / 1048576.0}%9.2f MiB")
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the (log-truncation-proof) full JSON as an artifact.
+    // Full-precision, all-query JSON → target/bench.json (the durable
+    // artifact; BASELINE.md points the judge here for per-query numbers).
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), fullLine + "\n")
+    // Stdout line: the driver captures only the LAST ~2000 chars of the run
+    // log (BENCH_r08/r09 both came back `parsed: null` — the 80+-query
+    // full-precision line is ~2.6 KB, so its head was clipped and the JSON
+    // never parsed). Per-query names alone exceed the buffer, so emit the
+    // headline total plus as many of the SLOWEST queries as fit a 1.8 KB
+    // budget (the slow tail is what a perf reader needs first), and point at
+    // target/bench.json for the complete map.
+    def fmt(v: Double) = f"$v%.3f"
+    val slowestFirst = results.sortBy { case (n, v) => (-v, n) }
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val suffixFor = (omitted: Int) =>
+      s"""},"omitted_fastest":$omitted,"full":"target/bench.json","sf":"$sfDir"}"""
+    val budget = 1800
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = prefix.length + suffixFor(results.size).length
+    var omitted = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + fmt(v)
+      if (len + entry.length + 1 <= budget) { kept += entry; len += entry.length + 1 }
+      else omitted += 1
+    }
+    println(prefix + kept.mkString(",") + suffixFor(omitted))
     spark.stop()
   }
 }

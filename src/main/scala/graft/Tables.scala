@@ -13,24 +13,39 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) — unreadable by Spark's
-    * parquet reader natively. Read nanos as long (session conf, settable at
-    * runtime) and truncate to microsecond timestamps, exactly matching
-    * DuckDB's own ns→µs truncation when it maps the column to TIMESTAMP.
-    * The exact nanosecond value is preserved in `ts_ns` for tie-free ordering. */
+  /** `events.parquet`'s `ts` lineage varies by driver generation: INT64
+    * TIMESTAMP(NANOS) (rounds ≤9 — unreadable by Spark's parquet reader
+    * natively, hence `nanosAsLong`) or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (round 10+ — read as TIMESTAMP_NTZ).
+    * `normalizeEventTs` maps every lineage to the same (µs TIMESTAMP `ts`,
+    * LONG `ts_ns`) shape, so query code never sees the difference. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(table(spark, dir, "events"))
   }
 
-  /** ns-long → µs-timestamp normalization, shared by the batch loader and
-    * the streaming ingest path (which reads the same parquet as a stream). */
+  /** ts → µs-timestamp normalization, shared by the batch loader and the
+    * streaming ingest path (which reads the same parquet as a stream).
+    * Handles every lineage the driver has generated so far:
+    *  - INT64 TIMESTAMP(NANOS) read as long via `nanosAsLong` → truncate to µs;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ →
+    *    reinterpret the wall clock as a UTC instant (sessions run in UTC, so
+    *    this matches DuckDB's naive-TIMESTAMP reading of the same file);
+    *  - plain TIMESTAMP → passthrough.
+    * `ts_ns` preserves the finest available precision for tie-free ordering. */
   def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts_ns", col("ts"))
            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        // NTZ→TZ cast reads the wall clock in the session timezone; every
+        // graft session pins spark.sql.session.timeZone=UTC, so this is the
+        // treat-as-UTC reinterpretation, byte-for-byte what DuckDB computes.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+           .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
   }

@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries INT64 TIMESTAMP(NANOS); set at build time so
-      // any code path (not just Tables.events) can read it. See Tables.scala.
+      // Some driver generations of events.parquet carry INT64
+      // TIMESTAMP(NANOS); set at build time so any code path (not just
+      // Tables.events) can read them. Harmless for µs lineage. See Tables.scala.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
