@@ -253,7 +253,16 @@ object ScaleProbe {
         // O(buckets) offset window — must scale like any single shuffle
         "epoch_order" -> (() =>
           time(s"$tag/epoch_order")(
-            Packing.epochOrder(docs, epoch = 3).count())))
+            Packing.epochOrder(docs, epoch = 3).count())),
+        // sub-document segment dedup: replicas share every post-marker
+        // segment, so postings are N deep at N× — the min-struct
+        // hash-aggregate must keep that a combiner pass, not a sort. The
+        // length() filter forces clean_text (a bare count could prune the
+        // reassembly collect_list out of the aggregate).
+        "segment_dedup" -> (() =>
+          time(s"$tag/segment_dedup")(
+            Dedup.segmentDedup(docs, segTokens = 10)
+              .filter(length(col("clean_text")) >= 0).count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }

@@ -21,6 +21,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Same targeted-iteration filter as Bench: comma-separated query names.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,6 +29,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
         // Same per-query hygiene as Bench: operators persist/localCheckpoint
         // intermediates (Dedup signatures, the CC loop's checkpoints); without
@@ -57,6 +59,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest: a query with no output dir silently VANISHES from
+    // the driver's correctness report (round 9 lost 25 queries to a
+    // testdata schema drift with no visible trace). Name them durably.
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.map { case (k, v) =>
+        s"${q(k)}: ${q(v.linesIterator.nextOption().getOrElse(""))}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -843,4 +843,50 @@ object Dedup {
       .select(col(idCol), col("keep_id"),
         (col(idCol) === col("keep_id")).cast("long").as("is_kept"))
   }
+
+  /** Sub-document (segment-level) exact dedup, the C4/CCNet "remove
+    * duplicated lines/paragraphs across the corpus" pass: split each doc
+    * into fixed non-overlapping `segTokens`-token segments
+    * ([[Packing.chunkSliding]] with stride = segTokens; the corpus has no
+    * line structure, so fixed token windows are the segment unit), keep
+    * only the globally FIRST occurrence of each distinct segment content
+    * (min (doc_id, chunk_id) — deterministic), and reassemble each doc's
+    * surviving segments in document order.
+    *
+    * Scale shape: fingerprint hash-aggregate (`min` over a (doc_id,
+    * chunk_id) struct — map-side combinable, never a per-fingerprint
+    * window: boilerplate segments can repeat millions of times and a
+    * window would sort each posting in one task), one equi-join back on
+    * the 16-byte fingerprint, then a per-doc hash-aggregate whose
+    * `collect_list` is bounded by segments-per-doc (document length /
+    * segTokens), not corpus size. Everything is O(total segments) with no
+    * window over corpus-scale relations; the left join restores docs whose
+    * every segment lost (clean_text = ''). */
+  def segmentDedup(docs: DataFrame, segTokens: Int,
+                   textCol: String = "text"): DataFrame = {
+    val segs = Packing.chunkSliding(docs, segTokens, segTokens,
+        textCol = textCol)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("__fp"))
+    val first = segs.groupBy(col("__fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__first"))
+    val flagged = segs.join(first, "__fp")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        (struct(col("doc_id"), col("chunk_id")) === col("__first"))
+          .as("__keep"))
+    val perDoc = flagged.groupBy(col("doc_id")).agg(
+      sum(col("__keep").cast("long")).as("kept_segments"),
+      (count(lit(1)) - sum(col("__keep").cast("long")))
+        .as("dropped_segments"),
+      array_join(transform(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("chunk_id"), col("chunk_text"))))),
+        s => s.getField("chunk_text")), " ").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("dropped_segments"), lit(0L)).as("dropped_segments"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -749,6 +749,35 @@ object TrainingData {
       }
     },
 
+    // Sub-document exact dedup (the C4/CCNet "drop repeated lines across
+    // the corpus" pass) at 10-token segment granularity: first global
+    // occurrence of each distinct segment survives, docs reassemble in
+    // order. The oracle's per-segment row_number window IS the
+    // posting-sorting plan the operator's min-struct hash-aggregate
+    // exists to avoid at scale.
+    QuerySpec.sql("dd_segment_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n <= 10 THEN 1 ELSE (n + 9) // 10 END AS nc FROM t),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_id FROM c),
+        |seg AS (SELECT doc_id, chunk_id,
+        |          array_to_string(list_slice(toks, chunk_id * 10 + 1,
+        |                                     least(chunk_id * 10 + 10, n)), ' ') AS s
+        |        FROM x),
+        |k AS (SELECT doc_id, chunk_id, s,
+        |        row_number() OVER (PARTITION BY s ORDER BY doc_id, chunk_id) AS rn
+        |      FROM seg)
+        |SELECT doc_id,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_segments,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_segments,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY chunk_id), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""") {
+      (s, dir) =>
+        Dedup.segmentDedup(Tables.documents(s, dir), segTokens = 10)
+          .orderBy(col("doc_id"))
+    },
+
     // The FULL composition contract from Dedup's scaladoc, end-to-end:
     // exact dedup FIRST (collapse identical copies for one (hash, id)
     // shuffle), near-dup edges over the survivors only, transitive

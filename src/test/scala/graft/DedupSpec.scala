@@ -391,4 +391,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(brute(r.getAs[Long]("neighbor_id")) === r.getAs[Double]("cosine"))
     }
   }
+
+  test("segmentDedup keeps first global occurrence and reassembles in order") {
+    val segDocs = Seq(
+      (0L, "a b c d e f"),        // segments: "a b c", "d e f"
+      (1L, "a b c x y z"),        // "a b c" duplicates doc 0 seg 0
+      (2L, "d e f"),              // whole doc duplicates doc 0 seg 1
+      (3L, "x y z a b c q")       // both 3-grams fresh at their offsets
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(segDocs, segTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kept_segments"), r.getAs[Long]("dropped_segments"),
+         r.getAs[String]("clean_text"))).toMap
+    assert(out(0L) === ((2L, 0L, "a b c d e f")))
+    assert(out(1L) === ((1L, 1L, "x y z")))
+    assert(out(2L) === ((0L, 1L, "")))
+    // doc 3 = ["x y z", "a b c", "q"]: the first two lose to their
+    // earlier occurrences at (1,1) and (0,0); only "q" survives.
+    assert(out(3L) === ((1L, 2L, "q")))
+  }
 }
