@@ -55,6 +55,53 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** POSITIONAL n-token shingles — one entry per position, duplicates
+    * kept (unlike [[shingles]], which is the distinct set): the unit of
+    * [[spanCoverage]], where how MUCH of a doc is duplicated matters, not
+    * just which grams appear. */
+  def positionalShingles(text: Column, n: Int): Column = {
+    val t = TextStats.tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-doc duplicated-span coverage (the span-level dedup ANALYSIS
+    * companion to [[segmentDedup]]'s removal, after Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" coverage
+    * measure): for each doc, the fraction of its n-token span positions
+    * whose span content occurs in MORE THAN ONE doc of the corpus.
+    * Output (doc_id, n_spans, dup_spans, coverage) — counts are exact
+    * integers; coverage is one IEEE double division (deterministic across
+    * engines), 0.0 for docs shorter than n tokens.
+    *
+    * Scale shape: positional-shingle explode (O(total tokens), narrow),
+    * document-frequency hash-aggregate over DISTINCT (doc, span) — map-side
+    * combinable, O(distinct spans) output — an equi-join back on the span,
+    * and a per-doc count aggregate. Nothing scales with posting depth²;
+    * boilerplate spans repeated millions of times are one combiner row
+    * each. */
+  def spanCoverage(docs: DataFrame, n: Int = 5,
+                   textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+      explode(positionalShingles(col(textCol), n)).as("s"))
+    val df = pos.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val perDoc = pos.join(df, "s")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("__df") >= 2).cast("long")).as("dup_spans"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("dup_spans").cast("double") / col("n_spans"))
+          .as("coverage"))
+  }
+
   /** Exact dedup: group by content fingerprint, keep the lowest doc_id as
     * canonical. Output one row per distinct content. */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -181,4 +181,43 @@ object Sampling {
       _.join(quotas, stratumCol))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Leakage-safe train/val/test split assignment: every member of a
+    * near-dup cluster (a `(doc_id, component)` frame, e.g.
+    * [[graft.ops.Dedup.minhashLshComponents]]) receives the SAME split,
+    * decided by the seeded hash of the cluster label — never of the member
+    * id. Splitting by member hash leaks near-duplicate content across the
+    * train/eval boundary, the classic held-out-set contamination; hashing
+    * the cluster label makes the boundary respect the dedup graph by
+    * construction. Docs outside every cluster are their own singleton
+    * cluster (hash of their own id — identical to plain hash splitting).
+    *
+    * `splits` are (name, weight) in declaration order, weights summing to
+    * 1; assignment compares the 32-bit [[hashKey]] against cumulative
+    * integer thresholds (floor(cum·2³²) — exact arithmetic, engine-
+    * portable, oracle-checkable). Deterministic in (corpus, seed); adding
+    * docs never moves an existing cluster between splits.
+    *
+    * Scale shape: one left equi-join docs⋈components plus a narrow hash +
+    * CASE projection — no shuffle beyond the join, no per-split pass.
+    * Output: (doc_id, cluster_id, split). */
+  def leakageSafeSplit(docs: DataFrame, components: DataFrame,
+                       splits: Seq[(String, Double)], seed: String = "42",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val labeled = docs.select(col(idCol))
+      .join(components, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val h = hashKey(concat(lit(seed), col("cluster_id").cast("string")))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val caseCol = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val cond = h < lit((c * KeySpace).toLong)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1))
+    labeled.select(col(idCol), col("cluster_id"), caseCol.as("split"))
+  }
 }

@@ -778,6 +778,31 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Duplicated-span coverage: per-doc fraction of 5-gram positions whose
+    // content appears in >1 doc — the span-level dedup analysis signal
+    // (counts exact integers; coverage one deterministic IEEE division).
+    QuerySpec.sql("dd_span_coverage",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, n - 3),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS s
+        |      FROM t),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS df FROM p GROUP BY s),
+        |agg AS (SELECT doc_id, count(*) AS n_spans,
+        |          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+        |        FROM p JOIN df USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |       CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
+        |            ELSE CAST(a.dup_spans AS DOUBLE) / a.n_spans END AS coverage
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") {
+      (s, dir) =>
+        Dedup.spanCoverage(Tables.documents(s, dir), n = 5)
+          .orderBy(col("doc_id"))
+    },
+
     // The FULL composition contract from Dedup's scaladoc, end-to-end:
     // exact dedup FIRST (collapse identical copies for one (hash, id)
     // shuffle), near-dup edges over the survivors only, transitive
@@ -888,6 +913,57 @@ object TrainingData {
         Sampling.mixToWeights(Tables.documents(s, dir), "lang", MixWeights.toMap)
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
+    },
+
+    // Leakage-safe train/val/test split: split membership hashes the
+    // near-dup CLUSTER label (minhash closure, same CTEs as
+    // dd_keep_best), never the member id — near-duplicates can never
+    // straddle the train/eval boundary. 90/5/5 over floor(cum·2³²)
+    // integer thresholds; singletons hash their own id.
+    QuerySpec.sql("sample_split_leakage_safe",
+      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |          WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |hb AS (SELECT doc_id, cluster_id,
+        |         list_reduce(list_transform(string_split(substr(md5('42' || CAST(cluster_id AS VARCHAR)), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS h
+        |       FROM lab)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN h < 3865470566 THEN 'train'
+        |            WHEN h < 4080218931 THEN 'val' ELSE 'test' END AS split
+        |FROM hb ORDER BY doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sampling.leakageSafeSplit(docs,
+            Dedup.minhashLshComponents(docs, threshold = 0.5),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // Sequence packing (concat-and-chunk): global token-stream layout into

@@ -410,4 +410,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // earlier occurrences at (1,1) and (0,0); only "q" survives.
     assert(out(3L) === ((1L, 2L, "q")))
   }
+
+  test("spanCoverage counts positions whose span recurs in another doc") {
+    val cov = Seq(
+      (0L, "a b c d e"),       // spans: "a b c","b c d","c d e"
+      (1L, "a b c x y"),       // "a b c" shared with doc 0; other two unique
+      (2L, "p q"),             // shorter than n → 0 spans
+      (3L, "z z z z z z")      // 4 identical spans, but only within ONE doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(cov, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"),
+         r.getAs[Double]("coverage"))).toMap
+    assert(out(0L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) === ((0L, 0L, 0.0)))
+    // within-doc repetition is NOT cross-doc duplication: df counts docs
+    assert(out(3L) === ((4L, 0L, 0.0)))
+  }
 }

@@ -99,4 +99,31 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       assert(got === expected, s"buckets=$b diverged")
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
+
+  test("leakageSafeSplit keeps clusters whole, splits singletons by own id") {
+    val docs = (0L until 200L).toDF("doc_id")
+    // components: docs 0-9 one cluster (rep 0), 10-11 another (rep 10)
+    val components = ((0L until 10L).map(i => (i, 0L)) ++ Seq((10L, 10L), (11L, 10L)))
+      .toDF("doc_id", "component")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Sampling.leakageSafeSplit(docs, components, splits).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(out.size === 200)
+    // every cluster member shares its rep's split — no near-dup leakage
+    assert((0L until 10L).map(out(_)).distinct.size === 1)
+    assert(out(10L) === out(11L))
+    // a singleton's assignment equals hashing its own id (cluster_id = id)
+    assert(out(42L)._1 === 42L)
+    // deterministic across runs; seeded differently ⇒ (almost surely) moves
+    val again = Sampling.leakageSafeSplit(docs, components, splits).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.map { case (k, (_, s)) => k -> s } === again)
+    val reseeded = Sampling.leakageSafeSplit(docs, components, splits, seed = "7")
+      .collect().map(r => r.getAs[String]("split"))
+    assert(reseeded.toSet.subsetOf(Set("train", "val", "test")))
+    // weights roughly honored (200 singleton-ish clusters, 90/5/5)
+    val counts = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts.getOrElse("train", 0) > 140)
+  }
 }
