@@ -262,7 +262,15 @@ object ScaleProbe {
         "segment_dedup" -> (() =>
           time(s"$tag/segment_dedup")(
             Dedup.segmentDedup(docs, segTokens = 10)
-              .filter(length(col("clean_text")) >= 0).count())))
+              .filter(length(col("clean_text")) >= 0).count())),
+        // duplicated-span coverage: positional explode + df hash-agg +
+        // join-back — replicas put every post-marker span at df ≈ N, so
+        // this checks the O(positions) join-back really is posting-depth-
+        // linear (the df relation itself contracts to distinct spans)
+        "span_coverage" -> (() =>
+          time(s"$tag/span_coverage")(
+            Dedup.spanCoverage(docs, n = 5)
+              .filter(col("coverage") >= 0.0).count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }

@@ -77,18 +77,25 @@ object Dedup {
     * engines), 0.0 for docs shorter than n tokens.
     *
     * Scale shape: positional-shingle explode (O(total tokens), narrow),
-    * document-frequency hash-aggregate over DISTINCT (doc, span) — map-side
-    * combinable, O(distinct spans) output — an equi-join back on the span,
-    * and a per-doc count aggregate. Nothing scales with posting depth²;
-    * boilerplate spans repeated millions of times are one combiner row
-    * each. */
+    * then every shuffle — the distinct, the document-frequency
+    * hash-aggregate (map-side combinable, O(distinct spans) output) and
+    * the equi-join back — runs on a 60-bit md5-derived LONG span key, not
+    * the span string: 8-byte shuffle keys instead of n-token text (the
+    * 100× probe measured the string form 14.2× vs this form — see
+    * BASELINE.md), with the same md5 arithmetic reproduced in DuckDB so
+    * any collision (≈ |positions|²/2⁶¹ — negligible, and identical in
+    * both engines) cannot split the oracle. Nothing scales with posting
+    * depth²; boilerplate spans repeated millions of times are one
+    * combiner row each. */
   def spanCoverage(docs: DataFrame, n: Int = 5,
                    textCol: String = "text"): DataFrame = {
     val pos = docs.select(col("doc_id"),
-      explode(positionalShingles(col(textCol), n)).as("s"))
-    val df = pos.select(col("doc_id"), col("s")).distinct()
-      .groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    val perDoc = pos.join(df, "s")
+        explode(positionalShingles(col(textCol), n)).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("sk"))
+    val df = pos.select(col("doc_id"), col("sk")).distinct()
+      .groupBy(col("sk")).agg(count(lit(1)).as("__df"))
+    val perDoc = pos.join(df, "sk")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_spans"),
         sum((col("__df") >= 2).cast("long")).as("dup_spans"))

@@ -182,6 +182,38 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Temperature-flattened mixture sampling (the multilingual rebalancing
+    * of XLM-style pipelines): subsample every stratum toward target ratios
+    * ∝ count^τ, flattening the head of a skewed stratum distribution while
+    * keeping the binding (scarcest-per-weight) stratum whole up to the
+    * floating floor (floor(w·(cnt/w)) can shave one row) — exactly
+    * [[mixToWeights]] with the weights DERIVED from the per-stratum counts
+    * instead of supplied. τ = 0.5 (the common choice) computes weights via
+    * `sqrt`, which IEEE 754 rounds correctly in every engine — so quota
+    * floors are bit-deterministic and oracle-checkable; other τ go through
+    * `pow`, deterministic within the JVM but not guaranteed bit-equal
+    * across engines (documented: the oracle query pins τ = 0.5).
+    *
+    * Scale shape: identical to [[mixToWeights]] — a |strata|-row count
+    * aggregate drives quotas; selection is the distributed
+    * smallest-hash-per-stratum path (no per-stratum global sort). */
+  def mixTemperature(df: DataFrame, stratumCol: String, tau: Double = 0.5,
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(tau > 0 && tau <= 1, "temperature must be in (0, 1]")
+    val nonNull = df.filter(col(stratumCol).isNotNull)
+    def w(cnt: Column): Column =
+      if (tau == 0.5) sqrt(cnt) else pow(cnt, lit(tau))
+    val quotas = nonNull.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__factor",
+        min(col("__cnt") / w(col("__cnt"))).over(Window.partitionBy()))
+      .select(col(stratumCol),
+        floor(w(col("__cnt")) * col("__factor")).cast("long").as("__quota"))
+    takeSmallestPerStratum(nonNull, stratumCol, keyCol,
+      _.join(quotas, stratumCol))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Leakage-safe train/val/test split assignment: every member of a
     * near-dup cluster (a `(doc_id, component)` frame, e.g.
     * [[graft.ops.Dedup.minhashLshComponents]]) receives the SAME split,

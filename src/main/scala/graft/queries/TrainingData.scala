@@ -784,13 +784,17 @@ object TrainingData {
     QuerySpec.sql("dd_span_coverage",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
         |                  len(string_split(text, ' ')) AS n FROM documents),
-        |p AS (SELECT doc_id, unnest(list_transform(range(1, n - 3),
+        |p0 AS (SELECT doc_id, unnest(list_transform(range(1, n - 3),
         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS s
         |      FROM t),
-        |df AS (SELECT s, count(DISTINCT doc_id) AS df FROM p GROUP BY s),
+        |p AS (SELECT doc_id,
+        |        list_reduce(list_transform(string_split(substr(md5(s), 1, 15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS sk
+        |      FROM p0),
+        |df AS (SELECT sk, count(DISTINCT doc_id) AS df FROM p GROUP BY sk),
         |agg AS (SELECT doc_id, count(*) AS n_spans,
         |          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
-        |        FROM p JOIN df USING (s) GROUP BY doc_id)
+        |        FROM p JOIN df USING (sk) GROUP BY doc_id)
         |SELECT d.doc_id,
         |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
@@ -911,6 +915,27 @@ object TrainingData {
         |ORDER BY doc_id""") {
       (s, dir) =>
         Sampling.mixToWeights(Tables.documents(s, dir), "lang", MixWeights.toMap)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Temperature-flattened mixture (τ = 0.5): target ratios ∝ sqrt(count)
+    // derived from the data itself — sqrt is correctly rounded in every
+    // IEEE engine, so the quota floors match DuckDB bit-for-bit (other τ
+    // would ride pow, which carries no cross-engine guarantee).
+    QuerySpec.sql("sample_mix_temperature",
+      """WITH h AS (SELECT doc_id, lang,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |           FROM documents),
+        |counts AS (SELECT lang, count(*) AS cnt FROM h GROUP BY 1),
+        |q AS (SELECT lang, CAST(floor(sqrt(cnt) * (SELECT min(cnt / sqrt(cnt)) FROM counts)) AS BIGINT) AS quota
+        |      FROM counts)
+        |SELECT doc_id, lang FROM h JOIN q USING (lang)
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) <= quota
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        Sampling.mixTemperature(Tables.documents(s, dir), "lang", tau = 0.5)
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
     },

@@ -100,6 +100,26 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("mixTemperature flattens skew toward sqrt(count) ratios, keeps scarce strata") {
+    // heavily skewed: 240 en / 48 de / 12 zh
+    val skewed = (0L until 300L)
+      .map(i => (i, if (i < 240) "en" else if (i < 288) "de" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixTemperature(skewed, "lang")
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding stratum: zh (smallest count): kept whole up to the floor
+    assert(counts("zh") >= 11L && counts("zh") <= 12L)
+    // quotas follow sqrt ratios: en/zh counts 240/12 → kept ratio √20 ≈ 4.5
+    assert(counts("en") < 240L * counts("zh") / 12L)
+    val enOverZh = counts("en").toDouble / counts("zh")
+    assert(enOverZh > 3.0 && enOverZh < 5.5)
+    // deterministic
+    val again = Sampling.mixTemperature(skewed, "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("leakageSafeSplit keeps clusters whole, splits singletons by own id") {
     val docs = (0L until 200L).toDF("doc_id")
     // components: docs 0-9 one cluster (rep 0), 10-11 another (rep 10)
