@@ -907,27 +907,40 @@ object Dedup {
     * (min (doc_id, chunk_id) — deterministic), and reassemble each doc's
     * surviving segments in document order.
     *
-    * Scale shape: fingerprint hash-aggregate (`min` over a (doc_id,
-    * chunk_id) struct — map-side combinable, never a per-fingerprint
-    * window: boilerplate segments can repeat millions of times and a
-    * window would sort each posting in one task), one equi-join back on
-    * the 16-byte fingerprint, then a per-doc hash-aggregate whose
-    * `collect_list` is bounded by segments-per-doc (document length /
-    * segTokens), not corpus size. Everything is O(total segments) with no
-    * window over corpus-scale relations; the left join restores docs whose
-    * every segment lost (clean_text = ''). */
+    * Scale shape: fingerprint hash-aggregate (`min` over (doc_id,
+    * chunk_id) PACKED into one long — a struct-typed min falls back to
+    * SortAggregate, which sorts the whole segment relation; the packed
+    * long keeps the whole-stage-codegen HashAggregate, map-side
+    * combinable, never a per-fingerprint window: boilerplate segments can
+    * repeat millions of times and a window would sort each posting in one
+    * task), one equi-join back on the 16-byte fingerprint, then a per-doc
+    * hash-aggregate whose `collect_list` is bounded by segments-per-doc
+    * (document length / segTokens), not corpus size. Everything is
+    * O(total segments) with no window over corpus-scale relations; the
+    * left join restores docs whose every segment lost (clean_text = '').
+    *
+    * Packing bounds (checked per row, `raise_error` on violation, cost one
+    * branch): chunk_id < 2²² (docs up to ~4 M segments ≈ 40 M tokens at
+    * segTokens = 10) and doc_id ∈ [0, 2⁴¹) — the packed order is then
+    * exactly the lexicographic (doc_id, chunk_id) order. */
   def segmentDedup(docs: DataFrame, segTokens: Int,
                    textCol: String = "text"): DataFrame = {
+    val packed = when(
+      col("chunk_id") < lit(1L << 22) && col("chunk_id") >= 0 &&
+        col("doc_id") >= 0 && col("doc_id") < lit(1L << 41),
+      shiftleft(col("doc_id"), 22) + col("chunk_id"))
+      .otherwise(raise_error(format_string(
+        "segmentDedup: (doc_id, chunk_id)=(%d, %d) outside packable range",
+        col("doc_id"), col("chunk_id"))))
     val segs = Packing.chunkSliding(docs, segTokens, segTokens,
         textCol = textCol)
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
-        md5(col("chunk_text")).as("__fp"))
+        md5(col("chunk_text")).as("__fp"), packed.as("__pos"))
     val first = segs.groupBy(col("__fp"))
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__first"))
+      .agg(min(col("__pos")).as("__first"))
     val flagged = segs.join(first, "__fp")
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
-        (struct(col("doc_id"), col("chunk_id")) === col("__first"))
-          .as("__keep"))
+        (col("__pos") === col("__first")).as("__keep"))
     val perDoc = flagged.groupBy(col("doc_id")).agg(
       sum(col("__keep").cast("long")).as("kept_segments"),
       (count(lit(1)) - sum(col("__keep").cast("long")))
