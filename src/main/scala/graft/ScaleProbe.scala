@@ -270,7 +270,14 @@ object ScaleProbe {
         "span_coverage" -> (() =>
           time(s"$tag/span_coverage")(
             Dedup.spanCoverage(docs, n = 5)
-              .filter(col("coverage") >= 0.0).count())))
+              .filter(col("coverage") >= 0.0).count())),
+        // per-doc keyword argmax: token explode + two hash-aggs + a term
+        // join — posting depth (replicated docs share their vocabulary)
+        // lands in the df aggregate's combiner, never a per-doc window
+        "doc_keyword" -> (() =>
+          time(s"$tag/doc_keyword")(
+            graft.ops.TextStats.docKeyword(docs, Seq("the", "a"))
+              .filter(length(col("term")) >= 0).count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }

@@ -152,4 +152,34 @@ object TextStats {
       .filter(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("t").as("term"), col("tf"), col("df"))
   }
+
+  /** The single most characteristic term of EACH document — the per-doc
+    * keyword-extraction twin of [[topTermsPerGroup]], same fully
+    * deterministic integer ordering (term frequency in the doc desc,
+    * document frequency across the corpus asc, term asc; floating tf-idf
+    * would rank identically but its low bits differ across engines).
+    *
+    * Scale shape: the argmax is ONE `min_by` aggregate over the ordering
+    * struct (ObjectHashAggregate — hash-based, map-side combinable; the
+    * ordering key is unique per (doc, term) row so ties cannot occur),
+    * never a per-doc row_number window: the oracle's window form is the
+    * single-partition-per-doc sort this avoids. The df relation joins
+    * back on the term — O(distinct terms), broadcast-able for natural
+    * vocabularies. Output (doc_id, term, tf, df), exact integers. */
+  def docKeyword(docs: DataFrame, stopwords: Seq[String],
+                 textCol: String = "text"): DataFrame = {
+    val stop = typedLit(stopwords)
+    val tok = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .filter(!array_contains(stop, col("t")))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(df, "t")
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("t").as("term"), col("tf"), col("df")),
+        struct((-col("tf")).as("ntf"), col("df"), col("t"))).as("__k"))
+      .select(col("doc_id"), col("__k.term").as("term"),
+        col("__k.tf").as("tf"), col("__k.df").as("df"))
+  }
 }

@@ -193,6 +193,24 @@ object TrainingData {
           .orderBy(col("lang"), col("rank"))
     },
 
+    // Per-doc keyword: the argmax is one min_by hash aggregate over the
+    // integer ordering (tf desc, df asc, term asc) — the oracle's
+    // per-doc row_number window IS the sort the operator avoids.
+    QuerySpec.sql("t_doc_keyword",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |flt AS (SELECT * FROM tok WHERE NOT list_contains(['the', 'a'], t)),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM flt GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM flt) GROUP BY 1)
+        |SELECT doc_id, t AS term, tf, df
+        |FROM tf JOIN df USING (t)
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, t ASC) = 1
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.docKeyword(Tables.documents(s, dir), Stopwords)
+          .orderBy(col("doc_id"))
+    },
+
     QuerySpec.sql("t_hashed_tf_neardup",
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

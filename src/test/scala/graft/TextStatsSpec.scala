@@ -46,4 +46,25 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     if (approx.nonEmpty && dropped.nonEmpty)
       assert(approx.map(scored).min >= dropped.map(scored).max)
   }
+
+  test("docKeyword picks max-tf, then min-df, then lexicographic term") {
+    val docs = Seq(
+      (0L, "spark spark rare the the a"),   // tf: spark 2, rare 1 → spark
+      (1L, "rare spark"),                    // tf tie → df decides: rare df 2, spark df 3...
+      (2L, "spark zz zz"),                   // zz tf 2 beats spark
+      (3L, "common common spark spark")      // tf tie 2-2 → df: spark 3 < common...
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.docKeyword(docs, Seq("the", "a")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    // corpus df: spark 4, rare 2, zz 1, common 1
+    assert(out(0L) === (("spark", 2L, 4L)))
+    // doc 1: tf tie (1, 1) → smaller df wins: rare (df 2) over spark (df 4)
+    assert(out(1L) === (("rare", 1L, 2L)))
+    assert(out(2L) === (("zz", 2L, 1L)))
+    // doc 3: tf tie (2, 2) → common df 1 < spark df 4
+    assert(out(3L) === (("common", 2L, 1L)))
+    // stopwords never win
+    assert(!out.values.exists(_._1 == "the"))
+  }
 }
