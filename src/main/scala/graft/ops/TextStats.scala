@@ -160,12 +160,18 @@ object TextStats {
     * would rank identically but its low bits differ across engines).
     *
     * Scale shape: the argmax is ONE `min_by` aggregate over the ordering
-    * struct (ObjectHashAggregate — hash-based, map-side combinable; the
-    * ordering key is unique per (doc, term) row so ties cannot occur),
-    * never a per-doc row_number window: the oracle's window form is the
-    * single-partition-per-doc sort this avoids. The df relation joins
-    * back on the term — O(distinct terms), broadcast-able for natural
-    * vocabularies. Output (doc_id, term, tf, df), exact integers. */
+    * struct. It plans as SortAggregate (struct buffers aren't
+    * hash-aggregable in Spark — the same trade every `max_by(struct)` op
+    * here makes, e.g. [[graft.ops.Latest.latestByMaxBy]]), but keeps the
+    * property that matters at scale: map-side partial combine, so the
+    * shuffle carries ONE candidate row per doc per input partition, and
+    * the per-partition sort is by the grouping key over already-combined
+    * rows — never a per-doc row_number window materializing and sorting
+    * every (doc, term) pair in one task per doc (the oracle's window form
+    * is exactly that plan). The ordering key is unique per (doc, term)
+    * row, so ties cannot occur. The df relation joins back on the term —
+    * O(distinct terms), broadcast-able for natural vocabularies. Output
+    * (doc_id, term, tf, df), exact integers. */
   def docKeyword(docs: DataFrame, stopwords: Seq[String],
                  textCol: String = "text"): DataFrame = {
     val stop = typedLit(stopwords)
