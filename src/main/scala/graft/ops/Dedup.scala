@@ -115,6 +115,24 @@ object Dedup {
     docs.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental EXACT dedup screen — the exact-fingerprint twin of
+    * [[minhashLshPairsAgainst]]: flag each batch doc whose normalized
+    * content fingerprint already exists in the corpus store. The store is
+    * the (fp, canonical_id) relation [[exact]] emits, maintained across
+    * batches; at 100 TB it is the only corpus-sized state — one
+    * fixed-width row per DISTINCT content, never per doc. One left
+    * equi-join on the 16-byte fingerprint (the small batch side
+    * broadcasts when sizes warrant); output bounded by the batch.
+    * Emits (doc_id, is_new, canonical_id — null when new). */
+  def exactAgainst(newDocs: DataFrame, corpusFps: DataFrame,
+                   textCol: String = "text"): DataFrame =
+    newDocs.select(col("doc_id"),
+        TextStats.fingerprint(col(textCol)).as("fp"))
+      .join(corpusFps.select(col("fp"), col("canonical_id")), Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("canonical_id").isNull.cast("long").as("is_new"),
+        col("canonical_id"))
+
   /** (doc_id, shingle) exploded view, distinct per doc. */
   private def shingleRows(docs: DataFrame, blockCol: Option[String],
                           textCol: String): DataFrame = {

@@ -587,6 +587,28 @@ object TrainingData {
       }
     },
 
+    // Incremental EXACT screen: the batch (doc_id % 10 = 0) against the
+    // store the exact-dedup stage maintains — one fixed-width row per
+    // distinct corpus content. Completes the incremental family next to
+    // dd_incremental_minhash (same batch split).
+    QuerySpec.sql("dd_incremental_exact",
+      """WITH store AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |                      min(doc_id) AS canonical_id
+        |               FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id, CAST(s.canonical_id IS NULL AS BIGINT) AS is_new,
+        |       s.canonical_id
+        |FROM b LEFT JOIN store s USING (fp) ORDER BY doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.exactAgainst(
+            docs.filter(col("doc_id") % 10 === 0),
+            Dedup.exact(docs.filter(col("doc_id") % 10 =!= 0)))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     QuerySpec.sql("dd_simhash",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) || md5('#' || t) AS h FROM tok GROUP BY 1, 2),

@@ -411,6 +411,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ((1L, 2L, "q")))
   }
 
+  test("exactAgainst flags replayed content and points at the store canonical") {
+    val store = Dedup.exact(docs.filter(col("doc_id") < 4))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // replay of 0/1
+      (11L, "entirely fresh content never seen before")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactAgainst(batch, store).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("is_new"), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(10L) === ((0L, Some(0L))))
+    assert(out(11L) === ((1L, None)))
+  }
+
   test("spanCoverage counts positions whose span recurs in another doc") {
     val cov = Seq(
       (0L, "a b c d e"),       // spans: "a b c","b c d","c d e"
