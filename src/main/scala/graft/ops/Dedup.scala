@@ -940,9 +940,16 @@ object Dedup {
     * Packing bounds (checked per row, `raise_error` on violation, cost one
     * branch): chunk_id < 2²² (docs up to ~4 M segments ≈ 40 M tokens at
     * segTokens = 10) and doc_id ∈ [0, 2⁴¹) — the packed order is then
-    * exactly the lexicographic (doc_id, chunk_id) order. */
+    * exactly the lexicographic (doc_id, chunk_id) order.
+    *
+    * `withinDoc = true` scopes first-occurrence to EACH document (the
+    * Gopher-style in-document repetition cleaning pass: a segment repeated
+    * inside one doc keeps its first copy there, and identical content in
+    * another doc is untouched): the aggregate and join keys gain doc_id,
+    * everything else — including the scale shape — is unchanged. */
   def segmentDedup(docs: DataFrame, segTokens: Int,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   withinDoc: Boolean = false): DataFrame = {
     val packed = when(
       col("chunk_id") < lit(1L << 22) && col("chunk_id") >= 0 &&
         col("doc_id") >= 0 && col("doc_id") < lit(1L << 41),
@@ -954,9 +961,10 @@ object Dedup {
         textCol = textCol)
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         md5(col("chunk_text")).as("__fp"), packed.as("__pos"))
-    val first = segs.groupBy(col("__fp"))
+    val keys = if (withinDoc) Seq("doc_id", "__fp") else Seq("__fp")
+    val first = segs.groupBy(keys.map(col): _*)
       .agg(min(col("__pos")).as("__first"))
-    val flagged = segs.join(first, "__fp")
+    val flagged = segs.join(first, keys)
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         (col("__pos") === col("__first")).as("__keep"))
     val perDoc = flagged.groupBy(col("doc_id")).agg(

@@ -818,6 +818,33 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // The within-doc scope of the same operator (Gopher-style in-document
+    // repetition cleaning): a repeated segment keeps its first copy in ITS
+    // doc; identical content elsewhere is untouched.
+    QuerySpec.sql("dd_segment_dedup_doc",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n <= 10 THEN 1 ELSE (n + 9) // 10 END AS nc FROM t),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_id FROM c),
+        |seg AS (SELECT doc_id, chunk_id,
+        |          array_to_string(list_slice(toks, chunk_id * 10 + 1,
+        |                                     least(chunk_id * 10 + 10, n)), ' ') AS s
+        |        FROM x),
+        |k AS (SELECT doc_id, chunk_id, s,
+        |        row_number() OVER (PARTITION BY doc_id, s ORDER BY chunk_id) AS rn
+        |      FROM seg)
+        |SELECT doc_id,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_segments,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_segments,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY chunk_id), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""") {
+      (s, dir) =>
+        Dedup.segmentDedup(Tables.documents(s, dir), segTokens = 10,
+            withinDoc = true)
+          .orderBy(col("doc_id"))
+    },
+
     // Duplicated-span coverage: per-doc fraction of 5-gram positions whose
     // content appears in >1 doc — the span-level dedup analysis signal
     // (counts exact integers; coverage one deterministic IEEE division).

@@ -411,6 +411,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ((1L, 2L, "q")))
   }
 
+  test("segmentDedup withinDoc drops only in-document repeats") {
+    val segDocs = Seq(
+      (0L, "a b c a b c d e f"),   // "a b c" twice IN-DOC → second dropped
+      (1L, "a b c")                // same content, other doc → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(segDocs, segTokens = 3, withinDoc = true)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kept_segments"), r.getAs[Long]("dropped_segments"),
+         r.getAs[String]("clean_text"))).toMap
+    assert(out(0L) === ((2L, 1L, "a b c d e f")))
+    assert(out(1L) === ((1L, 0L, "a b c")))
+  }
+
   test("exactAgainst flags replayed content and points at the store canonical") {
     val store = Dedup.exact(docs.filter(col("doc_id") < 4))
     val batch = Seq(
