@@ -101,7 +101,10 @@ object Bench {
     // headline total plus as many of the SLOWEST queries as fit a 1.8 KB
     // budget (the slow tail is what a perf reader needs first), and point at
     // target/bench.json for the complete map.
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator honors the JVM default locale, so a
+    // comma-decimal locale would emit 99,800 and break the driver's JSON
+    // parse — the exact failure this compact line exists to avoid.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowestFirst = results.sortBy { case (n, v) => (-v, n) }
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val suffixFor = (omitted: Int) =>
@@ -109,12 +112,18 @@ object Bench {
     val budget = 1800
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var len = prefix.length + suffixFor(results.size).length
-    var omitted = 0
-    slowestFirst.foreach { case (k, v) =>
+    // Stop at the FIRST entry that doesn't fit: kept must be a true
+    // slowest-first prefix, or a short-named fast query could slip in after
+    // a long-named slower one was dropped and "omitted_fastest" would lie.
+    val it = slowestFirst.iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (k, v) = it.next()
       val entry = "\"" + k + "\":" + fmt(v)
       if (len + entry.length + 1 <= budget) { kept += entry; len += entry.length + 1 }
-      else omitted += 1
+      else full = true
     }
+    val omitted = results.size - kept.size
     println(prefix + kept.mkString(",") + suffixFor(omitted))
     spark.stop()
   }

@@ -193,9 +193,11 @@ object TrainingData {
           .orderBy(col("lang"), col("rank"))
     },
 
-    // Per-doc keyword: the argmax is one min_by hash aggregate over the
-    // integer ordering (tf desc, df asc, term asc) — the oracle's
-    // per-doc row_number window IS the sort the operator avoids.
+    // Per-doc keyword: the argmax is one min_by aggregate over the integer
+    // ordering (tf desc, df asc, term asc) — it plans as SortAggregate
+    // (struct buffers aren't hash-aggregable) but keeps map-side partial
+    // combine; the oracle's per-doc row_number window materializes and
+    // sorts every (doc, term) pair instead.
     QuerySpec.sql("t_doc_keyword",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

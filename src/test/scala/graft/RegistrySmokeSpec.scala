@@ -28,7 +28,9 @@ class RegistrySmokeSpec extends AnyFunSuite with SparkFixture {
         q.fn(spark, dir).write.format("noop").mode("overwrite").save()
         None
       } catch {
-        case e: Throwable => Some(s"${q.name}: ${e.getMessage.linesIterator.next()}")
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          Some(s"${q.name}: ${msg.linesIterator.nextOption().getOrElse("")}")
       }
     }
     assert(failures.isEmpty, s"${failures.size} queries failed:\n" + failures.mkString("\n"))
