@@ -55,9 +55,18 @@ object Bench {
       System.err.println(
         f"[bench-warmup] registry warmed at ${warmDir.getPath} in ${(System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
     }
+    // Execution-profile listener: splits each query's wall-clock into
+    // job/stage/task counts, task run time, GC, and scheduler delay so a
+    // loaded driver box (sched/GC up, run time flat) is distinguishable
+    // from a plan or harness regression (run time up). See BenchMetrics.
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      BlockHygiene.drainListenerBus(spark.sparkContext)
+      metrics.reset()
+      val gc0 = BenchMetrics.jvmGcMillis()
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune whole subtrees, e.g. windows under a bare count).
@@ -66,6 +75,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val jvmGc = (BenchMetrics.jvmGcMillis() - gc0) / 1e3
+      BlockHygiene.drainListenerBus(spark.sparkContext)
+      val (jobs, stages, tasks, runMs, gcMs, schedMs) = metrics.snapshot()
       // Hygiene between queries — three channels, all inside the untimed gap:
       // 1. cached relations + persisted/localCheckpointed RDD blocks (Dedup
       //    signatures, the CC loop's checkpoints): clearCache + BLOCKING
@@ -83,7 +95,7 @@ object Bench {
       val dropped = hygiene()
       val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
       System.err.println(
-        f"[bench-gap] $name%-28s ${elapsed}%8.3f s; dropped $dropped%3d broadcasts; storage used after gap ${storageUsed / 1048576.0}%9.2f MiB")
+        f"[bench-gap] $name%-28s ${elapsed}%8.3f s; jobs $jobs%3d stages $stages%4d tasks $tasks%5d; task run ${runMs / 1e3}%8.2f s gc ${gcMs / 1e3}%6.2f s sched ${schedMs / 1e3}%6.2f s; jvm gc $jvmGc%5.2f s; dropped $dropped%3d broadcasts; storage ${storageUsed / 1048576.0}%7.2f MiB")
       name -> elapsed
     }
     val total = results.map(_._2).sum

@@ -481,15 +481,36 @@ object Dedup {
     * pairwise dedup output ([[minhashLshPairs]], [[simhashPairs]],
     * [[hashedTfCosinePairs]], embedding near-dup) into a keep/drop decision.
     *
-    * Algorithm: iterative min-label propagation — each round every node takes
-    * the minimum label among itself and its neighbors; converges in
-    * O(component diameter) rounds. Near-dup clusters are dense and shallow
-    * (diameter ≲ 5 even for chained paraphrases), so the loop is short; the
-    * `maxIters` bound caps pathological chains. Each round is one equi-join +
-    * one min-aggregation — both partial-aggregating shuffles keyed on node
-    * id, nothing corpus-sized on the driver. The per-round convergence probe
-    * is a scalar aggregate (see the fixpoint comment in the loop), not a
-    * collect.
+    * Algorithm: iterative min-label propagation with pointer jumping — each
+    * round every node takes the minimum of its own label, its neighbors'
+    * labels, and its label's label; converges in O(log diameter) rounds.
+    * Near-dup clusters are dense and shallow (diameter ≲ 5 even for chained
+    * paraphrases), so the loop is short; the `maxIters` bound caps
+    * pathological chains.
+    *
+    * Round-11 shape — JOB economy, not just shuffle economy. Under AQE
+    * every exchange materializes as its own scheduled job, and an iterative
+    * loop pays ambient scheduler load once per job: the round-10 driver run
+    * billed 34.2 s to this loop's canonical query (92 jobs) against a 6.5 s
+    * idle-box envelope, with task run time flat — pure per-job overhead.
+    * Three levers cut the job count:
+    *  - MESSAGE-UNION propagation: one step is "neighbor labels ∪ own
+    *    label ∪ label-of-label, then one min-aggregation keyed on node" —
+    *    3 exchanges per step (labels on doc_id, labels on component, the
+    *    message aggregation) instead of the former join-per-source form's
+    *    6; the aggregation partial-combines map-side, so the shuffle
+    *    carries at most one candidate label per node per input partition.
+    *  - PRE-PARTITIONED EDGES: the edge relation — the loop's largest
+    *    input — is hash-partitioned on `u` once, outside the loop, with an
+    *    explicit partition count; `localCheckpoint` preserves
+    *    outputPartitioning (LogicalRDD keeps it), so every per-round edge
+    *    join and the seed's groupBy(u) read edges with ZERO exchange. Only
+    *    the far smaller label relation shuffles per step.
+    *  - OBSERVED convergence: the per-round probe rides the checkpoint
+    *    materialization job itself (`Dataset.observe` + `Observation`)
+    *    instead of a separate scalar-aggregate job per round.
+    * Nothing corpus-sized ever reaches the driver: the observed metric is
+    * one decimal per round.
     *
     * Rounds are cut with [[Checkpoints.materialized]] (eager checkpoint +
     * statistics reset), not `persist`: in an iterative DataFrame loop each
@@ -519,63 +540,127 @@ object Dedup {
     // on the null aggregate of an empty label relation
     if (p.head(1).isEmpty)
       return p.select(col("doc_a").as("doc_id"), col("doc_b").as("component"))
+    val sess = p.sparkSession
+    // ---- Loop execution regime: non-adaptive, sized from measured data ----
+    // AQE served the pair generation above (p's checkpoint is its output);
+    // INSIDE the loop it is strictly counterproductive: AQE materializes
+    // every exchange as its own scheduled job plus a replan pass, so one
+    // 2-step round = 7 jobs (measured, sf0.1: 52 jobs / 3.5 s for the whole
+    // fixpoint), and an ambient-loaded cluster or driver box taxes each job
+    // separately — BENCH_r10 billed 34.2 s to a 6.5 s-envelope query almost
+    // entirely through that multiplier. Worse, localCheckpoint under AQE
+    // captures the adaptive plan's partitioning as unknown, so the
+    // pre-partitioned edge relation re-shuffled every round anyway.
+    //
+    // The regime here takes AQE's one in-loop contribution — runtime size
+    // facts — ONCE, from the materialized pair relation's partition count
+    // (AQE already coalesced p to its data volume), then runs the loop
+    // non-adaptively with exactly that sizing: shuffle.partitions pinned to
+    // the measured count, edges hash-partitioned on u once (the explicit
+    // count pins co-partitioning, and without AQE the LogicalRDD keeps it),
+    // and each round executes as ONE job whose stages are the label
+    // exchanges. At 100 TB the same logic holds: the loop's relations are
+    // O(|pairs|), not corpus-sized, and their partitioning should track the
+    // measured pair volume, not the session-wide corpus setting. Confs are
+    // restored in the finally; the returned labels are a checkpoint leaf,
+    // so downstream consumers re-plan under the session's own regime.
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(p.rdd.getNumPartitions, 2)
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     val edges = p
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
-      .localCheckpoint() // eager: leaves the loop entirely
+      // ONE setup exchange: repartition on u, then dedup as a hash
+      // aggregate over (u, v) — hashpartitioning(u) satisfies the
+      // aggregate's clustered-by-(u,v) requirement (subset rule), so
+      // dropDuplicates adds no shuffle and the leaf keeps partitioning(u)
+      .repartition(loopParts, col("u"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint() // eager: leaves the loop entirely; keeps partitioning
     // the first propagation round folded into the seed: label₀ = min(own id,
     // direct neighbors) costs one aggregation here instead of a full
-    // checkpoint+probe cycle in the loop
+    // checkpoint+probe cycle in the loop — and with edges pre-partitioned
+    // on u the seed's groupBy(u) is exchange-free
     var labels = Checkpoints.materialized(edges
       .groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("__nb"))
       .select(col("doc_id"),
         least(col("doc_id"), col("__nb")).as("component")))
 
-    // one propagation step: min over graph-neighbor labels, plus pointer
-    // jumping (my label's label) so remaining chains halve every step —
-    // O(log diameter) steps instead of O(diameter)
+    // One propagation step, message-union form: every node's next label is
+    // the min over (neighbors' labels ∪ its own label ∪ its label's label).
+    // The self message doubles as the "no neighbor update" identity the old
+    // left-join/coalesce form needed; the chain message is the pointer
+    // jump. Both label exchanges here (doc_id for the edge join's build
+    // side and the chain's l2, component for the chain's l1) are the only
+    // per-step shuffles of existing relations — the edge side is
+    // pre-partitioned — and ReuseExchange serves l2 from the doc_id
+    // exchange. Chain is an inner join: component values are doc_ids of the
+    // same label relation (min over member ids), so every l1 row matches
+    // exactly one l2 row and cardinality is preserved.
     def propagate(l: DataFrame): DataFrame = {
-      val nbrMin = edges.as("e")
+      val nbr = edges.as("e")
         .join(l.as("lb").hint("shuffle_hash"), col("e.u") === col("lb.doc_id"))
-        .groupBy(col("e.v").as("nid"))
-        .agg(min(col("lb.component")).as("nbr_min"))
+        .select(col("e.v").as("dst"), col("lb.component").as("lab"))
+      val self = l.select(col("doc_id").as("dst"), col("component").as("lab"))
       val chain = l.as("l1")
         .join(l.as("l2").hint("shuffle_hash"),
           col("l1.component") === col("l2.doc_id"))
-        .select(col("l1.doc_id").as("cid_"), col("l2.component").as("chain_min"))
-      l.as("l")
-        .join(nbrMin.hint("shuffle_hash"), col("l.doc_id") === col("nid"), "left")
-        .join(chain.hint("shuffle_hash"), col("l.doc_id") === col("cid_"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.component"),
-            least(coalesce(col("nbr_min"), col("l.component")),
-              coalesce(col("chain_min"), col("l.component"))))
-            .as("component"))
+        .select(col("l1.doc_id").as("dst"), col("l2.component").as("lab"))
+      nbr.unionAll(self).unionAll(chain)
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("lab")).as("component"))
     }
 
-    // Convergence probe: labels only ever DECREASE, so any change strictly
-    // lowers sum(component) — an exact decimal sum (long sums overflow once
-    // id·count exceeds 2⁶³) on the just-checkpointed leaf is a one-stage
-    // scalar job, cheaper than a changed-row join+count. Two propagation
-    // steps are fused per checkpoint: the checkpoint materialization is the
-    // expensive per-round job, and a depth-2 plan between leaves stays
-    // constant-size.
-    var prevSum = BigDecimal(-1)
+    // Convergence probe: labels only ever DECREASE, so one propagation step
+    // that leaves sum(component) unchanged changed NO label (monotone
+    // per-element decrease + equal sum ⇒ element-wise equality ⇒ the step
+    // was the identity ⇒ fixpoint). The sum AFTER EVERY FUSED STEP is
+    // observed during the round's one checkpoint-materialization job
+    // (CollectMetrics accumulates while the plan executes; exact decimal —
+    // long sums overflow once id·count exceeds 2⁶³), so convergence costs
+    // zero extra jobs AND is detected at step granularity: two adjacent
+    // equal sums inside a round end the loop without a separate confirming
+    // round when the fixpoint lands mid-round. TWO steps are fused per
+    // checkpoint — the checkpoint is the expensive per-round job and the
+    // depth-2 plan between leaves stays constant-size. Not more: each
+    // step's output feeds THREE consumers in the next step (edge-join
+    // build, self message, chain l1/l2), and without AQE's per-stage
+    // materialization a non-exchange-bounded subtree re-executes per
+    // consumer, so upstream work grows ~3^(depth-1) — measured 98 s task
+    // time at depth 3 vs 6.4 s at depth 2 on the same corpus. An explicit
+    // repartition boundary between steps does not help: the step output
+    // already carries that exact partitioning, so the optimizer collapses
+    // the no-op exchange and the re-execution stays.
+    val fused = 2
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = Checkpoints.materialized(propagate(propagate(labels)))
-      val sum = BigDecimal(
-        next.agg(org.apache.spark.sql.functions.sum(
-          col("component").cast("decimal(38,0)"))).head.getDecimal(0))
-      converged = sum == prevSum
-      prevSum = sum
+      val obs = (1 to fused).map(k =>
+        org.apache.spark.sql.Observation(s"cc-$iter-$k-${System.nanoTime()}"))
+      var stepped = labels
+      for (k <- 0 until fused) {
+        stepped = propagate(stepped)
+          .observe(obs(k), sum(col("component").cast("decimal(38,0)")).as("s"))
+      }
+      val next = Checkpoints.materialized(stepped)
+      val sums = obs.map(o => BigDecimal(o.get.apply("s").toString))
+      converged = sums.sliding(2).exists(w => w.head == w.last)
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-debug] round $iter sums=${sums.mkString(",")} " +
+          s"converged=$converged" +
+          s" cumJobs=${sess.sparkContext.statusTracker.getJobIdsForGroup(null).length}")
     }
     labels
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Corpus-wide canonical assignment from a pair relation: every doc gets
