@@ -277,7 +277,17 @@ object ScaleProbe {
         "doc_keyword" -> (() =>
           time(s"$tag/doc_keyword")(
             graft.ops.TextStats.docKeyword(docs, Seq("the", "a"))
-              .filter(length(col("term")) >= 0).count())))
+              .filter(length(col("term")) >= 0).count())),
+        // SemDeDup: k-means cells + within-cell a<b cosine dominance. The
+        // pair join is n²/k on balanced cells, so k must GROW with the
+        // corpus — the probe scales k with the factor exactly as a
+        // production run would (SemDeDup uses ~100k cells at web scale),
+        // keeping expected cell population constant.
+        "semantic_dedup" -> (() =>
+          time(s"$tag/semantic_dedup")(
+            EmbeddingSim.semanticDedup(vecs,
+              numCentroids = 8 * math.max(1, tag.takeWhile(_.isDigit).toInt), iters = 2,
+              threshold = 0.45).count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }

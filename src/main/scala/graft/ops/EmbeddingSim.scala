@@ -242,6 +242,55 @@ object EmbeddingSim {
     math.max(4, math.min(24, raw))
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * embedding-space near-duplicate REMOVAL that catches paraphrases
+    * lexical minhash/simhash can never see. Two composed stages, both
+    * already load-bearing elsewhere in this file:
+    *
+    *  1. Partition the corpus into k-means cells ([[kmeansCentroids]]-
+    *     trained, deterministic); assignment is the same broadcast-K
+    *     `min_by` argmax as training — one shuffled row per vector.
+    *  2. Within each cell only, score quantized cosine over the a<b pair
+    *     join (an equi-join on cid) and DROP every vector that has a
+    *     LOWER-id neighbor at cosine ≥ `threshold` in its cell; the min-id
+    *     member of every ≥-threshold group survives as the
+    *     representative. The dominance rule is deliberately not a
+    *     transitive closure: SemDeDup semantics keep one member per
+    *     ε-ball, and id-dominance is deterministic, engine-portable, and
+    *     needs no fixpoint.
+    *
+    * Scale: the pair join is O(Σ|cell|²) = n²/k on balanced cells — k is
+    * the knob, grown ∝ corpus so cells stay bounded (SemDeDup runs 100 k
+    * cells on web scale; the oracle configuration uses the corpus-probed
+    * k=8/2-round setup whose centroids DuckDB replays bit-for-bit). The
+    * drop set is an aggregate over qualifying pairs (one row per dropped
+    * vector), so nothing corpus-squared survives the join.
+    *
+    * Output: (vec_id, cid, is_kept 0/1) for every input vector. */
+  def semanticDedup(vectors: DataFrame, numCentroids: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.45): DataFrame = {
+    val corpus = prepared(vectors)
+    val cents = broadcast(kmeansCentroids(vectors, numCentroids, iters))
+    val cells = corpus.crossJoin(cents)
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val mc = corpus.join(cells, "vec_id")
+    val drops = mc.as("a")
+      .join(mc.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(qcosine(qdot(col("a.q"), col("b.q")),
+        col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    cells
+      .join(drops.withColumn("__dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("__dropped").isNull.cast("long").as("is_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b), blocked
     * on a coarse LSH signature so the pair join is an equi-join. With
     * `planes = 0` the blocking is disabled (exact all-pairs — test scale

@@ -1177,6 +1177,37 @@ object TrainingData {
           .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // Semantic dedup (SemDeDup): k-means cells from the SAME two unrolled
+    // Lloyd rounds as ann_ivf_trained (the oracle replays the trained
+    // centroids bit-for-bit), then within-cell quantized-cosine dominance —
+    // drop every vector with a lower-id ≥-threshold neighbor in its cell.
+    // The embedding-space twin of dd_cluster_*: catches paraphrases whose
+    // token sets share nothing.
+    QuerySpec.sql("dd_semantic",
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c0 AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |${kmeansRoundSql(1, "c0")},
+        |${kmeansRoundSql(2, "c1")},
+        |d AS (SELECT m.vec_id, c.cid,
+        |        m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |      FROM m CROSS JOIN c2 c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |mc AS (SELECT m.vec_id, m.qv, m.n2, cells.cid FROM m JOIN cells USING (vec_id)),
+        |drops AS (SELECT DISTINCT b.vec_id
+        |          FROM mc a JOIN mc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |          WHERE list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |                / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) >= 0.45)
+        |SELECT cells.vec_id, cells.cid, CAST(drops.vec_id IS NULL AS BIGINT) AS is_kept
+        |FROM cells LEFT JOIN drops ON drops.vec_id = cells.vec_id
+        |ORDER BY cells.vec_id""") {
+      (s, dir) =>
+        EmbeddingSim.semanticDedup(Tables.embeddings(s, dir))
+          .orderBy(col("vec_id"))
+    },
+
     // The scale configuration of the same operator: plane count derived
     // from the corpus size (expected bucket ≈ 64 vectors, so candidates
     // grow linearly with the corpus instead of n²/2^planes going quadratic

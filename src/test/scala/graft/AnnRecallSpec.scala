@@ -141,4 +141,30 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(trained >= seeded - 0.05,
       "training must not materially lose recall vs the seed")
   }
+
+  test("semantic dedup keeps exactly the min-id member of each identical group") {
+    // Four groups of three IDENTICAL vectors on disjoint dimension blocks
+    // (cross-group cosine 0): identical vectors always share a cell
+    // (identical distances, deterministic tie-break), so each group must
+    // collapse to its min id; nothing else may drop.
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 12).map { id =>
+      val g = id / 3
+      val emb = Array.tabulate(64)(d => if (d / 16 == g) 1.0f else 0.0f)
+      org.apache.spark.sql.Row(id.toLong, emb.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val vecs = spark.createDataFrame(rows.asJava, schema)
+    val out = EmbeddingSim.semanticDedup(vecs, numCentroids = 2, iters = 2,
+      threshold = 0.9).collect()
+    assert(out.length === 12, "one row per input vector")
+    val kept = out.filter(_.getAs[Long]("is_kept") == 1L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(kept === Set(0L, 3L, 6L, 9L),
+      s"expected one min-id survivor per identical group, got $kept")
+  }
 }
