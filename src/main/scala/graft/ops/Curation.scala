@@ -63,6 +63,22 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_hits"), max(col("n_shared")).as("max_shared"))
 
+  /** The REMOVAL step that closes the decontamination pipeline: the corpus
+    * with every [[contaminatedDocs]]-flagged doc dropped — detect-then-drop
+    * end-to-end, the way [[graft.ops.Dedup.pipelineCanonical]] closes the
+    * dedup pipeline. One left-anti equi-join on doc_id: the build side is
+    * the verdict relation (≤ one fixed-width row per flagged doc, far
+    * smaller than the corpus on any sane benchmark set), so AQE broadcasts
+    * it and the corpus streams through unshuffled. Passes every input
+    * column through unchanged — downstream stages see the same schema. */
+  def decontaminated(docs: DataFrame, benchmark: DataFrame, minShared: Int,
+                     n: Int = 3, textCol: String = "text",
+                     excludeSameId: Boolean = false): DataFrame =
+    docs.join(
+      contaminatedDocs(docs, benchmark, minShared, n, textCol, excludeSameId)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Tracking query parameters stripped by [[canonicalUrl]]: the
     * analytics/click-id params that vary per crawl visit without changing
     * the page — exactly the noise that splinters one page into thousands of

@@ -355,6 +355,31 @@ object TrainingData {
       }
     },
 
+    // The removal step over the same verdicts: corpus anti-join flagged
+    // docs — the full detect-then-drop decontamination pipeline in one
+    // query, the way dd_pipeline_canonical pins dedup end-to-end.
+    QuerySpec.sql("t_decontaminated",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+        |pairs AS (SELECT sh.doc_id, bench_id, count(*) AS n_shared
+        |          FROM sh JOIN bench ON sh.s = bench.s AND sh.doc_id != bench_id
+        |          GROUP BY 1, 2
+        |          HAVING count(*) >= 3)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.decontaminated(docs, docs.filter(col("doc_id") % 97 === 0),
+            minShared = 3, excludeSameId = true)
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Gopher-style repetition ratios: duplicated-2gram/3gram share per doc,
     // the boilerplate signal a quality filter thresholds on.
     QuerySpec.sql("t_repetition",

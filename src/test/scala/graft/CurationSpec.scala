@@ -48,6 +48,22 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(!out.contains(2L) && !out.contains(3L))
   }
 
+  test("decontaminated drops exactly the flagged docs and keeps the schema") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // benchmark member
+      (1L, "alpha beta gamma delta epsilon eta"),    // contaminated (3 shared)
+      (2L, "alpha beta gamma nothing else here"),    // 1 shared — survives
+      (3L, "totally unrelated content goes right here")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 0)
+    val out = Curation.decontaminated(docs, bench, minShared = 3,
+      excludeSameId = true)
+    assert(out.columns.toSeq === docs.columns.toSeq,
+      "removal must pass every input column through")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 2L, 3L))
+  }
+
   test("repetitionStats measures duplicated n-gram share") {
     val docs = Seq(
       (0L, "spam spam spam spam spam"),      // every 2-gram identical: 3/4 dup
