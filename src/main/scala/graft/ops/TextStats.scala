@@ -64,6 +64,53 @@ object TextStats {
         + lit(0.3) * lengthScore, 4).as("quality"))
   }
 
+  /** Deterministic fixture weight vector for [[qualityModelScore]]: weight
+    * i = (first md5 nibble of "qw:i") − 7, range [-7, 8] — the same
+    * hash-seeded engine-portable pseudo-randomness as
+    * [[graft.ops.EmbeddingSim.hyperplaneSignature]]'s planes. A real
+    * pipeline trains these offline (logistic regression on labeled
+    * good/bad docs) and passes them in; the scoring plan is identical. */
+  def qualityModelWeights(dims: Int = 64): Array[Long] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { i =>
+      ((digest.digest(s"qw:$i".getBytes("UTF-8"))(0) >> 4) & 0xf).toLong - 7L
+    }
+  }
+
+  /** Model-based quality scoring — the C4/Gopher-style classifier filter
+    * as a pure Catalyst plan: a linear model over hashing-trick token
+    * features ([[graft.ops.Dedup.hashedTfFeatures]] builds the sparse
+    * (doc_id, idx, v) side), integer weights folded into the plan as a
+    * LITERAL array, so the sparse dot product is one codegen'd
+    * `element_at` multiply inside a partial-aggregating sum — no weight
+    * join, no UDF, no broadcast traffic. All-integer raw score (exactly
+    * reproducible in any engine); the only floating-point op is the final
+    * length normalization, one IEEE division.
+    *
+    * Output per doc: (doc_id, raw_score, n_tokens,
+    * quality = round(raw/n_tokens, 4), is_keep = raw ≥ 0). The keep
+    * decision compares the INTEGER raw score, so the gate cannot split on
+    * a rounding edge. Scale shape: token explode → two hash aggregations
+    * (both map-side combinable) → one equi-join back to the docs
+    * projection; nothing wider than (doc_id, long) ever shuffles. */
+  def qualityModelScore(docs: DataFrame, dims: Int = 64,
+                        weights: Option[Array[Long]] = None,
+                        textCol: String = "text"): DataFrame = {
+    val w = typedLit(weights.getOrElse(qualityModelWeights(dims)))
+    val raw = graft.ops.Dedup.hashedTfFeatures(docs, dims, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("v") * element_at(w, col("idx").cast("int") + 1))
+        .as("raw_score"))
+    docs.select(col("doc_id"), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(raw, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("raw_score"), lit(0L)).as("raw_score"),
+        col("n_tokens"),
+        round(coalesce(col("raw_score"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("quality"),
+        (coalesce(col("raw_score"), lit(0L)) >= 0L).cast("long").as("is_keep"))
+  }
+
   /** Corpus-relative quality gate: keep documents whose [[qualityScore]]
     * is at or above the `pct`-th percentile of the whole corpus — "drop the
     * worst X%" without hand-tuning an absolute threshold per corpus.

@@ -355,6 +355,36 @@ object TrainingData {
       }
     },
 
+    // Model-based quality scoring: linear classifier over hashing-trick
+    // features, fixture weights hash-seeded so DuckDB rebuilds the exact
+    // weight vector; integer raw score, one IEEE division for the
+    // length-normalized quality. strpos('0123456789abcdef', c) - 1 is the
+    // hex-nibble value; - 8 folds the additional - 7 weight shift.
+    QuerySpec.sql("t_quality_model",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |fx AS (SELECT doc_id,
+        |         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64 AS idx,
+        |         CASE WHEN substr(md5(t), 3, 1) >= '8' THEN cnt ELSE -cnt END AS sv
+        |       FROM tf),
+        |feat AS (SELECT doc_id, idx, CAST(sum(sv) AS BIGINT) AS v FROM fx GROUP BY 1, 2),
+        |w AS (SELECT i AS idx,
+        |        CAST(strpos('0123456789abcdef', substr(md5('qw:' || i), 1, 1)) - 8 AS BIGINT) AS wt
+        |      FROM range(64) r(i)),
+        |raw AS (SELECT doc_id, CAST(sum(v * wt) AS BIGINT) AS raw_score
+        |        FROM feat JOIN w USING (idx) GROUP BY 1),
+        |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT n.doc_id, coalesce(raw_score, 0) AS raw_score, n_tokens,
+        |       round(coalesce(raw_score, 0) * 1.0 / n_tokens, 4) AS quality,
+        |       CAST(coalesce(raw_score, 0) >= 0 AS BIGINT) AS is_keep
+        |FROM n LEFT JOIN raw ON raw.doc_id = n.doc_id
+        |ORDER BY n.doc_id""") {
+      (s, dir) =>
+        TextStats.qualityModelScore(Tables.documents(s, dir))
+          .orderBy(col("doc_id"))
+    },
+
     // The removal step over the same verdicts: corpus anti-join flagged
     // docs — the full detect-then-drop decontamination pipeline in one
     // query, the way dd_pipeline_canonical pins dedup end-to-end.

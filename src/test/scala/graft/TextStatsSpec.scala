@@ -67,4 +67,34 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     // stopwords never win
     assert(!out.values.exists(_._1 == "the"))
   }
+
+  test("qualityModelScore is the sparse dot product, linear and length-invariant") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta alpha beta gamma delta"), // doc 0 doubled
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val w = graft.ops.TextStats.qualityModelWeights(64)
+    val out = graft.ops.TextStats.qualityModelScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("raw_score"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("quality"), r.getAs[Long]("is_keep"))).toMap
+    // ground truth from the feature relation itself: raw = Σ v·w[idx]
+    val feats = graft.ops.Dedup.hashedTfFeatures(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("v") * w(r.getAs[Int]("idx"))).sum).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(out(id)._1 === feats(id), s"raw score mismatch for doc $id")
+      assert(out(id)._4 === (if (feats(id) >= 0) 1L else 0L))
+    }
+    // doubling every token doubles raw and n_tokens: quality invariant
+    assert(out(1L)._1 === 2 * out(0L)._1)
+    assert(out(1L)._3 === out(0L)._3)
+    // zero weights → zero scores, everything kept
+    val zero = graft.ops.TextStats.qualityModelScore(docs,
+      weights = Some(Array.fill(64)(0L))).collect()
+    assert(zero.forall(r => r.getAs[Long]("raw_score") == 0L
+      && r.getAs[Long]("is_keep") == 1L))
+  }
 }
