@@ -33,6 +33,107 @@ object TextStats {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** Distributed BPE merge training (Sennrich et al. 2016): `numMerges`
+    * rounds of count-adjacent-symbol-pairs → merge the most frequent pair
+    * corpus-wide. Returns one relation carrying BOTH training artifacts:
+    * rows with kind='merge' are the learned merge table (merge_rank,
+    * l_sym, r_sym, token = the merged symbol, freq = the winning pair
+    * count), rows with kind='token' are the re-tokenized corpus symbol
+    * counts after all merges.
+    *
+    * Representation is the whole trick: a word's symbol sequence is a
+    * single string — symbols joined by a DOUBLE space, one space at each
+    * end — so applying a merge is ONE `replace(str, " l  r ", " lr ")`
+    * call. String replace is left-to-right and non-overlapping in both
+    * Spark (UTF8String) and DuckDB, which is EXACTLY BPE's merge-pass
+    * semantics ("aaa" + merge(a,a) → [aa, a]); the double separator
+    * donates one boundary space to each of two adjacent matches, so
+    * consecutive pairs ("a b a b") both merge in one pass, while the
+    * single-space-bounded search pattern can never match across a
+    * multi-character symbol's interior. The oracle unrolls the identical
+    * rounds with the same replace.
+    *
+    * Scale shape (100 TB): the corpus-sized pass happens ONCE — the
+    * distinct-word frequency aggregation (classic BPE trains on the word
+    * frequency table; vocabulary ≪ corpus). Each round then runs on the
+    * O(vocab) word relation: one pair-explode + map-side-combining count
+    * aggregation, a TakeOrdered(1) for the argmax (never a full sort), and
+    * a 1-row-broadcast crossJoin applying the merge — the winning pair
+    * stays a DataFrame, nothing corpus-derived reaches the driver. The
+    * loop runs under the same non-adaptive measured-size regime as
+    * [[graft.ops.Dedup.connectedComponents]] (AQE's per-exchange jobs are
+    * pure overhead at O(vocab) scale; partitions sized from the
+    * materialized word relation), with [[Checkpoints.materialized]]
+    * cutting plan growth per round. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8,
+               textCol: String = "text"): DataFrame = {
+    val sess = docs.sparkSession
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    val words0 = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("str"),
+        col("cnt"))
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    try {
+      var words = words0.localCheckpoint()
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions",
+        math.max(words.rdd.getNumPartitions, 2).toString)
+      val merges = scala.collection.mutable.Buffer.empty[DataFrame]
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val sy = split(trim(col("str")), "  ")
+        val pairs = words
+          .select(sy.as("sy"), col("cnt"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(0), size(col("sy")) - 2),
+            i => struct(element_at(col("sy"), i + 1).as("l"),
+              element_at(col("sy"), i + 2).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+        val top1 = Checkpoints.materialized(
+          pairs.orderBy(col("c").desc, col("l").asc, col("r").asc).limit(1))
+        // O(1) guard on a 1-row checkpointed frame — the corpus can run out
+        // of mergeable pairs before numMerges on tiny/degenerate inputs,
+        // and a crossJoin against an empty argmax would erase the corpus
+        if (top1.head(1).isEmpty) exhausted = true
+        else {
+          merges += top1.withColumn("merge_rank", lit(rank.toLong))
+          words = Checkpoints.materialized(
+            words.crossJoin(broadcast(top1))
+              .select(
+                replace(col("str"),
+                  concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
+                  concat(lit(" "), col("l"), col("r"), lit(" "))).as("str"),
+                col("cnt")))
+        }
+        rank += 1
+      }
+      val tokenCounts = words
+        .select(explode(split(trim(col("str")), "  ")).as("token"), col("cnt"))
+        .groupBy(col("token")).agg(sum(col("cnt")).as("freq"))
+        .select(lit("token").as("kind"), lit(0L).as("merge_rank"),
+          lit("").as("l_sym"), lit("").as("r_sym"), col("token"), col("freq"))
+      val mergeTable = merges.toSeq match {
+        case Seq() => tokenCounts.filter(lit(false))
+        case ms => ms.reduce(_ unionAll _)
+          .select(lit("merge").as("kind"), col("merge_rank"),
+            col("l").as("l_sym"), col("r").as("r_sym"),
+            concat(col("l"), col("r")).as("token"), col("c").as("freq"))
+      }
+      mergeTable.unionAll(tokenCounts)
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   /** Per-document token statistics: token count, distinct count, uniqueness
     * ratio, mean token length. One narrow projection — no shuffle. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

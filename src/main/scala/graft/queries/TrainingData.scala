@@ -104,6 +104,21 @@ object TrainingData {
        |           GROUP BY a$round.cid, r.d)
        |         GROUP BY cid))""".stripMargin
 
+  /** One unrolled BPE training round for the t_bpe_merges oracle: count
+    * adjacent symbol pairs (weighted by word frequency), take the
+    * (count desc, l asc, r asc) argmax, apply the merge with the same
+    * double-space replace as TextStats.bpeTrain. */
+  private def bpeRoundSql(n: Int): String =
+    s"""p$n AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |  SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+       |         unnest(list_transform(range(1, len(sy)), i -> sy[i+1])) AS r,
+       |         cnt
+       |  FROM (SELECT string_split(trim(str), '  ') AS sy, cnt FROM w${n - 1}))
+       |  GROUP BY 1, 2),
+       |t$n AS (SELECT l, r, c FROM p$n ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       |w$n AS (SELECT replace(str, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS str, cnt
+       |        FROM w${n - 1} CROSS JOIN t$n)""".stripMargin
+
   private def markersSqlValues: String =
     LangMarkers.map { case (l, ms) =>
       s"('$l', [${ms.map(m => s"'$m'").mkString(", ")}])"
@@ -290,6 +305,30 @@ object TrainingData {
             round(length(regexp_replace(col("text"), "[^\\p{P}]", ""))
               * lit(1.0) / length(col("text")), 4).as("punct_ratio"))
           .orderBy(col("doc_id"))
+    },
+
+    // Real distributed BPE-merge training: 8 rounds of corpus-wide
+    // pair-count → merge-the-argmax over the distinct-word frequency
+    // table; output = learned merge table + re-tokenized symbol counts in
+    // one relation. The oracle unrolls the identical rounds (bpeRoundSql)
+    // with the same double-space replace, so merges, tie-breaks, and the
+    // final vocabulary hash-match exactly.
+    QuerySpec.sql("t_bpe_merges",
+      s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |           WHERE length(w) > 0 GROUP BY w),
+        |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS str, cnt FROM words),
+        |${(1 to 8).map(bpeRoundSql).mkString(",\n")}
+        |${(1 to 8).map(n =>
+          s"SELECT 'merge' AS kind, CAST($n AS BIGINT) AS merge_rank, l AS l_sym, r AS r_sym, l || r AS token, c AS freq FROM t$n")
+          .mkString("", "\nUNION ALL\n", "\nUNION ALL\n")}
+        |SELECT 'token' AS kind, CAST(0 AS BIGINT) AS merge_rank, '' AS l_sym, '' AS r_sym, token, CAST(sum(cnt) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(trim(str), '  ')) AS token, cnt FROM w8)
+        |GROUP BY token
+        |ORDER BY kind, merge_rank, token""".stripMargin) {
+      (s, dir) =>
+        TextStats.bpeTrain(Tables.documents(s, dir), numMerges = 8)
+          .orderBy(col("kind"), col("merge_rank"), col("token"))
     },
 
     // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).

@@ -68,6 +68,35 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(!out.values.exists(_._1 == "the"))
   }
 
+  test("bpeTrain learns the hand-derivable merge sequence and stops when pairs run out") {
+    // words: low x3, lower x2. Traced by hand:
+    //  r1: (l,o)=5 ties (o,w)=5 -> l asc wins -> "lo"/5
+    //  r2: (lo,w)=5 -> "low"/5
+    //  r3: (low,e)=2 ties (e,r)=2 -> "e" < "low" -> "er"/2
+    //  r4: (low,er)=2 -> "lower"/2
+    //  r5: no pairs left -> early stop despite numMerges=6
+    val docs = Seq((0L, "low low low lower lower")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.bpeTrain(docs, numMerges = 6).collect()
+    val merges = out.filter(_.getAs[String]("kind") == "merge")
+      .sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("l_sym"),
+        r.getAs[String]("r_sym"), r.getAs[String]("token"), r.getAs[Long]("freq")))
+    assert(merges.toSeq === Seq(
+      (1L, "l", "o", "lo", 5L), (2L, "lo", "w", "low", 5L),
+      (3L, "e", "r", "er", 2L), (4L, "low", "er", "lower", 2L)))
+    val toks = out.filter(_.getAs[String]("kind") == "token")
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("freq")).toMap
+    assert(toks === Map("low" -> 3L, "lower" -> 2L))
+  }
+
+  test("bpeTrain merge pass is left-to-right non-overlapping (aaa -> [aa, a])") {
+    val docs = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.bpeTrain(docs, numMerges = 1).collect()
+    val toks = out.filter(_.getAs[String]("kind") == "token")
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("freq")).toMap
+    assert(toks === Map("aa" -> 1L, "a" -> 1L))
+  }
+
   test("qualityModelScore is the sparse dot product, linear and length-invariant") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),
