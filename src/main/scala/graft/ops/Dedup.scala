@@ -163,7 +163,39 @@ object Dedup {
     * scaladoc at the top of this file). */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                         textCol: String = "text",
-                        maxDf: Int = Int.MaxValue): DataFrame = {
+                        maxDf: Int = Int.MaxValue): DataFrame =
+    shinglePairStats(docs, blockCol, textCol, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter") * lit(1.0) /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| over the same
+    * (optionally df-capped) shingle universe as [[ngramJaccardPairs]].
+    * Catches what symmetric Jaccard structurally misses — a short document
+    * fully quoted inside a long one scores |A|/|B| ≈ 0 Jaccard but
+    * containment 1.0 (Broder 1997's "containment" resemblance; the
+    * supersets/quote-expansion case every crawl corpus has). Emits one row
+    * per unordered pair (doc_a < doc_b) with BOTH directions' scores,
+    * kept when either clears the threshold; callers drop the contained
+    * (smaller-side) member. Same scale shape as Jaccard: the only
+    * corpus-shaped work is the shared posting-list self-join, bounded by
+    * maxDf²/2 per shingle under the cap. */
+  def containmentPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                       textCol: String = "text",
+                       maxDf: Int = Int.MaxValue): DataFrame =
+    shinglePairStats(docs, blockCol, textCol, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") * lit(1.0) / col("na"), 4).as("c_a_in_b"),
+        round(col("n_inter") * lit(1.0) / col("nb"), 4).as("c_b_in_a"))
+      .filter(col("c_a_in_b") >= threshold || col("c_b_in_a") >= threshold)
+
+  /** Shared core of [[ngramJaccardPairs]] / [[containmentPairs]]: per
+    * unordered candidate pair (doc_a < doc_b sharing ≥ 1 kept shingle in a
+    * block), the intersection size and both documents' kept-shingle-set
+    * sizes — (doc_a, doc_b, n_inter, na, nb). */
+  private def shinglePairStats(docs: DataFrame, blockCol: String,
+                               textCol: String, maxDf: Int): DataFrame = {
     val shKept =
       if (maxDf == Int.MaxValue) shingleRows(docs, Some(blockCol), textCol)
       else {
@@ -199,10 +231,8 @@ object Dedup {
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter") * lit(1.0) /
-          (col("sa.n") + col("sb.n") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
   }
 
   /** MinHash signature: numHashes min-aggregates over the exploded shingles,

@@ -67,7 +67,6 @@ object TextStats {
     * cutting plan growth per round. */
   def bpeTrain(docs: DataFrame, numMerges: Int = 8,
                textCol: String = "text"): DataFrame = {
-    val sess = docs.sparkSession
     val chars = filter(split(col("w"), ""), c => length(c) > 0)
     val words0 = docs
       .select(explode(tokens(col(textCol))).as("w"))
@@ -76,6 +75,36 @@ object TextStats {
       .select(
         concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("str"),
         col("cnt"))
+    val (words, merges) = bpeLoop(words0, numMerges)
+    val tokenCounts = words
+      .select(explode(split(trim(col("str")), "  ")).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("freq"))
+      .select(lit("token").as("kind"), lit(0L).as("merge_rank"),
+        lit("").as("l_sym"), lit("").as("r_sym"), col("token"), col("freq"))
+    val mergeTable = merges match {
+      case Seq() => tokenCounts.filter(lit(false))
+      case ms => ms.reduce(_ unionAll _)
+        .select(lit("merge").as("kind"), col("merge_rank"),
+          col("l").as("l_sym"), col("r").as("r_sym"),
+          concat(col("l"), col("r")).as("token"), col("c").as("freq"))
+    }
+    mergeTable.unionAll(tokenCounts)
+  }
+
+  /** The merge-training fixpoint shared by [[bpeTrain]] and [[bpeEncode]]:
+    * `numMerges` rounds of pair-count → argmax → apply on a word relation
+    * whose schema is (str, cnt, extra…). Pair counting reads only
+    * (str, cnt) — Catalyst prunes anything else — while the apply step
+    * carries every non-`str` column through, so callers can thread an
+    * identity column (the original word) alongside the evolving symbol
+    * string. Everything loop-side materializes eagerly
+    * ([[Checkpoints.materialized]] / localCheckpoint), so the
+    * non-adaptive/sized-partition regime is confined to the loop and the
+    * caller's downstream aggregations run under the session's normal conf. */
+  private def bpeLoop(words0: DataFrame,
+                      numMerges: Int): (DataFrame, Seq[DataFrame]) = {
+    val sess = words0.sparkSession
+    val carryNames = words0.columns.filterNot(_ == "str").toSeq
     val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -110,28 +139,91 @@ object TextStats {
               .select(
                 replace(col("str"),
                   concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
-                  concat(lit(" "), col("l"), col("r"), lit(" "))).as("str"),
-                col("cnt")))
+                  concat(lit(" "), col("l"), col("r"), lit(" "))).as("str") +:
+                  carryNames.map(col): _*))
         }
         rank += 1
       }
-      val tokenCounts = words
-        .select(explode(split(trim(col("str")), "  ")).as("token"), col("cnt"))
-        .groupBy(col("token")).agg(sum(col("cnt")).as("freq"))
-        .select(lit("token").as("kind"), lit(0L).as("merge_rank"),
-          lit("").as("l_sym"), lit("").as("r_sym"), col("token"), col("freq"))
-      val mergeTable = merges.toSeq match {
-        case Seq() => tokenCounts.filter(lit(false))
-        case ms => ms.reduce(_ unionAll _)
-          .select(lit("merge").as("kind"), col("merge_rank"),
-            col("l").as("l_sym"), col("r").as("r_sym"),
-            concat(col("l"), col("r")).as("token"), col("c").as("freq"))
-      }
-      mergeTable.unionAll(tokenCounts)
+      (words, merges.toSeq)
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
       sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+  }
+
+  /** BPE tokenization of the corpus with merges learned from the corpus
+    * itself (train-then-encode, the deployment shape of [[bpeTrain]]):
+    * per document, the token count after `numMerges` learned merges, the
+    * non-space character count, and the chars-per-token compression ratio —
+    * the number a training pipeline budgets sequence packing by.
+    *
+    * Scale shape (100 TB): the corpus is touched exactly twice, both times
+    * embarrassingly parallel — once to build the per-(doc, word) count
+    * relation (one shuffle on (doc, word); the corpus-wide word-frequency
+    * table the trainer needs is a second, map-side-combinable aggregation
+    * OF that relation, so the heavy explode happens once), and once more
+    * as the (doc, word) side of the final equi-join against the O(vocab)
+    * encoded-word relation. The merge fixpoint itself runs entirely on the
+    * vocabulary, exactly as in [[bpeTrain]]. Per-word token counts join
+    * back on the word key — a plain shuffled equi-join that partitions by
+    * word, never a broadcast of anything corpus-sized. */
+  def bpeEncode(docs: DataFrame, numMerges: Int = 8, textCol: String = "text",
+                docIdCol: String = "doc_id"): DataFrame = {
+    val docWords = docs
+      .select(col(docIdCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(docIdCol), col("w")).agg(count(lit(1)).as("k"))
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    val words0 = docWords
+      .groupBy(col("w")).agg(sum(col("k")).as("cnt"))
+      .select(col("w"),
+        concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("str"),
+        col("cnt"))
+    val (encoded, _) = bpeLoop(words0, numMerges)
+    val enc = encoded.select(col("w"),
+      size(split(trim(col("str")), "  ")).cast("long").as("wtoks"))
+    docWords.join(enc, "w")
+      .groupBy(col(docIdCol))
+      .agg(sum(col("k") * col("wtoks")).as("n_tokens"),
+        sum(col("k") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col(docIdCol), col("n_tokens"), col("n_chars"),
+        round(col("n_chars") * lit(1.0) / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
+  /** Windowed term co-occurrence counts — the word2vec/GloVe preprocessing
+    * pass: every unordered token pair within `window` positions of each
+    * other, counted corpus-wide, top `topK` by (count desc, w1 asc, w2 asc).
+    *
+    * No self-join: for token position i the (i, i+d) pairs for d ≤ window
+    * are generated INSIDE one codegen'd nested `transform` over the token
+    * array and exploded — the relation is corpus_tokens × window rows
+    * exactly, never the |doc|² a positions self-join would risk, and the
+    * only shuffle is the map-side-combinable pair count. Pairs are
+    * canonicalized (least, greatest) so (a,b) and (b,a) accumulate
+    * together. All-integer arithmetic; topK via TakeOrderedAndProject
+    * (never a full sort). At 100 TB the un-topK'd count relation is itself
+    * the product (a co-occurrence matrix bounded by tokens × window);
+    * pass topK ≤ 0 to keep it all. */
+  def windowCooc(docs: DataFrame, window: Int = 3, topK: Int = 50,
+                 textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = docs
+      .filter(size(t) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(t) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(window), size(t) - i)),
+          d => struct(
+            least(element_at(t, i), element_at(t, i + d)).as("w1"),
+            greatest(element_at(t, i), element_at(t, i + d)).as("w2"))))))
+        .as("p"))
+    val counts = pairs
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    if (topK <= 0) counts
+    else counts.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
   }
 
   /** Per-document token statistics: token count, distinct count, uniqueness

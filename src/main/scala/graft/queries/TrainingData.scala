@@ -107,8 +107,11 @@ object TrainingData {
   /** One unrolled BPE training round for the t_bpe_merges oracle: count
     * adjacent symbol pairs (weighted by word frequency), take the
     * (count desc, l asc, r asc) argmax, apply the merge with the same
-    * double-space replace as TextStats.bpeTrain. */
-  private def bpeRoundSql(n: Int): String =
+    * double-space replace as TextStats.bpeTrain. `carry` prepends extra
+    * pass-through columns (e.g. "w, " for the t_bpe_encode oracle, which
+    * threads the original word alongside the evolving symbol string —
+    * mirroring TextStats.bpeLoop's carry columns). */
+  private def bpeRoundSql(n: Int, carry: String = ""): String =
     s"""p$n AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
        |  SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
        |         unnest(list_transform(range(1, len(sy)), i -> sy[i+1])) AS r,
@@ -116,7 +119,7 @@ object TrainingData {
        |  FROM (SELECT string_split(trim(str), '  ') AS sy, cnt FROM w${n - 1}))
        |  GROUP BY 1, 2),
        |t$n AS (SELECT l, r, c FROM p$n ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-       |w$n AS (SELECT replace(str, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS str, cnt
+       |w$n AS (SELECT ${carry}replace(str, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS str, cnt
        |        FROM w${n - 1} CROSS JOIN t$n)""".stripMargin
 
   private def markersSqlValues: String =
@@ -318,7 +321,7 @@ object TrainingData {
         |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |           WHERE length(w) > 0 GROUP BY w),
         |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS str, cnt FROM words),
-        |${(1 to 8).map(bpeRoundSql).mkString(",\n")}
+        |${(1 to 8).map(n => bpeRoundSql(n)).mkString(",\n")}
         |${(1 to 8).map(n =>
           s"SELECT 'merge' AS kind, CAST($n AS BIGINT) AS merge_rank, l AS l_sym, r AS r_sym, l || r AS token, c AS freq FROM t$n")
           .mkString("", "\nUNION ALL\n", "\nUNION ALL\n")}
@@ -329,6 +332,46 @@ object TrainingData {
       (s, dir) =>
         TextStats.bpeTrain(Tables.documents(s, dir), numMerges = 8)
           .orderBy(col("kind"), col("merge_rank"), col("token"))
+    },
+
+    // Train-then-encode: tokenize every document with the merges the corpus
+    // itself learns (8 rounds, as t_bpe_merges). The oracle re-learns the
+    // identical merge sequence (same unrolled rounds, now carrying the
+    // original word) and reproduces the per-doc token/char totals exactly —
+    // all-integer arithmetic until the final rounded compression ratio.
+    QuerySpec.sql("t_bpe_encode",
+      s"""WITH dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE length(w) > 0 GROUP BY doc_id, w),
+        |words AS (SELECT w, CAST(sum(k) AS BIGINT) AS cnt FROM dw GROUP BY w),
+        |w0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS str, cnt FROM words),
+        |${(1 to 8).map(n => bpeRoundSql(n, "w, ")).mkString(",\n")},
+        |enc AS (SELECT w, CAST(len(string_split(trim(str), '  ')) AS BIGINT) AS wtoks FROM w8)
+        |SELECT doc_id, CAST(sum(k * wtoks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(k * length(w)) AS BIGINT) AS n_chars,
+        |       round(sum(k * length(w)) * 1.0 / sum(k * wtoks), 4) AS chars_per_token
+        |FROM dw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        TextStats.bpeEncode(Tables.documents(s, dir), numMerges = 8)
+          .orderBy(col("doc_id"))
+    },
+
+    // Windowed co-occurrence (word2vec/GloVe preprocessing): unordered token
+    // pairs within 3 positions, counted corpus-wide, top 50. The pair
+    // relation is generated inside one nested array transform per doc —
+    // never a positions self-join.
+    QuerySpec.sql("t_window_cooc",
+      """WITH sp AS (SELECT string_split(text, ' ') AS t FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM sp),
+        |pairs AS (SELECT least(t[i], t[i+d]) AS w1, greatest(t[i], t[i+d]) AS w2
+        |          FROM pos CROSS JOIN (VALUES (1), (2), (3)) o(d)
+        |          WHERE i + d <= len(t))
+        |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2
+        |ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 50""") {
+      (s, dir) =>
+        TextStats.windowCooc(Tables.documents(s, dir), window = 3, topK = 50)
+          .orderBy(col("cnt").desc, col("w1"), col("w2"))
     },
 
     // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).
@@ -606,6 +649,30 @@ object TrainingData {
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "lang", 0.5, maxDf = 20)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Asymmetric containment over the same shingle universe: a short doc
+    // quoted inside a long one is invisible to symmetric Jaccard
+    // (|A|/|B| ≈ 0) but scores containment ≈ 1. Both directions emitted;
+    // a pair survives when either clears the threshold.
+    QuerySpec.sql("dd_containment",
+      """WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(n_inter * 1.0 / sa.n, 4) AS c_a_in_b,
+        |       round(n_inter * 1.0 / sb.n, 4) AS c_b_in_a
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(n_inter * 1.0 / sa.n, 4) >= 0.6 OR round(n_inter * 1.0 / sb.n, 4) >= 0.6
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.containmentPairs(Tables.documents(s, dir), "lang", 0.6)
           .orderBy(col("doc_a"), col("doc_b"))
     },
 

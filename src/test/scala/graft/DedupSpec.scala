@@ -142,6 +142,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(pairs((0L, 2L)) - 5.0 / 9.0) < 1e-12)
   }
 
+  test("containmentPairs scores quote-inclusion pairs jaccard misses") {
+    // Doc 10's full text appears inside doc 11: every one of 10's shingles
+    // is in 11, so c_a_in_b = 1.0 while Jaccard = 2/(2+6-2) = 1/3 — below
+    // any useful symmetric threshold.
+    val quoted = Seq(
+      (10L, "p q r s"),                  // shingles: "p q r", "q r s"
+      (11L, "p q r s t u v w"),          // 6 shingles, superset of 10's
+      (12L, "totally unrelated words here now")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Dedup.containmentPairs(quoted, "lang", threshold = 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set((10L, 11L)))
+    assert(out((10L, 11L)) === ((1.0, 0.3333)))
+    // And jaccard at the same threshold indeed misses it:
+    val j = Dedup.ngramJaccardPairs(quoted, "lang", threshold = 0.6).collect()
+    assert(j.isEmpty)
+  }
+
   test("ngramJaccardPairs maxDf drops hot shingles from the whole universe") {
     // "a b c" appears in all six docs (df 6); every other shingle is rare.
     val hot = Seq(

@@ -89,6 +89,44 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(toks === Map("low" -> 3L, "lower" -> 2L))
   }
 
+  test("windowCooc counts unordered pairs within the window, no self-pairs") {
+    val docs = Seq(
+      (0L, "a b c d"),   // window 3 covers every pair: ab ac ad bc bd cd
+      (1L, "b a"),       // canonicalized to (a,b)
+      (2L, "z")          // single token: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.windowCooc(docs, window = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("a", "d") -> 1L,
+      ("b", "c") -> 1L, ("b", "d") -> 1L, ("c", "d") -> 1L))
+  }
+
+  test("windowCooc respects the window bound") {
+    val docs = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.windowCooc(docs, window = 1, topK = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // window 1: only adjacent pairs
+    assert(out === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L))
+  }
+
+  test("bpeEncode tokenizes each doc with the corpus-learned merges") {
+    // Corpus word freqs low:3 lower:2 lox:1. Hand-traced rounds: (l,o)=6,
+    // (lo,w)=5, (e,r)=2 (tie with (low,e), 'e' asc wins), (low,er)=2 — so at
+    // numMerges=4, low->1 token, lower->1 token, and "lox" only partially
+    // merges: [lo, x] = 2 tokens (round 5 WOULD merge (lo,x); stop before).
+    val docs = Seq(
+      (0L, "low low lower"),       // 3 words -> 3 tokens, 11 chars
+      (1L, "low lower lox")        // low=1, lower=1, lox=2 -> 4 tokens, 11 chars
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.bpeEncode(docs, numMerges = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Double]("chars_per_token"))).toMap
+    assert(out(0L) === ((3L, 11L, 3.6667)))
+    assert(out(1L) === ((4L, 11L, 2.75)))
+  }
+
   test("bpeTrain merge pass is left-to-right non-overlapping (aaa -> [aa, a])") {
     val docs = Seq((0L, "aaa")).toDF("doc_id", "text")
     val out = graft.ops.TextStats.bpeTrain(docs, numMerges = 1).collect()
