@@ -287,7 +287,41 @@ object ScaleProbe {
           time(s"$tag/semantic_dedup")(
             EmbeddingSim.semanticDedup(vecs,
               numCentroids = 8 * math.max(1, tag.takeWhile(_.isDigit).toInt), iters = 2,
-              threshold = 0.45).count())))
+              threshold = 0.45).count())),
+        // BPE train+encode: the corpus passes are the (doc, word) count and
+        // the final word-key join; the merge fixpoint runs on the vocab
+        // (replication grows word COUNTS, and the marker jitter adds only
+        // n distinct "r<i>" words — vocab stays ~flat by design)
+        "bpe_encode" -> (() =>
+          time(s"$tag/bpe_encode")(
+            graft.ops.TextStats.bpeEncode(docs, numMerges = 8)
+              .filter(col("n_tokens") >= 0).count())),
+        // hashed-feature linear quality model: explode + two hash-aggs + a
+        // broadcast-sized weight join — should be ~linear
+        "quality_model" -> (() =>
+          time(s"$tag/quality_model")(
+            graft.ops.TextStats.qualityModelScore(docs)
+              .filter(col("raw_score").isNotNull).count())),
+        // decontamination against a doc_id%97 benchmark sliver (the sliver
+        // replicates WITH the corpus — harsher than a fixed bench set)
+        "decontaminated" -> (() =>
+          time(s"$tag/decontaminated")(
+            graft.ops.Curation.decontaminated(docs,
+              docs.filter(col("doc_id") % 97 === 0),
+              minShared = 3, excludeSameId = true).count())),
+        // windowed co-occurrence: tokens × window pair explode + one
+        // map-side-combining count; TakeOrdered(50) — never a full sort
+        "window_cooc" -> (() =>
+          time(s"$tag/window_cooc")(
+            graft.ops.TextStats.windowCooc(docs, window = 3, topK = 50)
+              .count())),
+        // containment (capped): same posting-list self-join economics as
+        // ngram_jaccard_capped — maxDf bounds the intermediate at df²/2
+        // per shingle, which replica groups of N would otherwise square
+        "containment_capped" -> (() =>
+          time(s"$tag/containment_capped")(
+            Dedup.containmentPairs(docs, "lang", threshold = 0.6, maxDf = 64)
+              .count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }
