@@ -118,6 +118,10 @@ object ScaleProbe {
     val mixWeights = Map("en" -> 4.0, "de" -> 2.0, "es" -> 2.0,
       "fr" -> 1.0, "zh" -> 1.0)
 
+    // Replica-0 doc ids end here — the fixed-benchmark decontamination
+    // probe filters its bench set to the 1x sliver by id.
+    val docBase = docs1.count()
+
     def suite(tag: String, docs: DataFrame, vecs: DataFrame, ev: DataFrame,
               keep: Seq[DataFrame]) = {
       val obs = Parse.eventsAsObservations(ev)
@@ -288,6 +292,15 @@ object ScaleProbe {
             EmbeddingSim.semanticDedup(vecs,
               numCentroids = 8 * math.max(1, tag.takeWhile(_.isDigit).toInt), iters = 2,
               threshold = 0.45).count())),
+        // the sampled-training scale configuration: centroids learned on a
+        // 10% hash-sample, full corpus only pays the single assignment pass
+        // (each Lloyd round is n·k·d; with k ∝ corpus that's the dominant
+        // quadratic term — see semanticDedup's trainSample scaladoc)
+        "semantic_dedup_sampled" -> (() =>
+          time(s"$tag/semantic_dedup_sampled")(
+            EmbeddingSim.semanticDedup(vecs,
+              numCentroids = 8 * math.max(1, tag.takeWhile(_.isDigit).toInt), iters = 2,
+              threshold = 0.45, trainSample = 0.1).count())),
         // BPE train+encode: the corpus passes are the (doc, word) count and
         // the final word-key join; the merge fixpoint runs on the vocab
         // (replication grows word COUNTS, and the marker jitter adds only
@@ -302,12 +315,21 @@ object ScaleProbe {
           time(s"$tag/quality_model")(
             graft.ops.TextStats.qualityModelScore(docs)
               .filter(col("raw_score").isNotNull).count())),
-        // decontamination against a doc_id%97 benchmark sliver (the sliver
-        // replicates WITH the corpus — harsher than a fixed bench set)
+        // decontamination against a doc_id%97 benchmark sliver that
+        // replicates WITH the corpus — both join sides grow N×, so work
+        // grows ~N²: a stress shape, NOT the deployment shape
         "decontaminated" -> (() =>
           time(s"$tag/decontaminated")(
             graft.ops.Curation.decontaminated(docs,
               docs.filter(col("doc_id") % 97 === 0),
+              minShared = 3, excludeSameId = true).count())),
+        // the deployment shape: benchmark set FIXED at the 1x sliver
+        // (replica-0 ids only) while the corpus grows N× — this is the
+        // ratio a real pipeline sees (benchmarks don't grow with the crawl)
+        "decontaminated_fixed" -> (() =>
+          time(s"$tag/decontaminated_fixed")(
+            graft.ops.Curation.decontaminated(docs,
+              docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < docBase),
               minShared = 3, excludeSameId = true).count())),
         // windowed co-occurrence: tokens × window pair explode + one
         // map-side-combining count; TakeOrdered(50) — never a full sort

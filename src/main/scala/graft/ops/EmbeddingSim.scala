@@ -143,7 +143,12 @@ object EmbeddingSim {
     * Returns (cid, cq: array<bigint>, cn2) — the shape [[ivfTopK]] accepts. */
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val corpus = prepared(vectors).persist()
-    var cents = corpus.filter(col("vec_id") < k)
+    // k LOWEST ids via TakeOrdered — NOT `vec_id < k`, which silently
+    // under-seeds any input whose ids aren't dense from 0 (e.g. the
+    // semanticDedup trainSample subsets). Identical seeds (and thus
+    // identical trained centroids) on dense-id corpora, so the unrolled
+    // oracles are unaffected.
+    var cents = corpus.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     for (_ <- 0 until iters) {
       // argmin via min_by over (d2, cid) — identical tie-break to a
@@ -267,11 +272,25 @@ object EmbeddingSim {
     * drop set is an aggregate over qualifying pairs (one row per dropped
     * vector), so nothing corpus-squared survives the join.
     *
-    * Output: (vec_id, cid, is_kept 0/1) for every input vector. */
+    * `trainSample` < 1.0 is the scale knob for the OTHER cost center: each
+    * Lloyd round is an n·k·d broadcast nested loop, and with k grown ∝ n
+    * (constant cell population) training alone is quadratic in the corpus.
+    * The standard remedy — train centroids on a deterministic subsample,
+    * assign everything — keeps only the single unavoidable full-corpus
+    * assignment pass at n·k·d (SemDeDup itself trains on a GPU for the
+    * same reason). The sample is the [[Sampling.hashKey]] md5 filter on
+    * vec_id, so a sampled configuration stays engine-portable (an oracle
+    * adds the same hash predicate to its training CTEs). The oracle
+    * configuration (`dd_semantic`) trains on the full corpus. */
   def semanticDedup(vectors: DataFrame, numCentroids: Int = 8, iters: Int = 2,
-                    threshold: Double = 0.45): DataFrame = {
+                    threshold: Double = 0.45,
+                    trainSample: Double = 1.0): DataFrame = {
     val corpus = prepared(vectors)
-    val cents = broadcast(kmeansCentroids(vectors, numCentroids, iters))
+    val trainSet =
+      if (trainSample >= 1.0) vectors
+      else vectors.filter(Sampling.hashKey(col("vec_id")) <
+        lit((trainSample * 4294967296.0).toLong))
+    val cents = broadcast(kmeansCentroids(trainSet, numCentroids, iters))
     val cells = corpus.crossJoin(cents)
       .withColumn("d2",
         col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))

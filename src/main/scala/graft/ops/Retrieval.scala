@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked boolean retrieval over a distributed inverted index — the
+  * "find the documents matching this term set" primitive a curation
+  * pipeline uses for targeted corpus audits (all docs mentioning a
+  * benchmark name, a PII keyword, a contamination marker…).
+  *
+  * The reference system has no retrieval surface (its queries are keyed
+  * weather lookups); this is a beyond-reference operator in the same
+  * family as [[TextStats.topTermsPerGroup]].
+  */
+object Retrieval {
+
+  /** AND-semantics top-k retrieval: for each (query_id, terms) query,
+    * the k documents containing EVERY query term, ranked by total term
+    * frequency (ties → doc_id asc). All-integer scoring, so both engines
+    * agree exactly.
+    *
+    * Scale shape (100 TB): the corpus-sized work is one tokenize-explode
+    * into per-(doc, term) frequencies — built once for ALL queries — then
+    * a broadcast join against the tiny query-term relation prunes it to
+    * candidate postings immediately (docs containing ≥ 1 query term).
+    * The AND filter is an integer count match per (query, doc), and the
+    * per-query rank window partitions by query_id over a relation already
+    * bounded by the most selective query's posting union — the standard
+    * top-k-pushdown shape. Queries are an API input (a driver-side
+    * fixture, like sampling weights), never a corpus-derived relation. */
+  def booleanRetrieval(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                       k: Int = 10, textCol: String = "text"): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "term")
+    val qs = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "n_terms")
+    val tf = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cand = tf.join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("matched"), sum(col("tf")).as("tf_total"))
+      .join(broadcast(qs), "query_id")
+      .filter(col("matched") === col("n_terms"))
+    cand
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("tf_total").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("tf_total"))
+  }
+}

@@ -233,6 +233,38 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Collocation mining: rank windowed co-occurrence pairs by association
+    * lift — cnt(a,b)·N / (cnt(a)·cnt(b)), the exact rank order of PMI
+    * (log is monotone) WITHOUT computing a log, so both engines agree
+    * bit-for-bit. The score ships as `lift_scaled` = the ×10⁶ integer
+    * quotient under INTEGER division — no floating point anywhere, because
+    * ln() differs in the last ulp across math libraries and a rank
+    * boundary can't be allowed to depend on that. (The ×10⁶ numerator
+    * needs cnt·N·10⁶ < 2⁶³ — fine for any corpus whose pair counts fit a
+    * partition's aggregate; for truly astronomical corpora scale the
+    * constant down.)
+    *
+    * Scale shape: [[windowCooc]]'s tokens × window explode + one
+    * map-side-combinable pair count, a vocab-sized unigram aggregate
+    * joined on each side, and a 1-row broadcast total. TakeOrdered topK. */
+  def collocations(docs: DataFrame, window: Int = 3, minCount: Long = 5,
+                   topK: Int = 50, textCol: String = "text"): DataFrame = {
+    val pairCounts = windowCooc(docs, window, topK = 0, textCol)
+    val toks = docs.select(explode(tokens(col(textCol))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    pairCounts.filter(col("cnt") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cnt"),
+        expr("(cnt * n_total * CAST(1000000 AS BIGINT)) DIV (c1 * c2)")
+          .as("lift_scaled"))
+      .orderBy(col("lift_scaled").desc, col("cnt").desc,
+        col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Per-document token statistics: token count, distinct count, uniqueness
     * ratio, mean token length. One narrow projection — no shuffle. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

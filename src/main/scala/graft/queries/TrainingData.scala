@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Dedup, EmbeddingSim, Packing, Sampling, TextStats}
+import graft.ops.{Curation, Dedup, EmbeddingSim, Packing, Retrieval, Sampling, TextStats}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (the beyond-reference capability set: dedup family, similarity search,
@@ -36,6 +36,22 @@ object TrainingData {
     * bit-identical across engines. */
   private val SampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 0.4, "es" -> 0.3, "fr" -> 0.2, "zh" -> 0.1)
+
+  /** Retrieval fixture for `t_boolean_retrieval` (an API input like the
+    * sampling weights — terms drawn from the corpus vocabulary; query 4's
+    * single rare term exercises the selective-posting path, query 2's
+    * 3-term AND the conjunctive filter). Rendered into the oracle VALUES
+    * so the two sides can never drift. */
+  private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("hash", "join")),
+    (2L, Seq("sort", "merge", "join")),
+    (3L, Seq("stream", "window")),
+    (4L, Seq("dup")))
+
+  private def retrievalSqlValues: String =
+    RetrievalQueries.map { case (q, ts) =>
+      s"(CAST($q AS BIGINT), [${ts.map(t => s"'$t'").mkString(", ")}])"
+    }.mkString(", ")
 
   /** PII-bearing fixture rows union'd into the redaction query input: the
     * generated corpus contains no PII-shaped text (an oracle over it alone
@@ -372,6 +388,59 @@ object TrainingData {
       (s, dir) =>
         TextStats.windowCooc(Tables.documents(s, dir), window = 3, topK = 50)
           .orderBy(col("cnt").desc, col("w1"), col("w2"))
+    },
+
+    // Collocation mining: co-occurrence pairs ranked by association lift
+    // (rank-equivalent to PMI) as a ×10⁶ integer quotient under INTEGER
+    // division — zero floats, so no ln()-ulp divergence can move a rank
+    // boundary between engines.
+    QuerySpec.sql("t_collocations",
+      """WITH sp AS (SELECT string_split(text, ' ') AS t FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM sp),
+        |pairs AS (SELECT least(t[i], t[i+d]) AS w1, greatest(t[i], t[i+d]) AS w2
+        |          FROM pos CROSS JOIN (VALUES (1), (2), (3)) o(d)
+        |          WHERE i + d <= len(t)),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+        |SELECT w1, w2, cnt,
+        |       (cnt * n_total * CAST(1000000 AS BIGINT)) // (u1.c * u2.c) AS lift_scaled
+        |FROM pc JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2 CROSS JOIN tot
+        |WHERE cnt >= 5
+        |ORDER BY lift_scaled DESC, cnt DESC, w1 ASC, w2 ASC LIMIT 50""") {
+      (s, dir) =>
+        TextStats.collocations(Tables.documents(s, dir),
+            window = 3, minCount = 5, topK = 50)
+          .orderBy(col("lift_scaled").desc, col("cnt").desc, col("w1"), col("w2"))
+    },
+
+    // AND-semantics ranked retrieval over the distributed inverted index:
+    // per fixture query, the top-10 docs containing EVERY term, ranked by
+    // total term frequency (ties -> doc_id). All-integer scoring.
+    QuerySpec.sql("t_boolean_retrieval",
+      s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+        |qs AS (SELECT query_id, len(terms) AS n_terms FROM q),
+        |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT query_id, doc_id, count(*) AS matched, CAST(sum(tf) AS BIGINT) AS tf_total
+        |         FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+        |sel AS (SELECT query_id, doc_id, tf_total
+        |        FROM cand JOIN qs USING (query_id) WHERE matched = n_terms)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY tf_total DESC, doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, tf_total
+        |FROM sel
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY tf_total DESC, doc_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        Retrieval.booleanRetrieval(Tables.documents(s, dir),
+            RetrievalQueries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
     },
 
     // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).

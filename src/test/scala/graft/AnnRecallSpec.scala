@@ -166,5 +166,18 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(kept === Set(0L, 3L, 6L, 9L),
       s"expected one min-id survivor per identical group, got $kept")
+
+    // Sampled-training scale path: centroids learned on a hash-subsample of
+    // the ids (so the seed set is NOT dense from 0 — exercises the
+    // TakeOrdered seeding), assignment still over everything. Identical
+    // vectors still share a cell under ANY centroid set, so the survivor
+    // contract is unchanged.
+    val sampled = EmbeddingSim.semanticDedup(vecs, numCentroids = 2, iters = 2,
+      threshold = 0.9, trainSample = 0.5).collect()
+    assert(sampled.length === 12, "one row per input vector (sampled training)")
+    val keptS = sampled.filter(_.getAs[Long]("is_kept") == 1L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(keptS === Set(0L, 3L, 6L, 9L),
+      s"sampled training must keep the same min-id survivors, got $keptS")
   }
 }

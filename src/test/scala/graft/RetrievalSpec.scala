@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Retrieval
+
+class RetrievalSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "x y x y"),       // x:2 y:2
+    (1L, "x z q q"),       // x:1 z:1 q:2
+    (2L, "y z"),           // y:1 z:1
+    (3L, "x y")            // x:1 y:1 — ties doc 2's total for query 1? no: matches both
+  ).toDF("doc_id", "text")
+
+  private def run(qs: Seq[(Long, Seq[String])], k: Int = 10) =
+    Retrieval.booleanRetrieval(docs, qs, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("AND semantics: only docs containing every term match, ranked by tf") {
+    val out = run(Seq((1L, Seq("x", "y"))))
+    // docs 0 (tf 4) and 3 (tf 2) contain both; 1 and 2 contain only one
+    assert(out === Map((1L, 1L) -> (0L, 4L), (1L, 2L) -> (3L, 2L)))
+  }
+
+  test("ties rank by doc_id; k truncates; empty result for impossible query") {
+    // "z" alone: docs 1 and 2 each tf 1 -> tie -> doc_id order
+    val out = run(Seq((1L, Seq("z")), (2L, Seq("x", "y", "z"))), k = 1)
+    assert(out === Map((1L, 1L) -> (1L, 1L)))   // doc 2 cut by k=1
+    assert(!out.keys.exists(_._1 == 2L))        // no doc has all three
+  }
+
+  test("duplicate terms in a query collapse (AND over the distinct set)") {
+    val out = run(Seq((1L, Seq("q", "q"))))
+    assert(out === Map((1L, 1L) -> (1L, 2L)))
+  }
+}

@@ -110,6 +110,15 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L))
   }
 
+  test("collocations ranks by integer-scaled lift, PMI rank order") {
+    val docs = Seq((0L, "a b a b"), (1L, "c d")).toDF("doc_id", "text")
+    // window 1: (a,b)=3, (c,d)=1. unigrams a:2 b:2 c:1 d:1, N=6.
+    // lift(a,b) = 3*6*1e6 / 4 = 4_500_000; lift(c,d) = 1*6*1e6 / 1 = 6_000_000
+    val out = graft.ops.TextStats.collocations(docs, window = 1, minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("c", "d", 1L, 6000000L), ("a", "b", 3L, 4500000L)))
+  }
+
   test("bpeEncode tokenizes each doc with the corpus-learned merges") {
     // Corpus word freqs low:3 lower:2 lox:1. Hand-traced rounds: (l,o)=6,
     // (lo,w)=5, (e,r)=2 (tie with (low,e), 'e' asc wins), (low,er)=2 — so at
