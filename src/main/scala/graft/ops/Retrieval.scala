@@ -53,4 +53,44 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("tf_total"))
   }
+
+  /** Exact-phrase top-k search: for each (query_id, phrase) the k documents
+    * containing the phrase as a CONSECUTIVE token run, ranked by occurrence
+    * count (ties → doc_id asc). Zero-match docs emit nothing; an impossible
+    * phrase returns no rows.
+    *
+    * No positional-index self-join: phrases broadcast (they're an API
+    * fixture), and per (doc, phrase) the occurrence count is ONE nested
+    * codegen'd array expression — count positions i where every phrase
+    * term matches tokens[i+j−1]. The corpus is touched in a single narrow
+    * pass of corpus × |phrases| rows; the only shuffle is the per-query
+    * rank window over the already-match-filtered candidates. The token
+    * array is materialized into a column before the lambdas (the
+    * [[TextStats.windowCooc]] lambda-CSE lesson: codegen does not CSE an
+    * inlined split across lambda boundaries). */
+  def phraseSearch(docs: DataFrame, phrases: Seq[(Long, Seq[String])],
+                   k: Int = 10, textCol: String = "text"): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val q = phrases.toDF("query_id", "terms")
+    val t = col("__t")
+    val m = size(col("terms"))
+    val matches = docs
+      .select(col("doc_id"), TextStats.tokens(col(textCol)).as("__t"))
+      .crossJoin(broadcast(q))
+      .filter(size(t) >= m)
+      .select(col("query_id"), col("doc_id"),
+        size(filter(sequence(lit(1), size(t) - m + 1),
+          i => forall(sequence(lit(1), m),
+            j => element_at(t, i + j - 1) === element_at(col("terms"), j))))
+          .cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+    matches
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("n_matches").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_matches"))
+  }
 }

@@ -265,6 +265,52 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Top-p vocabulary coverage — the tokenizer-sizing question "how many
+    * vocabulary entries cover `coveragePct`% of the token mass?": every
+    * word whose EXCLUSIVE frequency-order prefix is still below the
+    * coverage target, with its rank and inclusive cumulative count. The
+    * keep rule is pure integer cross-multiplication
+    * ((cum − c)·100 < pct·N), so both engines agree exactly.
+    *
+    * The corpus-wide prefix sum in (count desc, word asc) order does NOT
+    * use a global single-partition window: the vocab relation is bucketed
+    * by ⌊log₂(count)⌋ — deterministic, and order-PRESERVING because every
+    * count in bucket b exceeds every count in bucket b+1 — giving the same
+    * two-level shape as [[graft.ops.Packing.packSequences]]'s prefix sum
+    * (≤ 64 bucket subtotals in a broadcast window, per-bucket windows for
+    * the rest). Buckets only affect the Spark plan, never the output, so
+    * the fp log2 needs no cross-engine story. Zipf skew note: the c = 1
+    * singleton bucket holds the largest vocab share, so the widest
+    * per-bucket sort is the long tail — bounded by distinct-singleton
+    * count, and far below the corpus the un-bucketed window would sort. */
+  def vocabCoverage(docs: DataFrame, coveragePct: Int = 95,
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bucketed = uni.withColumn("__bucket", lit(63L) - floor(log2(col("c"))).cast("long"))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("c")).as("__bsum"), count(lit(1)).as("__bcnt"))
+      .withColumn("__soff",
+        coalesce(sum(col("__bsum")).over(Window.orderBy(col("__bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__coff",
+        coalesce(sum(col("__bcnt")).over(Window.orderBy(col("__bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__soff"), col("__coff"))
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("c").desc, col("w").asc)
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn("rank", (col("__coff") + row_number().over(wIn)).cast("long"))
+      .withColumn("cum", col("__soff") +
+        sum(col("c")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .filter((col("cum") - col("c")) * lit(100L) <
+        lit(coveragePct.toLong) * col("n_total"))
+      .select(col("rank"), col("w"), col("c"), col("cum"))
+  }
+
   /** Per-document token statistics: token count, distinct count, uniqueness
     * ratio, mean token length. One narrow projection — no shuffle. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

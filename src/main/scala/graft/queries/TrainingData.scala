@@ -48,10 +48,23 @@ object TrainingData {
     (3L, Seq("stream", "window")),
     (4L, Seq("dup")))
 
-  private def retrievalSqlValues: String =
-    RetrievalQueries.map { case (q, ts) =>
+  private def termQuerySqlValues(qs: Seq[(Long, Seq[String])]): String =
+    qs.map { case (q, ts) =>
       s"(CAST($q AS BIGINT), [${ts.map(t => s"'$t'").mkString(", ")}])"
     }.mkString(", ")
+
+  private def retrievalSqlValues: String = termQuerySqlValues(RetrievalQueries)
+
+  /** Phrase fixture for `t_phrase_search`: consecutive-run queries over the
+    * corpus vocabulary (bigrams that occur by construction, one trigram,
+    * and a vocabulary-miss phrase that must return zero rows). */
+  private val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("table", "hash")),
+    (2L, Seq("part", "filter")),
+    (3L, Seq("query", "big", "query")),
+    (4L, Seq("warp", "drive")))
+
+  private def phraseSqlValues: String = termQuerySqlValues(PhraseQueries)
 
   /** PII-bearing fixture rows union'd into the redaction query input: the
     * generated corpus contains no PII-shaped text (an oracle over it alone
@@ -441,6 +454,49 @@ object TrainingData {
         Retrieval.booleanRetrieval(Tables.documents(s, dir),
             RetrievalQueries, k = 10)
           .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Exact-phrase top-k: consecutive token-run matches counted per doc by
+    // one nested array expression (no positional-index self-join); the
+    // vocabulary-miss phrase (query 4) must contribute zero rows.
+    QuerySpec.sql("t_phrase_search",
+      s"""WITH q(query_id, terms) AS (VALUES $phraseSqlValues),
+        |sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT query_id, doc_id,
+        |        CAST(len(list_filter(range(1, len(t) - len(terms) + 2),
+        |          i -> len(list_filter(range(1, len(terms) + 1),
+        |                 j -> t[i+j-1] = terms[j])) = len(terms))) AS BIGINT) AS n_matches
+        |      FROM sp CROSS JOIN q
+        |      WHERE len(t) >= len(terms))
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, n_matches
+        |FROM (SELECT * FROM m WHERE n_matches > 0)
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        Retrieval.phraseSearch(Tables.documents(s, dir), PhraseQueries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Top-p vocabulary coverage (tokenizer sizing): words whose exclusive
+    // frequency-order prefix is below 95% of token mass — integer
+    // cross-multiplied keep rule; the oracle's single global window is the
+    // plan the two-level bucketed operator avoids.
+    QuerySpec.sql("t_vocab_coverage",
+      """WITH uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |             GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |r AS (SELECT w, c,
+        |        CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rank,
+        |        CAST(sum(c) OVER (ORDER BY c DESC, w ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM uni)
+        |SELECT rank, w, c, cum FROM r CROSS JOIN tot
+        |WHERE (cum - c) * 100 < 95 * n ORDER BY rank""") {
+      (s, dir) =>
+        TextStats.vocabCoverage(Tables.documents(s, dir), coveragePct = 95)
+          .orderBy(col("rank"))
     },
 
     // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).

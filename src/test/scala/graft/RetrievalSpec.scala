@@ -37,4 +37,35 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     val out = run(Seq((1L, Seq("q", "q"))))
     assert(out === Map((1L, 1L) -> (1L, 2L)))
   }
+
+  private val phraseDocs = Seq(
+    (0L, "a b a b a"),
+    (1L, "b a b"),
+    (2L, "c c c c")
+  ).toDF("doc_id", "text")
+
+  private def runPhrase(qs: Seq[(Long, Seq[String])], k: Int = 10) =
+    Retrieval.phraseSearch(phraseDocs, qs, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("phraseSearch counts consecutive runs, ranked by occurrences") {
+    val out = runPhrase(Seq((1L, Seq("a", "b"))))
+    // doc 0: positions 1 and 3 -> 2; doc 1: position 2 -> 1
+    assert(out === Map((1L, 1L) -> (0L, 2L), (1L, 2L) -> (1L, 1L)))
+  }
+
+  test("phraseSearch counts overlapping occurrences at every start position") {
+    val out = runPhrase(Seq((1L, Seq("c", "c"))))
+    assert(out === Map((1L, 1L) -> (2L, 3L)))   // c c c c -> starts 1,2,3
+  }
+
+  test("phraseSearch: order matters, misses return nothing, k truncates") {
+    val aba = runPhrase(Seq((1L, Seq("a", "b", "a"))))
+    assert(aba === Map((1L, 1L) -> (0L, 2L)))   // only doc 0; "b a b" lacks it
+    assert(runPhrase(Seq((2L, Seq("z")))).isEmpty)
+    val cut = runPhrase(Seq((3L, Seq("a", "b"))), k = 1)
+    assert(cut === Map((3L, 1L) -> (0L, 2L)))   // doc 1 cut by k=1
+  }
 }

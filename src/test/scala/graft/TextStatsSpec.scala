@@ -119,6 +119,18 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq === Seq(("c", "d", 1L, 6000000L), ("a", "b", 3L, 4500000L)))
   }
 
+  test("vocabCoverage keeps the exclusive-prefix words below the target") {
+    val docs = Seq((0L, "a a a a a b b b c d")).toDF("doc_id", "text")
+    // counts a:5 b:3 c:1 d:1, N=10; keep while (cum-c)*100 < pct*N
+    val at95 = graft.ops.TextStats.vocabCoverage(docs, coveragePct = 95)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(at95.sortBy(_._1).toSeq === Seq(
+      (1L, "a", 5L, 5L), (2L, "b", 3L, 8L), (3L, "c", 1L, 9L), (4L, "d", 1L, 10L)))
+    val at80 = graft.ops.TextStats.vocabCoverage(docs, coveragePct = 80)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(at80.toSeq === Seq((1L, "a"), (2L, "b"))) // c's prefix hits exactly 80%
+  }
+
   test("bpeEncode tokenizes each doc with the corpus-learned merges") {
     // Corpus word freqs low:3 lower:2 lox:1. Hand-traced rounds: (l,o)=6,
     // (lo,w)=5, (e,r)=2 (tie with (low,e), 'e' asc wins), (low,er)=2 — so at
