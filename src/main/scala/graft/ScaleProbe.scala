@@ -343,6 +343,30 @@ object ScaleProbe {
         "containment_capped" -> (() =>
           time(s"$tag/containment_capped")(
             Dedup.containmentPairs(docs, "lang", threshold = 0.6, maxDf = 64)
+              .count())),
+        // collocations: windowCooc pair counts + vocab-sized unigram joins
+        "collocations" -> (() =>
+          time(s"$tag/collocations")(
+            graft.ops.TextStats.collocations(docs, window = 3, minCount = 5,
+              topK = 50).count())),
+        // boolean retrieval: one corpus tokenize + broadcast query pruning
+        "boolean_retrieval" -> (() =>
+          time(s"$tag/boolean_retrieval")(
+            graft.ops.Retrieval.booleanRetrieval(docs, Seq(
+              (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
+              (3L, Seq("stream", "window")), (4L, Seq("dup"))), k = 10)
+              .count())),
+        // phrase search: corpus × |phrases| narrow scan, no index join
+        "phrase_search" -> (() =>
+          time(s"$tag/phrase_search")(
+            graft.ops.Retrieval.phraseSearch(docs, Seq(
+              (1L, Seq("table", "hash")), (2L, Seq("part", "filter")),
+              (3L, Seq("query", "big", "query")), (4L, Seq("warp", "drive"))),
+              k = 10).count())),
+        // vocab coverage: two-level log2-bucket prefix sum over the vocab
+        "vocab_coverage" -> (() =>
+          time(s"$tag/vocab_coverage")(
+            graft.ops.TextStats.vocabCoverage(docs, coveragePct = 95)
               .count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }

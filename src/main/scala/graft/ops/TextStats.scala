@@ -311,6 +311,27 @@ object TextStats {
       .select(col("rank"), col("w"), col("c"), col("cum"))
   }
 
+  /** Corpus datasheet: the per-(lang, source) composition numbers a
+    * dataset card publishes — document/token/character counts and each
+    * stratum's parts-per-million share of the token mass (integer `DIV`,
+    * exact in both engines). One map-side-combinable aggregate over a
+    * narrow projection plus a 1-row broadcast total; output bounded by
+    * |lang| × |source|. */
+  def corpusDatasheet(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val grouped = docs
+      .select(col("lang"), col("source"),
+        size(tokens(col(textCol))).cast("long").as("__nt"),
+        length(regexp_replace(col(textCol), " ", "")).cast("long").as("__nc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"))
+    val total = grouped.agg(sum(col("n_tokens")).as("__tot"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        expr("(n_tokens * CAST(1000000 AS BIGINT)) DIV __tot").as("share_ppm"))
+  }
+
   /** Per-document token statistics: token count, distinct count, uniqueness
     * ratio, mean token length. One narrow projection — no shuffle. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

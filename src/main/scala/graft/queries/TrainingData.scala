@@ -499,6 +499,22 @@ object TrainingData {
           .orderBy(col("rank"))
     },
 
+    // Corpus datasheet: per-(lang, source) composition with integer ppm
+    // token share — the dataset-card aggregation.
+    QuerySpec.sql("t_corpus_datasheet",
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |             CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) AS n_chars
+        |           FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g)
+        |SELECT lang, source, n_docs, n_tokens, n_chars,
+        |       (n_tokens * CAST(1000000 AS BIGINT)) // t AS share_ppm
+        |FROM g CROSS JOIN tot ORDER BY lang, source""") {
+      (s, dir) =>
+        TextStats.corpusDatasheet(Tables.documents(s, dir))
+          .orderBy(col("lang"), col("source"))
+    },
+
     // Rabin-Karp rolling fingerprint (integer-exact fold, both engines).
     QuerySpec.sql("t_rolling_fingerprint",
       """SELECT doc_id,

@@ -131,6 +131,20 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(at80.toSeq === Seq((1L, "a"), (2L, "b"))) // c's prefix hits exactly 80%
   }
 
+  test("corpusDatasheet aggregates per-stratum composition with exact ppm") {
+    val docs = Seq(
+      (0L, "en", "web", "a b c"),       // 3 tokens, 3 chars
+      (1L, "en", "web", "d e"),         // 2 tokens, 2 chars
+      (2L, "de", "book", "f g h i j")   // 5 tokens, 5 chars
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = graft.ops.TextStats.corpusDatasheet(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out === Map(
+      ("en", "web") -> (2L, 5L, 5L, 500000L),   // 5/10 tokens -> 500000 ppm
+      ("de", "book") -> (1L, 5L, 5L, 500000L)))
+  }
+
   test("bpeEncode tokenizes each doc with the corpus-learned merges") {
     // Corpus word freqs low:3 lower:2 lox:1. Hand-traced rounds: (l,o)=6,
     // (lo,w)=5, (e,r)=2 (tie with (low,e), 'e' asc wins), (low,er)=2 — so at
