@@ -146,6 +146,67 @@ object Packing {
           .as("epoch_pos"))
   }
 
+  /** Deterministic curriculum interleave — the mixing SCHEDULE a training
+    * loader consumes: each document gets an integer `priority` ("virtual
+    * time" r·10⁶ DIV weight_ppm for its within-stratum position r), so
+    * sorting by (priority, stratum, stratum_pos) yields a stream whose
+    * every prefix approximates the target stratum mixture (a stratum with
+    * 40% weight contributes ~4 of every 10 consecutive docs) — the
+    * interleaved analogue of [[graft.ops.Sampling.mixToWeights]], which
+    * rebalances COUNTS but says nothing about order. Within-stratum order
+    * is the seeded md5 shuffle of [[epochOrder]], so the schedule is
+    * reproducible, epoch-varying, and engine-portable; priorities are
+    * integer DIV arithmetic throughout. Strata absent from `weights` drop.
+    *
+    * Scale shape: the within-stratum dense rank runs the same two-level
+    * pattern as [[epochOrder]] with the stratum added to every key — the
+    * offset relation grows to |strata|·buckets rows (still broadcast-
+    * sized), per-(stratum, bucket) windows stay corpus/buckets wide, and
+    * no single-partition window exists. The weight lookup is a chained
+    * literal CASE (the map is an API input). */
+  def curriculumInterleave(docs: DataFrame, weights: Map[String, Double],
+                           epoch: Int = 1, stratumCol: String = "lang",
+                           idCol: String = "doc_id"): DataFrame = {
+    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ppm = weightPpm(weights)
+    val wppm = ppm.foldLeft(lit(1L)) { case (acc, (s, p)) =>
+      when(col("stratum") === s, lit(p)).otherwise(acc)
+    }
+    val keyed = docs
+      .filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .select(col(idCol), col(stratumCol).as("stratum"),
+        md5(concat(lit(s"e$epoch:"), col(idCol).cast("string"))).as("__ek"))
+    val bucketed = keyed
+      .withColumn("__hk", conv(substring(col("__ek"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__bucket", expr(s"(__hk * $nBuckets) div 4294967296"))
+      .repartition(nBuckets, col("stratum"), col("__bucket"))
+    val offsets = bucketed.groupBy(col("stratum"), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__poff",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(col("stratum")).orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("__bucket"), col("__poff"))
+    val wIn = Window.partitionBy(col("stratum"), col("__bucket"))
+      .orderBy(col("__ek").asc, col(idCol).asc)
+    bucketed.join(broadcast(offsets), Seq("stratum", "__bucket"))
+      .withColumn("stratum_pos",
+        (col("__poff") + row_number().over(wIn) - 1).cast("long"))
+      .withColumn("__wppm", wppm)
+      .select(col(idCol), col("stratum"), col("stratum_pos"),
+        expr("(stratum_pos * CAST(1000000 AS BIGINT)) DIV __wppm").as("priority"))
+  }
+
+  /** The exact integer ppm rendering of a weight map (shared with oracle
+    * generation so the two sides can never drift): floor(w/Σw · 10⁶),
+    * clamped ≥ 1. */
+  def weightPpm(weights: Map[String, Double]): Map[String, Long] = {
+    val total = weights.values.sum
+    weights.map { case (s, w) =>
+      s -> math.max(1L, (w / total * 1e6).toLong)
+    }
+  }
+
   /** Sliding-window chunking: split each document into fixed-size token
     * windows of `chunkTokens` advancing by `stride` — the standard long-doc
     * treatment for context-window training and retrieval indexing (stride <

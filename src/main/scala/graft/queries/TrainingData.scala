@@ -499,6 +499,29 @@ object TrainingData {
           .orderBy(col("rank"))
     },
 
+    // Curriculum interleave: the deterministic mixing SCHEDULE — integer
+    // "virtual time" priorities such that every prefix of the
+    // (priority, stratum, stratum_pos) order approximates the target
+    // mixture; within-stratum order is the epoch-seeded md5 shuffle.
+    QuerySpec.sql("sample_curriculum",
+      s"""WITH w(stratum, wppm) AS (VALUES ${
+            Packing.weightPpm(MixWeights.toMap).toSeq.sorted
+              .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")}),
+        |k AS (SELECT doc_id, lang AS stratum, md5('e1:' || CAST(doc_id AS VARCHAR)) AS ek
+        |      FROM documents WHERE lang IN (${MixWeights.map(m => s"'${m._1}'").mkString(", ")})),
+        |r AS (SELECT doc_id, stratum,
+        |        CAST(row_number() OVER (PARTITION BY stratum ORDER BY ek ASC, doc_id ASC) - 1 AS BIGINT) AS stratum_pos
+        |      FROM k)
+        |SELECT doc_id, stratum, stratum_pos,
+        |       (stratum_pos * CAST(1000000 AS BIGINT)) // wppm AS priority
+        |FROM r JOIN w USING (stratum)
+        |ORDER BY priority, stratum, stratum_pos""".stripMargin) {
+      (s, dir) =>
+        Packing.curriculumInterleave(Tables.documents(s, dir),
+            MixWeights.toMap, epoch = 1)
+          .orderBy(col("priority"), col("stratum"), col("stratum_pos"))
+    },
+
     // Corpus datasheet: per-(lang, source) composition with integer ppm
     // token share — the dataset-card aggregation.
     QuerySpec.sql("t_corpus_datasheet",

@@ -211,4 +211,42 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
           s"doc $id: non-overlapping chunks must reassemble the text")
       }
   }
+
+  test("curriculumInterleave: dense per-stratum positions, 3:1 schedule") {
+    val mix = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"),
+      (6L, "b"), (7L, "b"), (8L, "zz")   // zz absent from weights -> dropped
+    ).toDF("doc_id", "stratum")
+    val out = graft.ops.Packing.curriculumInterleave(
+        mix, Map("a" -> 3.0, "b" -> 1.0), epoch = 1, stratumCol = "stratum")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 8, "stratum zz must be dropped")
+    // positions are a dense 0..n-1 permutation per stratum
+    assert(out.filter(_._2 == "a").map(_._3).sorted.toSeq === (0L to 5L))
+    assert(out.filter(_._2 == "b").map(_._3).sorted.toSeq === (0L to 1L))
+    // ppm: a=750000, b=250000; priority = pos*1e6 DIV ppm
+    for ((_, s, pos, pr) <- out) {
+      val ppm = if (s == "a") 750000L else 250000L
+      assert(pr === pos * 1000000L / ppm)
+    }
+    // the schedule interleaves ~3 a's per b regardless of which doc landed
+    // on which position: stratum sequence in (priority, stratum, pos) order
+    val sched = out.sortBy(t => (t._4, t._2, t._3)).map(_._2).toSeq
+    assert(sched === Seq("a", "b", "a", "a", "a", "b", "a", "a"))
+  }
+
+  test("curriculumInterleave epochs reshuffle within strata, not the schedule") {
+    val mix = (0L until 40L).map(i => (i, if (i < 30) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    def run(e: Int) = graft.ops.Packing.curriculumInterleave(
+        mix, Map("a" -> 3.0, "b" -> 1.0), epoch = e, stratumCol = "stratum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val e1 = run(1); val e2 = run(2)
+    // same (stratum, pos) slots both epochs…
+    assert(e1.map(t => (t._2, t._3)).sorted.toSeq ===
+      e2.map(t => (t._2, t._3)).sorted.toSeq)
+    // …but documents occupy different slots
+    assert(e1.toSet !== e2.toSet, "epoch must reshuffle the assignment")
+  }
 }
