@@ -367,6 +367,13 @@ object ScaleProbe {
         "vocab_coverage" -> (() =>
           time(s"$tag/vocab_coverage")(
             graft.ops.TextStats.vocabCoverage(docs, coveragePct = 95)
+              .count())),
+        // interval join: (user, time-bin) equi-join + residual — purchases
+        // replicate with the events corpus, so both sides grow N× but the
+        // bin keying keeps pair work at events-per-(user, window-slice)
+        "attribution_window" -> (() =>
+          time(s"$tag/attribution_window")(
+            graft.ops.IntervalJoin.attributionWindow(ev, windowMinutes = 30)
               .count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }

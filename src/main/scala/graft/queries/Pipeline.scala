@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ingest.Parse
-import graft.ops.{AsofJoin, Forecast, Latest, Multimodal, Rollup, Sequences}
+import graft.ops.{AsofJoin, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences}
 import graft.streaming.Ingest
 
 /** Sequence assembly, forecasting, as-of joins, pivot, streaming ingest and
@@ -158,6 +158,25 @@ object Pipeline {
             (unix_micros(col("event_timestamp")) - unix_micros(col("matched_ts"))).as("gap_us"))
           .orderBy(col("event_id"))
       }
+    },
+
+    // Attribution-window join (interval×point): per purchase, the same
+    // user's events in the 30 minutes before it — bin-bucketed equi-join
+    // on (user, time-bin) + residual, never a theta join; cent-exact sums.
+    QuerySpec.sql("q_attribution_window",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS end_us,
+        |             us - 1800000000 AS start_us
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(e.cents) AS BIGINT) AS cents_total, max(e.us) AS last_us
+        |FROM p JOIN e ON e.user_id = p.user_id
+        |              AND e.us >= p.start_us AND e.us < p.end_us
+        |GROUP BY 1 ORDER BY purchase_id""") {
+      (s, dir) =>
+        IntervalJoin.attributionWindow(Tables.events(s, dir), windowMinutes = 30)
+          .orderBy(col("purchase_id"))
     },
 
     // RANGE frame (time-based, not row-based): trailing 1h window per
