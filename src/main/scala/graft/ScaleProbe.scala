@@ -374,6 +374,11 @@ object ScaleProbe {
         "attribution_window" -> (() =>
           time(s"$tag/attribution_window")(
             graft.ops.IntervalJoin.attributionWindow(ev, windowMinutes = 30)
+              .count())),
+        // curriculum interleave: the stratum-keyed epochOrder two-level rank
+        "curriculum" -> (() =>
+          time(s"$tag/curriculum")(
+            graft.ops.Packing.curriculumInterleave(docs, mixWeights, epoch = 1)
               .count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }

@@ -311,6 +311,39 @@ object TextStats {
       .select(col("rank"), col("w"), col("c"), col("cum"))
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, App. A1.1 adapted):
+    * per-document pass/fail flags for the published heuristic gates —
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word fraction, minimum stopword hits — plus the combined
+    * keep verdict. Every ratio test is INTEGER cross-multiplication
+    * (3n ≤ chars ≤ 10n instead of 3 ≤ chars/n ≤ 10), so the flags are
+    * bit-identical across engines with zero float divisions. One narrow
+    * codegen projection over the materialized token column — no shuffle,
+    * embarrassingly parallel at any scale. */
+  def gopherRules(docs: DataFrame, stopwords: Seq[String],
+                  minWords: Int = 40, maxWords: Int = 100000,
+                  textCol: String = "text"): DataFrame = {
+    val t = col("__t")
+    val n = size(t).cast("long")
+    val chars = length(regexp_replace(col(textCol), " ", "")).cast("long")
+    val alphaWords = size(filter(t, w => w.rlike("\\p{L}"))).cast("long")
+    val symbolWords = size(filter(t,
+      w => w.startsWith("#") || w.contains("..."))).cast("long")
+    val stopHits = size(filter(t, w => w.isInCollection(stopwords))).cast("long")
+    docs
+      .select(col("doc_id"), col(textCol), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), n.as("n_words"), stopHits.as("stop_hits"),
+        (n >= minWords && n <= maxWords).cast("long").as("ok_words"),
+        (chars >= lit(3L) * n && chars <= lit(10L) * n).cast("long")
+          .as("ok_word_len"),
+        (lit(10L) * symbolWords <= n).cast("long").as("ok_symbols"),
+        (lit(5L) * alphaWords > lit(4L) * n).cast("long").as("ok_alpha"),
+        (stopHits >= 2L).cast("long").as("ok_stopwords"))
+      .withColumn("is_keep",
+        (col("ok_words") * col("ok_word_len") * col("ok_symbols") *
+          col("ok_alpha") * col("ok_stopwords")).cast("long"))
+  }
+
   /** Corpus datasheet: the per-(lang, source) composition numbers a
     * dataset card publishes — document/token/character counts and each
     * stratum's parts-per-million share of the token mass (integer `DIV`,

@@ -522,6 +522,29 @@ object TrainingData {
           .orderBy(col("priority"), col("stratum"), col("stratum_pos"))
     },
 
+    // Gopher rule battery: the published heuristic gates as per-doc flags,
+    // every ratio test integer cross-multiplied (no float divisions).
+    QuerySpec.sql("t_gopher_rules",
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(sp) AS BIGINT) AS n_words,
+        |        CAST(len(list_filter(sp, w -> list_contains(['the', 'a'], w))) AS BIGINT) AS stop_hits,
+        |        CAST(len(sp) >= 40 AND len(sp) <= 100000 AS BIGINT) AS ok_words,
+        |        CAST(length(replace(text, ' ', '')) >= 3 * len(sp)
+        |             AND length(replace(text, ' ', '')) <= 10 * len(sp) AS BIGINT) AS ok_word_len,
+        |        CAST(10 * len(list_filter(sp, w -> starts_with(w, '#') OR contains(w, '...'))) <= len(sp) AS BIGINT) AS ok_symbols,
+        |        CAST(5 * len(list_filter(sp, w -> regexp_matches(w, '\p{L}'))) > 4 * len(sp) AS BIGINT) AS ok_alpha,
+        |        CAST(len(list_filter(sp, w -> list_contains(['the', 'a'], w))) >= 2 AS BIGINT) AS ok_stopwords
+        |      FROM s)
+        |SELECT doc_id, n_words, stop_hits, ok_words, ok_word_len, ok_symbols,
+        |       ok_alpha, ok_stopwords,
+        |       ok_words * ok_word_len * ok_symbols * ok_alpha * ok_stopwords AS is_keep
+        |FROM f ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.gopherRules(Tables.documents(s, dir), Stopwords, minWords = 40)
+          .orderBy(col("doc_id"))
+    },
+
     // Corpus datasheet: per-(lang, source) composition with integer ppm
     // token share — the dataset-card aggregation.
     QuerySpec.sql("t_corpus_datasheet",

@@ -31,6 +31,28 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
     assert(IntervalJoin.joinPoints(intervals, points, 10L).count() === 0L)
   }
 
+  test("joinPoints equals the naive theta join on random data (any bin width)") {
+    val rnd = new scala.util.Random(42)
+    val intervals = (0 until 80).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(5)}", i.toLong, s, s + rnd.nextInt(60))
+    }.toDF("key", "iid", "start_us", "end_us")
+    val points = (0 until 300).map { i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1100).toLong, i.toLong)
+    }.toDF("key", "us", "pid")
+    val naive = intervals.join(points, "key")
+      .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
+      .select(col("iid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (bin <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = IntervalJoin.joinPoints(intervals, points, bin)
+        .select(col("iid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length === binned.distinct.length, s"dup pairs at bin $bin")
+      assert(binned.sorted.toSeq === naive, s"mismatch at bin $bin")
+    }
+  }
+
   test("attributionWindow aggregates the pre-purchase window, cent-exact") {
     // user 7: purchase at 3600 s; window [1800 s, 3600 s) catches e2 (at
     // 1800 s, inclusive) and e3; e1 (before) and e4 (at the purchase

@@ -131,6 +131,29 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(at80.toSeq === Seq((1L, "a"), (2L, "b"))) // c's prefix hits exactly 80%
   }
 
+  test("gopherRules flags each published gate independently") {
+    def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      (0L, "the a " + words(43, "data")),            // passes everything
+      (1L, "the a " + words(8, "data")),             // too short
+      (2L, "the " + words(44, "data")),              // one stopword hit only
+      (3L, "the a " + words(33, "data") + " " + words(10, "#tag")), // symbol-heavy
+      (4L, "the a " + words(43, "123")),             // numeric: alpha fraction low
+      (5L, "the a " + words(43, "abcdefghijklmnop")) // mean word length > 10
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.gopherRules(docs, Seq("the", "a"), minWords = 40)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ok_words"), r.getAs[Long]("ok_word_len"),
+          r.getAs[Long]("ok_symbols"), r.getAs[Long]("ok_alpha"),
+          r.getAs[Long]("ok_stopwords"), r.getAs[Long]("is_keep"))).toMap
+    assert(out(0L) === ((1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(1L)._1 === 0L); assert(out(1L)._6 === 0L)
+    assert(out(2L)._5 === 0L)                        // stop_hits = 1 < 2
+    assert(out(3L)._3 === 0L)                        // 10 symbol words of 45
+    assert(out(4L)._4 === 0L)                        // 2 alpha words of 45
+    assert(out(5L)._2 === 0L)                        // 16-char mean word
+  }
+
   test("corpusDatasheet aggregates per-stratum composition with exact ppm") {
     val docs = Seq(
       (0L, "en", "web", "a b c"),       // 3 tokens, 3 chars
