@@ -545,6 +545,49 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Composed curation pipeline (production shape, the text-side analogue
+    // of dd_pipeline_canonical): Gopher gates -> exact dedup survivors ->
+    // sequence packing, end-to-end in one oracle-pinned query.
+    QuerySpec.sql("t_pipeline_curation",
+      """WITH sp AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |keepf AS (SELECT doc_id, text FROM sp
+        |          WHERE len(t) >= 40 AND len(t) <= 100000
+        |            AND length(replace(text, ' ', '')) >= 3 * len(t)
+        |            AND length(replace(text, ' ', '')) <= 10 * len(t)
+        |            AND 10 * len(list_filter(t, w -> starts_with(w, '#') OR contains(w, '...'))) <= len(t)
+        |            AND 5 * len(list_filter(t, w -> regexp_matches(w, '\p{L}'))) > 4 * len(t)
+        |            AND len(list_filter(t, w -> list_contains(['the', 'a'], w))) >= 2),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM (
+        |            SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |            FROM keepf)
+        |          GROUP BY fp),
+        |surv AS (SELECT k.doc_id, k.text FROM keepf k JOIN canon USING (doc_id)),
+        |s AS (SELECT doc_id,
+        |        list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk,
+        |        len(string_split(text, ' ')) AS n_tokens
+        |      FROM surv),
+        |c AS (SELECT doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (ORDER BY hk ASC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |      FROM s)
+        |SELECT doc_id, n_tokens,
+        |       CAST(floor(strt / 4096) AS BIGINT) AS pack_id,
+        |       CAST(strt % 4096 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept = docs.join(
+          TextStats.gopherRules(docs, Stopwords, minWords = 40)
+            .filter(col("is_keep") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val surv = kept.join(
+          Dedup.exact(kept).select(col("canonical_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        Packing.packSequences(surv, budget = 4096L).orderBy(col("doc_id"))
+      }
+    },
+
     // Corpus datasheet: per-(lang, source) composition with integer ppm
     // token share — the dataset-card aggregation.
     QuerySpec.sql("t_corpus_datasheet",
