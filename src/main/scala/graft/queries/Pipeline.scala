@@ -251,6 +251,27 @@ object Pipeline {
     },
 
     // Pivot: documents per (source × language) — wide conditional counts.
+    // CUBE: all four grouping sets of (lang, source) in one pass — Spark
+    // plans this as a single Expand + hash aggregate, not four scans.
+    // NULL grouping cells are labeled so the oracle's NULL semantics can't
+    // collide with real values.
+    QuerySpec.sql("q_cube_lang_source",
+      """SELECT coalesce(lang, '<all>') AS lang,
+        |       coalesce(source, '<all>') AS source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_total
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""") {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .cube(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+          .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+            coalesce(col("source"), lit("<all>")).as("source"),
+            col("n_docs"), col("chars_total"))
+          .orderBy(col("lang"), col("source"))
+    },
+
     QuerySpec.sql("q_pivot_lang_source",
       """SELECT source,
         |       count(*) FILTER (lang = 'de') AS de,
