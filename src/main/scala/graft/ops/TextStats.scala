@@ -311,6 +311,39 @@ object TextStats {
       .select(col("rank"), col("w"), col("c"), col("cum"))
   }
 
+  /** Bigram novelty profile: per document, how much of its (ordered)
+    * bigram mass is corpus-common — bigrams occurring ≥ `minCf` times
+    * corpus-wide. High common_ratio ⇒ boilerplate/templated text; low ⇒
+    * novel (or noisy) content. The n-gram-LM-lite novelty signal that
+    * needs no log-probabilities, so every number is integer counts plus
+    * one rounded division.
+    *
+    * Scale shape: bigrams explode inside one codegen transform over the
+    * materialized token column (the [[windowCooc]] lambda-CSE rule), the
+    * per-(doc, bigram) and corpus-frequency aggregates are both map-side-
+    * combinable, and the join back is on the bigram key — vocabulary²-
+    * bounded in principle, corpus-token-bounded in fact. */
+  def bigramNovelty(docs: DataFrame, minCf: Long = 5,
+                    textCol: String = "text",
+                    docIdCol: String = "doc_id"): DataFrame = {
+    val t = col("__t")
+    val bg = docs.select(col(docIdCol), tokens(col(textCol)).as("__t"))
+      .filter(size(t) >= 2)
+      .select(col(docIdCol), explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bg"))
+    val db = bg.groupBy(col(docIdCol), col("bg")).agg(count(lit(1)).as("k"))
+    val cf = db.groupBy(col("bg")).agg(sum(col("k")).as("cf"))
+    db.join(cf, "bg")
+      .groupBy(col(docIdCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(when(col("cf") >= minCf, col("k")).otherwise(lit(0L)))
+          .as("n_common"))
+      .select(col(docIdCol), col("n_bigrams"), col("n_common"),
+        round(col("n_common") * lit(1.0) / col("n_bigrams"), 4)
+          .as("common_ratio"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021, App. A1.1 adapted):
     * per-document pass/fail flags for the published heuristic gates —
     * word-count bounds, mean-word-length bounds, symbol-to-word ratio,

@@ -522,6 +522,24 @@ object TrainingData {
           .orderBy(col("priority"), col("stratum"), col("stratum_pos"))
     },
 
+    // Bigram novelty: share of each doc's bigram mass that is corpus-common
+    // (cf >= 5) — the boilerplate/novelty signal without log-probs.
+    QuerySpec.sql("t_bigram_novelty",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |          i -> t[i] || ' ' || t[i+1])) AS bg FROM sp),
+        |db AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS k FROM bgs GROUP BY 1, 2),
+        |cf AS (SELECT bg, CAST(sum(k) AS BIGINT) AS cf FROM db GROUP BY 1)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN cf >= 5 THEN k ELSE 0 END) AS BIGINT) AS n_common,
+        |       round(sum(CASE WHEN cf >= 5 THEN k ELSE 0 END) * 1.0 / sum(k), 4) AS common_ratio
+        |FROM db JOIN cf USING (bg) GROUP BY doc_id ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.bigramNovelty(Tables.documents(s, dir), minCf = 5)
+          .orderBy(col("doc_id"))
+    },
+
     // Gopher rule battery: the published heuristic gates as per-doc flags,
     // every ratio test integer cross-multiplied (no float divisions).
     QuerySpec.sql("t_gopher_rules",

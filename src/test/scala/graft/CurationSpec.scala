@@ -159,4 +159,32 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) === 0L)                       // n_phones: masked already
     assert(r.getString(4) === "mail <EMAIL> arrived")
   }
+
+  test("curation pipeline composition: gates, then dedup, then packing") {
+    import graft.ops.{Dedup, Packing, TextStats}
+    // doc 0/1: identical 45-word passing docs (dedup keeps 0); doc 2: fails
+    // the gates (too short) so it must never reach packing even though it
+    // would pack fine; doc 3: distinct passing doc.
+    val good = "the a " + Seq.fill(43)("data").mkString(" ")
+    val docs = Seq(
+      (0L, good), (1L, good), (2L, "the a data"),
+      (3L, "the a " + Seq.fill(43)("word").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = docs.join(
+      TextStats.gopherRules(docs, Seq("the", "a"), minWords = 40)
+        .filter(col("is_keep") === 1L).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val surv = kept.join(
+      Dedup.exact(kept).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val packed = Packing.packSequences(surv, budget = 60L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_offset"))).toMap
+    // only docs 0 and 3 survive; both 45 tokens; the exclusive cumsum runs
+    // over the 2-doc SURVIVOR stream (offsets 0 and 45) — a leaked dup or
+    // gate-failing doc would shift the second offset
+    assert(packed.keySet === Set(0L, 3L))
+    assert(packed.values.map(_._1).toSet === Set(45L))
+    assert(packed.values.map(_._2).toSet === Set(0L, 45L))
+  }
 }

@@ -131,6 +131,20 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(at80.toSeq === Seq((1L, "a"), (2L, "b"))) // c's prefix hits exactly 80%
   }
 
+  test("bigramNovelty weights common-bigram mass by occurrence") {
+    val docs = Seq(
+      (0L, "a b a b"),   // bigrams: "a b"x2, "b a"x1
+      (1L, "a b c"),     // "a b", "b c"
+      (2L, "x y")        // "x y"
+    ).toDF("doc_id", "text")
+    // corpus counts: "a b"=3 (common at minCf=3), everything else 1
+    val out = graft.ops.TextStats.bigramNovelty(docs, minCf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      0L -> (3L, 2L, 0.6667), 1L -> (2L, 1L, 0.5), 2L -> (1L, 0L, 0.0)))
+  }
+
   test("gopherRules flags each published gate independently") {
     def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
     val docs = Seq(
