@@ -379,7 +379,23 @@ object ScaleProbe {
         "curriculum" -> (() =>
           time(s"$tag/curriculum")(
             graft.ops.Packing.curriculumInterleave(docs, mixWeights, epoch = 1)
-              .count())))
+              .count())),
+        // composed curation pipeline: gates -> exact dedup -> packing
+        "pipeline_curation" -> (() =>
+          time(s"$tag/pipeline_curation")({
+            val kept = docs.join(
+              graft.ops.TextStats.gopherRules(docs, Seq("the", "a"), minWords = 40)
+                .filter(col("is_keep") === 1L).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            val surv = kept.join(
+              Dedup.exact(kept).select(col("canonical_id").as("doc_id")),
+              Seq("doc_id"), "left_semi")
+            Packing.packSequences(surv, budget = 4096L).count()
+          })),
+        // bigram novelty: bigram explode + two combinable aggs + key join
+        "bigram_novelty" -> (() =>
+          time(s"$tag/bigram_novelty")(
+            graft.ops.TextStats.bigramNovelty(docs, minCf = 5).count())))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }
