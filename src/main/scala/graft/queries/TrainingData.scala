@@ -48,6 +48,40 @@ object TrainingData {
     (3L, Seq("stream", "window")),
     (4L, Seq("dup")))
 
+  /** The minhash→LSH→closure CTE chain (shingle → KM signature → bands →
+    * verified pairs → symmetric edges → recursive reachability → min-label
+    * component), shared by every oracle that consumes the minhash closure.
+    * Pre-stripped: interpolate into a `WITH RECURSIVE $MinhashClosureCtes`
+    * header. Mirrors `Dedup.minhashLshComponents(threshold = 0.5)` with
+    * 16 hashes / 4 bands. */
+  private val MinhashClosureCtes: String =
+    """sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM sp),
+      |ab AS (SELECT doc_id,
+      |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+      |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+      |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+      |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+      |       FROM sh),
+      |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+      |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+      |bands AS (SELECT doc_id, b,
+      |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+      |          FROM sig CROSS JOIN range(4) r(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+      |          WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT u, v FROM e
+      |          UNION
+      |          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v != r.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)""".stripMargin
+
   private def termQuerySqlValues(qs: Seq[(Long, Seq[String])]): String =
     qs.map { case (q, ts) =>
       s"(CAST($q AS BIGINT), [${ts.map(t => s"'$t'").mkString(", ")}])"
@@ -1112,42 +1146,41 @@ object TrainingData {
     // recursive CTE as dd_cluster_canonical — again closing the all-pairs
     // graph while Spark feeds the contracted edges.
     QuerySpec.sql("dd_cluster_minhash",
-      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-        |       FROM sp),
-        |ab AS (SELECT doc_id,
-        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
-        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
-        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
-        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
-        |       FROM sh),
-        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
-        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
-        |bands AS (SELECT doc_id, b,
-        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
-        |          FROM sig CROSS JOIN range(4) r(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT doc_a, doc_b
-        |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-        |          WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5),
-        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (SELECT u, v FROM e
-        |          UNION
-        |          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v != r.u),
-        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $MinhashClosureCtes
         |SELECT d.doc_id,
         |       coalesce(c.component, d.doc_id) AS canonical_id,
         |       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS is_canonical
         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-        |ORDER BY d.doc_id""") {
+        |ORDER BY d.doc_id""".stripMargin) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         Dedup.canonicalizeFrom(docs,
             Dedup.minhashLshComponents(docs, threshold = 0.5))
           .orderBy(col("doc_id"))
+      }
+    },
+
+    // Cluster-size histogram over the same minhash closure — the dedup
+    // diagnostic a practitioner reads before choosing thresholds: how many
+    // clusters of each size, and how many docs they hold.
+    QuerySpec.sql("dd_cluster_sizes",
+      s"""WITH RECURSIVE $MinhashClosureCtes,
+        |asg AS (SELECT coalesce(c.component, d.doc_id) AS canonical_id
+        |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM asg GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.canonicalizeFrom(docs,
+            Dedup.minhashLshComponents(docs, threshold = 0.5))
+          .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy(col("cluster_size"))
       }
     },
 
