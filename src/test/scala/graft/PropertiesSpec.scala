@@ -83,6 +83,70 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("containment dominates jaccard and stays within (0,1]") {
+    val texts = Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w"))
+      .map(_.mkString(" ")))
+    samples(texts, 3).foreach { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+        .toDF("doc_id", "text", "lang")
+      val j = Dedup.ngramJaccardPairs(docs, "lang", threshold = 0.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+      val c = Dedup.containmentPairs(docs, "lang", threshold = 0.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Double]("c_a_in_b"), r.getAs[Double]("c_b_in_a"))).toMap
+      assert(c.keySet === j.keySet, "same candidate pair universe")
+      c.foreach { case (k, (ab, ba)) =>
+        assert(ab > 0.0 && ab <= 1.0 && ba > 0.0 && ba <= 1.0)
+        // max containment ≥ jaccard: |∩|/min(|A|,|B|) ≥ |∩|/|A∪B|
+        // (rounded to 4 decimals on both sides, so allow the half-ulp)
+        assert(math.max(ab, ba) >= j(k) - 1e-4,
+          s"pair $k: containment ($ab, $ba) below jaccard ${j(k)}")
+      }
+    }
+  }
+
+  test("bpeEncode per-doc token totals equal bpeTrain's corpus token mass") {
+    import graft.ops.TextStats
+    val texts = Gen.listOfN(5, Gen.listOfN(6, Gen.oneOf("low", "lower", "lowest", "slow"))
+      .map(_.mkString(" ")))
+    samples(texts, 3).foreach { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // The trainer's re-tokenized corpus counts and the encoder's per-doc
+      // totals are two routes to the same mass: Σ freq(kind='token') must
+      // equal Σ per-doc n_tokens for the same numMerges.
+      val trained = TextStats.bpeTrain(docs, numMerges = 4).collect()
+        .filter(_.getAs[String]("kind") == "token")
+        .map(_.getAs[Long]("freq")).sum
+      val encoded = TextStats.bpeEncode(docs, numMerges = 4).collect()
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(encoded === trained,
+        s"encoder mass $encoded != trainer mass $trained")
+    }
+  }
+
+  test("vocabCoverage keeps exactly the minimal covering prefix") {
+    import graft.ops.TextStats
+    val texts = Gen.listOfN(4, Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" ")))
+    samples(texts.flatMap(t => Gen.choose(10, 99).map(t -> _)), 4)
+      .foreach { case (ts, pct) =>
+        val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val counts = ts.flatMap(_.split(" ")).groupBy(identity)
+          .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+          .sortBy { case (w, c) => (-c, w) }
+        val total = counts.map(_._2).sum
+        val cums = counts.scanLeft(0L)(_ + _._2).init  // exclusive prefix
+        val expected = counts.zip(cums).takeWhile {
+          case (_, prev) => prev * 100 < pct * total
+        }.map(_._1._1)
+        val got = TextStats.vocabCoverage(docs, coveragePct = pct)
+          .orderBy(col("rank")).collect().map(_.getString(1)).toSeq
+        assert(got === expected, s"pct=$pct")
+      }
+  }
+
   test("jaccard pairs are within (0,1] with doc_a < doc_b") {
     val texts = Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w"))
       .map(_.mkString(" ")))
