@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ingest.Parse
-import graft.ops.{AsofJoin, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences}
+import graft.ops.{AsofJoin, EventAnalytics, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences}
 import graft.streaming.Ingest
 
 /** Sequence assembly, forecasting, as-of joins, pivot, streaming ingest and
@@ -248,6 +248,67 @@ object Pipeline {
       (s, dir) =>
         Sequences.sessionize(obs(s, dir), gapMinutes = 480)
           .orderBy(col("location"), col("session_start_us"))
+    },
+
+    // Ordered funnel view→click→purchase: per-user earliest strictly-
+    // increasing chain, reach counts + integer-exact conversion lag. The
+    // oracle replays the same per-step min-aggregate/join chain.
+    QuerySpec.sql("q_funnel_steps",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t, min(s1.t) AS t_prev
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t, min(s2.t) AS t_prev
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS total_lag_us FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*), CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s3
+        |ORDER BY step""") {
+      (s, dir) =>
+        EventAnalytics.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+          .orderBy(col("step"))
+    },
+
+    // Weekly cohort retention: first-seen-day cohorts × active-period
+    // offsets, all integer epoch-day arithmetic.
+    QuerySpec.sql("q_retention_cohorts",
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd FROM events),
+        |c AS (SELECT user_id, min(dd) AS cohort_dd FROM a GROUP BY user_id),
+        |x AS (SELECT DISTINCT c.cohort_dd, (a.dd - c.cohort_dd) // 7 AS offset_periods,
+        |                      a.user_id
+        |      FROM a JOIN c ON a.user_id = c.user_id)
+        |SELECT strftime(make_timestamp(cohort_dd * 86400000000), '%Y-%m-%d') AS cohort_day,
+        |       offset_periods, CAST(count(*) AS BIGINT) AS n_users
+        |FROM x GROUP BY cohort_dd, offset_periods
+        |ORDER BY cohort_day, offset_periods""") {
+      (s, dir) =>
+        EventAnalytics.retentionCohorts(Tables.events(s, dir), bucketDays = 7)
+          .orderBy(col("cohort_day"), col("offset_periods"))
+    },
+
+    // SCD2 dimension build from the event stream: collapse per-user value
+    // runs into [valid_from, valid_to) history rows with an is_current flag
+    // — the CDC-merge shape that feeds as-of joins.
+    QuerySpec.sql("q_scd2_user_value",
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |         lag(value) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (SELECT * FROM o WHERE prev IS DISTINCT FROM value)
+        |SELECT user_id, us AS valid_from_us,
+        |       lead(us) OVER w2 AS valid_to_us, value,
+        |       lead(us) OVER w2 IS NULL AS is_current
+        |FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, valid_from_us""") {
+      (s, dir) =>
+        EventAnalytics.scd2(Tables.events(s, dir))
+          .orderBy(col("user_id"), col("valid_from_us"))
     },
 
     // Pivot: documents per (source × language) — wide conditional counts.
