@@ -93,4 +93,62 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_matches"))
   }
+
+  /** BM25-shaped ranked retrieval (OR semantics): per (query, doc) the sum
+    * over matched terms of idf × saturated-tf, all-integer so both engines
+    * rank identically.
+    *
+    * The scoring is the BM25 functional form (k₁ = 1.2, b = 0.75) with two
+    * deliberate, documented integer substitutions:
+    *  - tf saturation tf·(k₁+1)/(tf + k₁·(1 − b + b·dl/avgdl)) is cross-
+    *    multiplied exactly: with k₁ = 6/5, b = 3/4 and integer avgdl it is
+    *    (22000·tf·A) ∕∕ (10·tf·A + 3·A + 9·dl) at per-mille scale, where
+    *    A = ⌊Σdl / N⌋ — no float division anywhere;
+    *  - the idf is the RATIONAL (N − df)/df at ppm scale, capped at 20×,
+    *    instead of ln((N − df + ½)/(df + ½)): monotone in the classic idf
+    *    (so per-term ordering is identical) but steeper for rare terms —
+    *    the cap bounds that steepness AND keeps the per-term product inside
+    *    int64 at any corpus size (2·10⁷ idf × 2200 tf_ppk × terms/query).
+    *    ln() would cost cross-engine last-ulp agreement.
+    *
+    * Scale shape (100 TB): the corpus pays one tokenize-explode into
+    * (doc, term, tf) plus the per-doc length aggregate; the broadcast query-
+    * term join prunes postings immediately, df is a |query-terms|-row
+    * aggregate (broadcast back), and the (N, Σdl) stats ride a 1-row
+    * broadcast — the [[graft.ops.Recent]] anchor pattern, never a collect.
+    * The only corpus-keyed shuffle joins postings to doc lengths on doc_id;
+    * the rank window partitions by query over posting-bounded candidates. */
+  def bm25Retrieval(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                    k: Int = 10, textCol: String = "text"): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "term")
+    val tf = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      .select(col("n_docs"), expr("t_tokens div n_docs").as("avgdl"))
+    val postings = tf.join(broadcast(qt), "term")
+    val dft = postings.groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dft), Seq("query_id", "term"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        least(expr("((n_docs - df) * 1000000) div df"), lit(20000000L)))
+      .withColumn("tf_ppk",
+        expr("(22000 * tf * avgdl) div (10 * tf * avgdl + 3 * avgdl + 9 * dl)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf_ppm") * col("tf_ppk")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }

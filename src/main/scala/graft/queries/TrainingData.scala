@@ -490,6 +490,41 @@ object TrainingData {
           .orderBy(col("query_id"), col("rank"))
     },
 
+    // BM25-shaped OR-semantics ranked retrieval: saturated-tf × capped
+    // rational idf, all-integer (see Retrieval.bm25Retrieval scaladoc for
+    // the exact k1=1.2/b=0.75 cross-multiplication). Same fixture as the
+    // boolean query, so the two ranking semantics are directly comparable.
+    QuerySpec.sql("t_bm25_retrieval",
+      s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+        |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |       GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+        |       FROM dl),
+        |p AS (SELECT query_id, term, doc_id, tf FROM tf JOIN qt USING (term)),
+        |dft AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+        |        FROM p GROUP BY 1, 2),
+        |sc AS (SELECT p.query_id, p.doc_id,
+        |         CAST(sum(least(((st.n_docs - dft.df) * 1000000) // dft.df, 20000000) *
+        |                  ((22000 * p.tf * st.avgdl) //
+        |                   (10 * p.tf * st.avgdl + 3 * st.avgdl + 9 * dl.dl))) AS BIGINT) AS score
+        |       FROM p JOIN dft USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN st
+        |       GROUP BY 1, 2)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        Retrieval.bm25Retrieval(Tables.documents(s, dir),
+            RetrievalQueries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+    },
+
     // Exact-phrase top-k: consecutive token-run matches counted per doc by
     // one nested array expression (no positional-index self-join); the
     // vocabulary-miss phrase (query 4) must contribute zero rows.

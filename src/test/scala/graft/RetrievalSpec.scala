@@ -61,6 +61,38 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(out === Map((1L, 1L) -> (2L, 3L)))   // c c c c -> starts 1,2,3
   }
 
+  private val bm25Docs = Seq(
+    (0L, "rare common common common"),                       // dl 4
+    (1L, "common common common common"),                     // dl 4
+    (2L, "rare"),                                            // dl 1
+    (3L, "common filler filler filler filler filler filler") // dl 7
+  ).toDF("doc_id", "text")
+  // N = 4, T = 16, A = 4; idf_ppm(rare) = 1_000_000, idf_ppm(common) = 333_333
+  // tf_ppk(tf, dl) = 88000·tf // (40·tf + 12 + 9·dl)
+
+  test("bm25Retrieval: OR semantics, idf beats raw tf, exact integer scores") {
+    val out = Retrieval.bm25Retrieval(bm25Docs, Seq((1L, Seq("rare", "common"))))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // d2's one rare term outranks d1's four common ones; d2 matches at all
+    // (OR); d0 tops by matching both; d3's long dl is penalized
+    assert(out === Map(
+      1L -> (0L, 1000000L * 1000 + 333333L * 1571),
+      2L -> (2L, 1000000L * 1442),
+      3L -> (1L, 333333L * 1692),
+      4L -> (3L, 333333L * 765)))
+  }
+
+  test("bm25Retrieval caps the idf of vanishingly rare terms") {
+    // 1 doc in 100 carries the term: uncapped rational idf would be
+    // 99_000_000 ppm; the 20_000_000 cap bounds it (and int64 products)
+    val many = (0L until 100L).map(i => (i, if (i == 0) "needle" else "hay"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25Retrieval(many, Seq((1L, Seq("needle"))))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // dl = 1, A = 1: tf_ppk = 22000·1·1 // (10·1·1 + 3·1 + 9·1) = 1000
+    assert(out === Seq((0L, 20000000L * 1000)))
+  }
+
   test("phraseSearch: order matters, misses return nothing, k truncates") {
     val aba = runPhrase(Seq((1L, Seq("a", "b", "a"))))
     assert(aba === Map((1L, 1L) -> (0L, 2L)))   // only doc 0; "b a b" lacks it
