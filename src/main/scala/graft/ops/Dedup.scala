@@ -1097,4 +1097,65 @@ object Dedup {
         coalesce(col("dropped_segments"), lit(0L)).as("dropped_segments"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Per-node triangle/wedge counts over a near-dup pair relation — the
+    * graph-density diagnostic read alongside `dd_cluster_sizes`'s
+    * histogram before choosing thresholds: triangles ≈ wedges means tight
+    * clique-like clusters (safe to collapse); triangles ≪ wedges means
+    * chained hubs where transitive closure over-merges.
+    *
+    * Algorithm: degree-ordered triangle enumeration (the MapReduce-classic
+    * Suri–Vassilvitskii / Schank ordering). Every edge is oriented from its
+    * ≺-smaller endpoint under the total order ≺ = (degree, id); each
+    * triangle u≺v≺w is then generated EXACTLY once as the wedge
+    * (u→v, u→w) closed by the oriented edge v→w. The orientation is the
+    * whole scale story: forward out-degree is O(√|E|) even on a
+    * hub-and-spoke graph (a 10⁶-degree hub ranks ≺-ABOVE its spokes, so
+    * the 10¹² spoke-pairs wedge blowup never materializes — the hub gets
+    * out-degree ~0, and each spoke pairs only with its few same-rank
+    * neighbors). Both wedge-build and close are equi-joins on node keys;
+    * nothing is quadratic in degree.
+    *
+    * Output: (doc_id, degree, wedges, triangles) for every node in
+    * `pairs`, wedges = C(degree, 2) — the local-clustering numerator and
+    * denominator, integer-exact. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    // canonicalize + dedup defensively: a duplicate or flipped listing of
+    // the same undirected edge would otherwise double-orient it and
+    // double-count every triangle it closes
+    val p = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    val e = p.union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").distinct()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .select(col("u").as("node"), col("degree"))
+    // orient by the (degree, id) total order; carry the destination's rank
+    // key so the wedge join can enforce v ≺ w without re-joining degrees
+    val ranked = p
+      .join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("degree").as("db")), "doc_b")
+    val ka = struct(col("da").as("d"), col("doc_a").as("i"))
+    val kb = struct(col("db").as("d"), col("doc_b").as("i"))
+    val oriented = ranked.select(
+        when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(ka < kb, kb).otherwise(ka).as("dst_key"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_key") < col("e2.dst_key"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+    val perNode = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("degree"),
+        expr("degree * (degree - 1) div 2").as("wedges"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

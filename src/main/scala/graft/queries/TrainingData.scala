@@ -1219,6 +1219,34 @@ object TrainingData {
       }
     },
 
+    // Near-dup graph density diagnostic: per-node degree/wedge/triangle
+    // counts over the verified minhash pairs (degree-ordered enumeration on
+    // the Spark side — each triangle generated exactly once; the oracle
+    // closes the id-ordered 3-way pair join, which enumerates the same
+    // triangle set). triangles ~ wedges reads as clique-like clusters;
+    // triangles << wedges flags hub chaining before closure over-merges.
+    QuerySpec.sql("dd_graph_triangles",
+      s"""WITH RECURSIVE $MinhashClosureCtes,
+        |deg AS (SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree
+        |        FROM e GROUP BY 1),
+        |tri AS (SELECT a.doc_a AS x, a.doc_b AS y, b.doc_b AS z
+        |        FROM pairs a
+        |        JOIN pairs b ON b.doc_a = a.doc_a AND a.doc_b < b.doc_b
+        |        JOIN pairs c ON c.doc_a = a.doc_b AND c.doc_b = b.doc_b),
+        |tn AS (SELECT unnest([x, y, z]) AS doc_id FROM tri),
+        |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
+        |       FROM tn GROUP BY 1)
+        |SELECT d.doc_id, d.degree,
+        |       d.degree * (d.degree - 1) // 2 AS wedges,
+        |       coalesce(tc.triangles, 0) AS triangles
+        |FROM deg d LEFT JOIN tc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Dedup.triangleCounts(
+            Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5))
+          .orderBy(col("doc_id"))
+    },
+
     // Keep-POLICY dedup over the same minhash clusters: keep the LONGEST
     // member of each near-dup cluster (ties -> min id) instead of the
     // min-id canonical — the production keep rule. Same closure CTEs as

@@ -294,6 +294,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("triangleCounts: each triangle counted once, hubs close no wedges") {
+    // triangle {1,2,3} + tail 3-4, a K4 {5,6,7,8}, and a 5-spoke star at 20
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (20L, 24L), (20L, 25L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 1L, 1L)) && out(2L) === ((2L, 1L, 1L)))
+    assert(out(3L) === ((3L, 3L, 1L)))            // tail adds wedges, no triangle
+    assert(out(4L) === ((1L, 0L, 0L)))
+    // every K4 node: degree 3, 3 wedges, all closed
+    assert(Seq(5L, 6L, 7L, 8L).forall(out(_) === ((3L, 3L, 3L))))
+    // star hub: max degree, C(5,2) wedges, zero triangles
+    assert(out(20L) === ((5L, 10L, 0L)))
+    assert(out(21L) === ((1L, 0L, 0L)))
+  }
+
+  test("triangleCounts on a duplicate-listed edge does not double count") {
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connectedComponents and canonicalize handle an empty pair relation") {
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(noPairs).count() === 0L)
