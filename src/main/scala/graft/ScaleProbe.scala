@@ -246,6 +246,23 @@ object ScaleProbe {
         "kmeans_ivf" -> (() =>
           time(s"$tag/kmeans_ivf")(
             EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2).count())),
+        // flat vs hierarchical IVF at PRODUCTION cell growth (fineK ∝
+        // corpus, constant cell population): flat assignment is n·fineK
+        // distance evals, hierarchical is n·(coarseK + fineK/coarseK) with
+        // coarseK ≈ √fineK — the pair of probes measures exactly that gap
+        "ivf_topk_flat" -> (() =>
+          time(s"$tag/ivf_topk_flat")(
+            EmbeddingSim.ivfTopK(vecs, col("vec_id") % 100 === 0, 10,
+              numCentroids = 16 * math.max(1, tag.takeWhile(_.isDigit).toInt),
+              nprobe = 2).count())),
+        "ivf_topk_hier" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/ivf_topk_hier")(
+            EmbeddingSim.ivfHierTopK(vecs, col("vec_id") % 100 === 0, 10,
+              fineK = 16 * f,
+              coarseK = math.max(4, math.sqrt(16.0 * f).toInt),
+              pcoarse = 2, nprobe = 2).count())
+        }),
         // the mm_image_stats hot path: per-doc PNG deflate (real ImageIO
         // writer) + inflate + RGB-normalized feature reduce — all narrow
         // per-row codec work in batched mapPartitions, expected ~linear

@@ -228,6 +228,92 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Hierarchical (coarse-then-fine) IVF top-k — the n·√K assignment path
+    * flagged as the scale successor to [[ivfTopK]]'s flat n·K: every
+    * vector first picks its nearest of `coarseK` group centroids, then its
+    * nearest FINE centroid among only that group's children, so the
+    * per-vector candidate count is coarseK + fineK/coarseK (≈ 2√K at
+    * coarseK = √fineK) instead of fineK. At SemDeDup-scale cell counts
+    * (10⁵ cells on a 10⁹-vector corpus) that is the difference between
+    * 10¹⁴ and 2·10¹¹·√10 distance evaluations for the assignment pass.
+    *
+    * Search mirrors the hierarchy: a query ranks the `pcoarse` nearest
+    * groups, then the `nprobe` nearest fine cells among THOSE groups'
+    * children, and scores only vectors assigned to the probed cells.
+    *
+    * The assignment is approximate where flat IVF's is exact — a vector
+    * near a group boundary can land in a fine cell that flat assignment
+    * would not pick (the recall trade is spec-bounded in AnnRecallSpec) —
+    * but every step is exact integer arithmetic with (d², id) tie-breaks,
+    * so the DuckDB oracle replays cells, probes and neighbors bit-for-bit.
+    *
+    * Plan shape: both centroid relations are broadcast (fine carries its
+    * precomputed parent gid); the corpus pays two `min_by` hash aggregates
+    * (one shuffled row per vector each, partial-combined map-side) and
+    * never a corpus-wide window; the probe/candidate joins are equi-joins
+    * on cid bounded by nprobe·n/fineK candidates per query. */
+  def ivfHierTopK(vectors: DataFrame, queryPred: Column, k: Int,
+                  fineK: Int = 16, coarseK: Int = 4,
+                  pcoarse: Int = 2, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = prepared(vectors)
+    val fine = corpus.filter(col("vec_id") < fineK)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val coarse = corpus.filter(col("vec_id") < coarseK)
+      .select(col("vec_id").as("gid"), col("q").as("gq"), col("n2").as("gn2"))
+    // parent of each fine centroid: nearest coarse — a K×√K driver-tiny join
+    val parent = fine.crossJoin(broadcast(coarse))
+      .withColumn("pd2",
+        col("cn2") + col("gn2") - lit(2L) * qdot(col("cq"), col("gq")))
+      .groupBy(col("cid"))
+      .agg(min_by(col("gid"), struct(col("pd2"), col("gid"))).as("gid"))
+    val fineT = fine.join(parent, "cid") // (cid, cq, cn2, gid): broadcast side
+    // corpus → nearest coarse group; q/n2 ride the min_by (constant per vec)
+    val cg = corpus.crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        col("n2") + col("gn2") - lit(2L) * qdot(col("q"), col("gq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("gid"), struct(col("d2"), col("gid"))).as("gid"),
+        min_by(col("q"), struct(col("d2"), col("gid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("gid"))).as("n2"))
+    // corpus → nearest fine cell among its group's children only
+    val cells = cg.join(broadcast(fineT), "gid")
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    // query probes: pcoarse nearest groups, then nprobe fine cells of those
+    val queries = broadcast(corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    val wq = Window.partitionBy(col("query_id"))
+    val qg = queries.crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        col("qn2") + col("gn2") - lit(2L) * qdot(col("qq"), col("gq")))
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("d2").asc, col("gid").asc)))
+      .filter(col("__rk") <= pcoarse)
+      .select(col("query_id"), col("qq"), col("qn2"), col("gid"))
+    val qf = qg.join(broadcast(fineT), "gid")
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * qdot(col("qq"), col("cq")))
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val scored = qf.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(corpus, "vec_id")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Blocking width as a function of corpus size: enough hyperplanes that
     * the expected bucket population is ~`targetPerBucket`, so candidate
     * pairs stay ≈ n·targetPerBucket/2 instead of n²/2^planes with a FIXED

@@ -1811,6 +1811,63 @@ object TrainingData {
           .orderBy(col("query_id"), col("rank"))
     },
 
+    // Hierarchical coarse-then-fine IVF: 16 fine cells under 4 coarse
+    // groups; corpus assignment costs coarseK + fineK/coarseK distance
+    // evaluations per vector instead of fineK (the n·√K scale path — see
+    // EmbeddingSim.ivfHierTopK). The oracle replays both assignment levels
+    // and both probe levels with the same (d², id) tie-breaks.
+    QuerySpec.sql("ann_ivf_hier",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |f AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 16),
+        |g AS (SELECT vec_id AS gid, qv AS gq, n2 AS gn2 FROM m WHERE vec_id < 4),
+        |par AS (SELECT cid, gid FROM (
+        |          SELECT f.cid, g.gid,
+        |                 cn2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * gq[i])) AS pd2
+        |          FROM f CROSS JOIN g)
+        |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY pd2 ASC, gid ASC) = 1),
+        |ft AS (SELECT f.cid, f.cq, f.cn2, par.gid FROM f JOIN par USING (cid)),
+        |cg AS (SELECT vec_id, gid FROM (
+        |         SELECT m.vec_id, g.gid,
+        |                n2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * gq[i])) AS d2
+        |         FROM m CROSS JOIN g)
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, gid ASC) = 1),
+        |cells AS (SELECT vec_id, cid FROM (
+        |            SELECT m.vec_id, ft.cid,
+        |                   m.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * ft.cq[i])) AS d2
+        |            FROM m JOIN cg USING (vec_id) JOIN ft USING (gid))
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qg AS (SELECT query_id, gid FROM (
+        |         SELECT m.vec_id AS query_id, g.gid,
+        |                n2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * gq[i])) AS d2
+        |         FROM m CROSS JOIN g WHERE m.vec_id % 100 = 0)
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, gid ASC) <= 2),
+        |qf AS (SELECT query_id, cid FROM (
+        |         SELECT qg.query_id, ft.cid,
+        |                a.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> a.qv[i] * ft.cq[i])) AS d2
+        |         FROM qg JOIN ft USING (gid) JOIN m a ON a.vec_id = qg.query_id)
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qf JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |scored AS (
+        |  SELECT query_id, cand.vec_id AS vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand JOIN m a ON a.vec_id = cand.query_id JOIN m b ON b.vec_id = cand.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.ivfHierTopK(Tables.embeddings(s, dir),
+            col("vec_id") % 100 === 0, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF with TRAINED centroids: two deterministic Lloyd rounds from the
     // lowest-id seed, then the same cell/probe plan as ann_ivf_topk. The
     // oracle unrolls the identical rounds (generated by kmeansRoundSql), so

@@ -30,6 +30,25 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("code"), col("n_rows"), col("avg_value"))
 
+  /** Watermarked streaming sessionization: the STREAMING form of
+    * [[graft.ops.Sequences.sessionize]] — `session_window` merges events
+    * closer than the gap into one growing session per key; append mode
+    * finalizes a session once the watermark passes its (last event + gap)
+    * end, so state per key is bounded by one open session. Batch and
+    * stream share the same window semantics (end-exclusive, end = last
+    * event + gap), which the spec pins by running both on one input. */
+  def sessionizeStream(stream: DataFrame, gapMinutes: Int,
+                       watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark("event_timestamp", watermarkDelay)
+      .groupBy(col("location"),
+        session_window(col("event_timestamp"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("location"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+
   /** The running latest-observation-per-location as incremental state
     * (streaming D1): mapGroupsWithState keeps one row per key and updates
     * it when a newer (event_timestamp, event_id) arrives. */

@@ -85,6 +85,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= r1, "more probes must not lose recall")
   }
 
+  test("hierarchical IVF recall tracks flat IVF within the boundary tolerance") {
+    // Same fine-cell count as flat ivf's 16-cell configuration would give:
+    // the hierarchy only changes HOW cells are found (coarse-group first),
+    // so recall may drop only by the group-boundary misassignment rate —
+    // bounded here, not assumed.
+    val hier = recallOf(EmbeddingSim.ivfHierTopK(vectors, queryPred, 10,
+      fineK = 16, coarseK = 4, pcoarse = 2, nprobe = 2))
+    val flat = recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10,
+      numCentroids = 16, nprobe = 2))
+    info(f"ivf recall@10: flat-16 $flat%.2f, hier-16/4 $hier%.2f")
+    assert(hier >= 0.15, f"hierarchical ivf recall collapsed: $hier%.2f")
+    assert(hier >= flat - 0.15,
+      f"hierarchy lost too much recall vs flat: $hier%.2f vs $flat%.2f")
+    // widening the coarse probe must restore recall monotonically
+    val wide = recallOf(EmbeddingSim.ivfHierTopK(vectors, queryPred, 10,
+      fineK = 16, coarseK = 4, pcoarse = 4, nprobe = 2))
+    assert(wide >= hier - 0.02, "more coarse probes must not lose recall")
+  }
+
   test("trained IVF recall curve: k=32, iters=4 reaches the ship floor at higher nprobe") {
     // The production operating point: more, smaller cells (k=32 over this
     // 500-vector corpus ≈ 16 vectors/cell) with the probe count as the

@@ -39,6 +39,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming sessionization merges gap-close events and matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ObsState]
+    val query = StreamOps.sessionizeStream(input.toDF(), gapMinutes = 30,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+
+    // two events 20 min apart (one session), then a 40-min gap (new session)
+    input.addData(
+      ObsState("a", ts(10, 0), 1, "x", 1.0),
+      ObsState("a", ts(10, 20), 2, "x", 2.0),
+      ObsState("a", ts(11, 0), 3, "x", 3.0))
+    query.processAllAvailable()
+    // watermark 11:00−30min = 10:30 — no session end (10:50, 11:30) passed
+    assert(spark.table("sess_stream").count() === 0)
+    // advance the watermark beyond both session ends
+    input.addData(ObsState("b", ts(13, 0), 4, "x", 4.0))
+    query.processAllAvailable()
+    input.addData(ObsState("b", ts(13, 1), 5, "x", 4.0))
+    query.processAllAvailable()
+    val streamed = spark.table("sess_stream")
+      .select("location", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the batch operator on the same rows must produce the same finalized
+    // sessions (location a only — b's session is still open)
+    val batch = graft.ops.Sequences.sessionize(
+        Seq(("a", ts(10, 0)), ("a", ts(10, 20)), ("a", ts(11, 0)))
+          .toDF("location", "event_timestamp"), gapMinutes = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.size === 2 &&
+      streamed.map(_._4).toSeq.sorted === Seq(1L, 2L))
+    query.stop()
+  }
+
   test("flatMapGroupsWithState change stream emits only genuine advances") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
