@@ -89,6 +89,43 @@ object EventAnalytics {
         col("offset_periods"), col("n_users"))
   }
 
+  /** Robust (median/MAD) outlier detection per event type: flag events
+    * whose |value − median| exceeds `k` × the median-absolute-deviation of
+    * their type — the robust z-score that a mean/stddev rule gets wrong on
+    * heavy-tailed metrics (the outliers inflate the stddev that is supposed
+    * to catch them; the median and MAD are breakdown-point-0.5 immune).
+    *
+    * Everything is computed on floor(value·1e6) longs with FLOORED medians,
+    * so the threshold compare is pure int64 — the percentile interpolation
+    * itself is exact IEEE (midpoint of two ≪2⁵² longs), making the floor
+    * deterministic across engines; no float boundary row can flip.
+    *
+    * Two passes by necessity (the deviation needs the median first); both
+    * per-type relations are broadcast back. `approx = true` swaps the exact
+    * percentile for the mergeable `percentile_approx` sketch — the 100 TB
+    * path, same trade as TextStats' corpus-relative quality gate: exact
+    * percentile buffers each group's values in one aggregation buffer,
+    * which is fine per event-type here but not for high-cardinality
+    * grouping; the sketch is map-side-combinable. */
+  def madAnomalies(events: DataFrame, k: Int = 3,
+                   approx: Boolean = false): DataFrame = {
+    def med(c: org.apache.spark.sql.Column) =
+      if (approx) percentile_approx(c, lit(0.5), lit(10000)).cast("double")
+      else percentile(c, lit(0.5))
+    val e = events.select(col("event_type").as("code"), col("event_id"),
+      col("value"), floor(col("value") * 1000000).cast("long").as("qv"))
+    val medians = e.groupBy(col("code"))
+      .agg(floor(med(col("qv"))).cast("long").as("med_q"))
+    val dev = e.join(broadcast(medians), "code")
+      .withColumn("dev", abs(col("qv") - col("med_q")))
+    val mads = dev.groupBy(col("code"))
+      .agg(floor(med(col("dev"))).cast("long").as("mad_q"))
+    dev.join(broadcast(mads), "code")
+      .filter(col("dev") > lit(k.toLong) * col("mad_q"))
+      .select(col("code"), col("event_id"), col("value"),
+        col("dev").as("dev_q"), col("mad_q"))
+  }
+
   /** SCD2 (type-2 slowly-changing-dimension) history of a per-user metric:
     * consecutive equal values collapse into one validity row with
     * [valid_from, valid_to) bounds; the open row per user is `is_current`.

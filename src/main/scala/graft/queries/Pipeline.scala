@@ -292,6 +292,26 @@ object Pipeline {
           .orderBy(col("cohort_day"), col("offset_periods"))
     },
 
+    // Robust per-type outlier flags: |value − median| > 3·MAD on floored
+    // µ-quantized longs — the int64 compare can't flip on a float boundary.
+    QuerySpec.sql("q_mad_anomalies",
+      """WITH e AS (SELECT event_type AS code, event_id, value,
+        |                  CAST(floor(value * 1000000) AS BIGINT) AS qv FROM events),
+        |med AS (SELECT code, CAST(floor(quantile_cont(qv, 0.5)) AS BIGINT) AS med_q
+        |        FROM e GROUP BY 1),
+        |dev AS (SELECT e.code, event_id, value, abs(qv - med_q) AS dev_q
+        |        FROM e JOIN med USING (code)),
+        |mad AS (SELECT code, CAST(floor(quantile_cont(dev_q, 0.5)) AS BIGINT) AS mad_q
+        |        FROM dev GROUP BY 1)
+        |SELECT d.code, event_id, value, dev_q, mad_q
+        |FROM dev d JOIN mad USING (code)
+        |WHERE dev_q > 3 * mad_q
+        |ORDER BY code, event_id""") {
+      (s, dir) =>
+        EventAnalytics.madAnomalies(Tables.events(s, dir), k = 3)
+          .orderBy(col("code"), col("event_id"))
+    },
+
     // SCD2 dimension build from the event stream: collapse per-user value
     // runs into [valid_from, valid_to) history rows with an is_current flag
     // — the CDC-merge shape that feeds as-of joins.

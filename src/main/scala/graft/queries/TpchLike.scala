@@ -300,5 +300,105 @@ object TpchLike {
           .agg(countDistinct(col("o_custkey")).as("n_exact"), count(lit(1)).as("n_orders"))
           .orderBy(col("month"))
     },
+
+    // FULL OUTER join coverage: per-customer order counts merged with the
+    // customer dimension — right-only rows are the no-order customers,
+    // left-only rows would be orphaned orders (none in consistent data, but
+    // the join type handles them). Shuffles on custkey both sides; at scale
+    // this is the standard sort-merge full-outer, never a broadcast (both
+    // sides are corpus-sized).
+    QuerySpec.sql("q_full_outer_customers",
+      """SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+        |       coalesce(o.n_orders, 0) AS n_orders,
+        |       c.c_custkey IS NOT NULL AS has_customer,
+        |       CAST(coalesce(floor(c.c_acctbal * 100), -1) AS BIGINT) AS acctbal_c
+        |FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""") {
+      (s, dir) => {
+        val o = ord(s, dir).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        o.join(cust(s, dir), o("o_custkey") === col("c_custkey"), "full_outer")
+          .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("c_custkey").isNotNull.as("has_customer"),
+            coalesce(floor(col("c_acctbal") * 100), lit(-1)).cast("long").as("acctbal_c"))
+          .orderBy(col("custkey"))
+      }
+    },
+
+    // ntile + exact cent sums per quartile: equal-frequency banding inside
+    // each priority class. The window partitions by priority (never
+    // global); the unique (totalprice, orderkey) order makes tile edges
+    // deterministic in both engines.
+    QuerySpec.sql("q_order_quartiles",
+      """WITH t AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT priority, quartile, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM t GROUP BY 1, 2 ORDER BY priority, quartile""") {
+      (s, dir) =>
+        ord(s, dir)
+          .withColumn("quartile", ntile(4).over(
+              Window.partitionBy(col("o_orderpriority"))
+                .orderBy(col("o_totalprice"), col("o_orderkey")))
+            .cast("long"))
+          .groupBy(col("o_orderpriority").as("priority"), col("quartile"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_c"))
+          .orderBy(col("priority"), col("quartile"))
+    },
+
+    // One-pass table profiling (the data-quality summary a pipeline emits
+    // per ingest): null/distinct/min/max per column in long format. The
+    // Spark side is ONE aggregate over the scan — the multi-distinct plans
+    // as a single Expand (×|cols|) + hash aggregate, not |cols| scans; at
+    // extreme cardinality the distinct counts would swap to HLL sketches
+    // (approx_count_distinct), same as q_distinct_customers' scale note.
+    QuerySpec.sql("q_profile_lineitem",
+      """SELECT 'l_discount' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(l_discount) AS n_nulls,
+        |       count(DISTINCT l_discount) AS n_distinct,
+        |       round(min(l_discount), 4) AS vmin, round(max(l_discount), 4) AS vmax
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |       count(DISTINCT l_extendedprice),
+        |       round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |       count(DISTINCT l_quantity),
+        |       round(min(l_quantity), 4), round(max(l_quantity), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(*), count(*) - count(l_tax),
+        |       count(DISTINCT l_tax), round(min(l_tax), 4), round(max(l_tax), 4)
+        |FROM lineitem
+        |ORDER BY col_name""") {
+      (s, dir) => {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            round(min(col(c)), 4).as(s"min_$c"),
+            round(max(col(c)), 4).as(s"max_$c"))
+        } :+ count(lit(1)).as("n_rows")
+        li(s, dir).agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+              lit(c).as("col_name"), col("n_rows"),
+              (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+              col(s"nd_$c").as("n_distinct"),
+              col(s"min_$c").as("vmin"), col(s"max_$c").as("vmax"))): _*))
+            .as("p"))
+          .select(col("p.*"))
+          .orderBy(col("col_name"))
+      }
+    },
   )
 }

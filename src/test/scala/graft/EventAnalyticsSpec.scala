@@ -60,6 +60,27 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
         ("2024-01-08", 0L, 1L)))
   }
 
+  test("madAnomalies flags only beyond-3-MAD values, exact interpolated medians") {
+    val events = ev(
+      // code "a": [0,10,20,30,40,200] → med 25, devs [25,15,5,5,15,175],
+      // MAD 15 → only the 200 exceeds 3·MAD = 45
+      (1L, 1L, 0L, "a", 0.0), (2L, 1L, 1L, "a", 10.0), (3L, 1L, 2L, "a", 20.0),
+      (4L, 1L, 3L, "a", 30.0), (5L, 1L, 4L, "a", 40.0), (6L, 1L, 5L, "a", 200.0),
+      // code "b": constant except one — MAD 0, so ANY deviation flags
+      (7L, 2L, 0L, "b", 1.0), (8L, 2L, 1L, "b", 1.0), (9L, 2L, 2L, "b", 1.0),
+      (10L, 2L, 3L, "b", 100.0))
+    val out = EventAnalytics.madAnomalies(events, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === Set(("a", 6L, 175000000L, 15000000L),
+      ("b", 10L, 99000000L, 0L)))
+    // the sketch path must agree on this tiny input (accuracy 10000 is
+    // exact for < 10000 rows per group)
+    val approx = EventAnalytics.madAnomalies(events, k = 3, approx = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(approx === Set(("a", 6L), ("b", 10L)))
+  }
+
   test("scd2 collapses runs, keeps re-assertions out, flags the open row") {
     val events = ev(
       (1L, 1L, 0L, "a", 1.0),
