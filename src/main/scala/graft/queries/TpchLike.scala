@@ -354,6 +354,30 @@ object TpchLike {
           .orderBy(col("priority"), col("quartile"))
     },
 
+    // Entity resolution on part names: contract-through-exact-names first
+    // (the corpus pays ONE hash aggregate), then token-blocked levenshtein
+    // verification over the vocabulary-sized distinct-name relation — see
+    // Linkage.fuzzyNamePairs for the scale contract.
+    QuerySpec.sql("q_fuzzy_part_names",
+      """WITH nm AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n
+        |            FROM part GROUP BY 1),
+        |bl AS (SELECT DISTINCT nm, n,
+        |         unnest([string_split(nm, ' ')[1], string_split(nm, ' ')[-1]]) AS bk
+        |       FROM nm),
+        |cand AS (SELECT DISTINCT a.nm AS name_a, b.nm AS name_b,
+        |                a.n AS n_a, b.n AS n_b
+        |         FROM bl a JOIN bl b ON a.bk = b.bk AND a.nm < b.nm)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+        |       n_a, n_b, n_a * n_b AS n_record_pairs
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+        |ORDER BY name_a, name_b""") {
+      (s, dir) =>
+        graft.ops.Linkage.fuzzyNamePairs(Tables.part(s, dir),
+            "p_partkey", "p_name", maxDist = 2)
+          .orderBy(col("name_a"), col("name_b"))
+    },
+
     // One-pass table profiling (the data-quality summary a pipeline emits
     // per ingest): null/distinct/min/max per column in long format. The
     // Spark side is ONE aggregate over the scan — the multi-distinct plans
