@@ -412,7 +412,57 @@ object ScaleProbe {
         // bigram novelty: bigram explode + two combinable aggs + key join
         "bigram_novelty" -> (() =>
           time(s"$tag/bigram_novelty")(
-            graft.ops.TextStats.bigramNovelty(docs, minCf = 5).count())))
+            graft.ops.TextStats.bigramNovelty(docs, minCf = 5).count())),
+        // BM25: same tokenize-explode + broadcast-pruned postings as
+        // boolean_retrieval, plus the dl join (corpus-keyed) and a 1-row
+        // broadcast of (N, Σdl)
+        "bm25_retrieval" -> (() =>
+          time(s"$tag/bm25_retrieval")(
+            graft.ops.Retrieval.bm25Retrieval(docs, Seq(
+              (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
+              (3L, Seq("stream", "window")), (4L, Seq("dup"))), k = 10)
+              .count())),
+        // ordered funnel: three user-keyed min-aggregates + equi-joins on
+        // monotonically shrinking reacher relations
+        "funnel" -> (() =>
+          time(s"$tag/funnel")(
+            graft.ops.EventAnalytics.funnel(ev,
+              Seq("view", "click", "purchase")).count())),
+        // cohort retention: distinct (user, day) + min-agg + join-back
+        "retention" -> (() =>
+          time(s"$tag/retention")(
+            graft.ops.EventAnalytics.retentionCohorts(ev).count())),
+        // SCD2: one user-keyed exchange feeding both change windows
+        "scd2" -> (() =>
+          time(s"$tag/scd2")(
+            graft.ops.EventAnalytics.scd2(ev).count())),
+        // MAD outliers: two percentile passes + broadcast joins — the probe
+        // runs the EXACT percentile the oracle checks; per-type buffers
+        // grow with the corpus (the documented reason the 100 TB path is
+        // the approx sketch), so the pair of numbers shows that trade
+        "mad_anomalies" -> (() =>
+          time(s"$tag/mad_anomalies")(
+            graft.ops.EventAnalytics.madAnomalies(ev).count())),
+        "mad_anomalies_approx" -> (() =>
+          time(s"$tag/mad_anomalies_approx")(
+            graft.ops.EventAnalytics.madAnomalies(ev, approx = true).count())),
+        // fuzzy entity resolution: contracted through distinct names, so
+        // replication grows GROUP COUNTS, never the blocked pair join —
+        // the flat-ratio signature, like bpe_encode's vocab fixpoint
+        "fuzzy_names" -> (() =>
+          time(s"$tag/fuzzy_names")(
+            graft.ops.Linkage.fuzzyNamePairs(docs, "doc_id", "source")
+              .count())),
+        // triangle diagnostics on the CONTRACTED rep-rep graph: on a
+        // duplicate-saturated corpus the raw pair graph holds K_m cliques
+        // (m³ triangles per m-replica group — inherently output-cubic), so
+        // production composes exactly like the CC loop: star-contract
+        // first, count triangles among representatives only
+        "triangles_contracted" -> (() =>
+          time(s"$tag/triangles_contracted")({
+            val (_, repPairs) = Dedup.minhashStarsAndRepPairs(docs, 16, 4, 0.5, "text")
+            Dedup.triangleCounts(repPairs).count()
+          })))
       probes.filter { case (op, _) => onlyOps.forall(_.contains(op)) }
         .map { case (_, probe) => val r = probe(); flush(spark, keep); r }
     }

@@ -883,7 +883,7 @@ object Dedup {
     stars.union(repPairs)
   }
 
-  private def minhashStarsAndRepPairs(docs: DataFrame, numHashes: Int,
+  private[graft] def minhashStarsAndRepPairs(docs: DataFrame, numHashes: Int,
                                       bands: Int, threshold: Double,
                                       textCol: String): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")

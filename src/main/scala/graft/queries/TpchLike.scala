@@ -354,6 +354,66 @@ object TpchLike {
           .orderBy(col("priority"), col("quartile"))
     },
 
+    // TPC-H Q13 shape: distribution of customers by order count — LEFT
+    // OUTER join (zero-order customers must appear at c_count 0) + two
+    // stacked aggregates. The left outer shuffles on custkey; the
+    // distribution aggregate is O(distinct counts).
+    QuerySpec.sql("q13_custdist",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""") {
+      (s, dir) =>
+        cust(s, dir)
+          .join(ord(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Frame-bounded window coverage: running extrema + nth_value +
+    // cume_dist per priority, all over one (priority)-partitioned sort.
+    // cume_dist is rank/n in exact IEEE (identical in both engines for
+    // these row counts); the unique orderkey tie-break keeps frames stable.
+    QuerySpec.sql("q_order_window_frames",
+      """SELECT o_orderkey,
+        |       o_orderpriority AS priority,
+        |       CAST(floor(min(o_totalprice) OVER wrun * 100) AS BIGINT) AS run_min_c,
+        |       CAST(floor(max(o_totalprice) OVER wrun * 100) AS BIGINT) AS run_max_c,
+        |       CAST(floor(first_value(o_totalprice) OVER wfull * 100) AS BIGINT) AS p_min_c,
+        |       CAST(floor(nth_value(o_totalprice, 2) OVER wfull * 100) AS BIGINT) AS p_second_c,
+        |       round(cume_dist() OVER word, 6) AS cd
+        |FROM orders
+        |WINDOW wrun AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |                ROWS UNBOUNDED PRECEDING),
+        |       wfull AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |       word AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY priority, o_totalprice, o_orderkey
+        |LIMIT 2000""") {
+      (s, dir) => {
+        val sort = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+        val base = Window.partitionBy(col("o_orderpriority")).orderBy(sort: _*)
+        val wrun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wfull = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ord(s, dir).select(
+            col("o_orderkey"),
+            col("o_orderpriority").as("priority"),
+            floor(min(col("o_totalprice")).over(wrun) * 100).cast("long").as("run_min_c"),
+            floor(max(col("o_totalprice")).over(wrun) * 100).cast("long").as("run_max_c"),
+            floor(first_value(col("o_totalprice")).over(wfull) * 100).cast("long").as("p_min_c"),
+            floor(nth_value(col("o_totalprice"), 2).over(wfull) * 100).cast("long").as("p_second_c"),
+            round(cume_dist().over(base), 6).as("cd"),
+            col("o_totalprice"))
+          .orderBy(col("priority").asc +: sort: _*)
+          .limit(2000)
+          .drop("o_totalprice")
+      }
+    },
+
     // Entity resolution on part names: contract-through-exact-names first
     // (the corpus pays ONE hash aggregate), then token-blocked levenshtein
     // verification over the vocabulary-sized distinct-name relation — see
