@@ -292,6 +292,13 @@ object ScaleProbe {
           time(s"$tag/span_coverage")(
             Dedup.spanCoverage(docs, n = 5)
               .filter(col("coverage") >= 0.0).count())),
+        // maximal duplicated runs: span_coverage's front half + a per-doc
+        // island window — replicas make every post-marker position dup,
+        // so runs are long and few (run relation ≈ docs, not positions)
+        "dup_runs" -> (() =>
+          time(s"$tag/dup_runs")(
+            Dedup.dupRuns(docs, n = 5)
+              .filter(col("dup_tokens") >= 0L).count())),
         // per-doc keyword argmax: token explode + two hash-aggs + a term
         // join — posting depth (replicated docs share their vocabulary)
         // lands in the df aggregate's combiner, never a per-doc window

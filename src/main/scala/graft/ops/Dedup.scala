@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -107,6 +108,54 @@ object Dedup {
         when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
           .otherwise(col("dup_spans").cast("double") / col("n_spans"))
           .as("coverage"))
+  }
+
+  /** Maximal duplicated RUNS per doc — the practical form of Lee et al.'s
+    * ExactSubstr measurement: consecutive duplicated n-gram positions
+    * merge into one run (positions i and i+1 both duplicated ⇒ tokens
+    * i..i+n overlap into a single duplicated region), so the output is
+    * token-true: `dup_tokens` is the exact duplicated token mass (a run
+    * over positions [i, j] covers j − i + n tokens, counted once, where
+    * [[spanCoverage]]'s per-span ratio counts overlapping spans
+    * separately), `longest_run_tokens` is the longest duplicated
+    * substring-in-n-gram-resolution — the statistic that decides the
+    * "drop docs with a ≥50-token duplicated run" rule without a
+    * distributed suffix array.
+    *
+    * Scale shape: identical front half to [[spanCoverage]] (positional
+    * explode, 60-bit long span keys, map-side-combinable df aggregate);
+    * the island detection is two windows over the SAME (doc_id, pos)
+    * partition-order — one exchange, partitioned by doc — and the run
+    * relation is bounded by duplicated positions, never corpus². */
+  def dupRuns(docs: DataFrame, n: Int = 5,
+              textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+        posexplode(positionalShingles(col(textCol), n)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("sk"))
+    val df = pos.select(col("doc_id"), col("sk")).distinct()
+      .groupBy(col("sk")).agg(count(lit(1)).as("__df"))
+    val dup = pos.join(df.filter(col("__df") >= 2), "sk")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("new_run",
+        (coalesce(col("pos") - lag(col("pos"), 1).over(w), lit(2)) > 1)
+          .cast("long"))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg((max(col("pos")) - min(col("pos")) + n).cast("long").as("run_tokens"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).as("longest_run_tokens"),
+        sum(col("run_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run_tokens"), lit(0L)).as("longest_run_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
   /** Exact dedup: group by content fingerprint, keep the lowest doc_id as

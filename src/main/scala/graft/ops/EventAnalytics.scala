@@ -89,6 +89,37 @@ object EventAnalytics {
         col("offset_periods"), col("n_users"))
   }
 
+  /** Per-group closed-form linear trend (least-squares slope of value over
+    * time): the "is this metric drifting" read-out, computed from exact
+    * integer sums — x is whole hours since the GLOBAL earliest event (a
+    * 1-row broadcast anchor, the [[Recent]] pattern), y is cent-quantized
+    * value, and slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with numerator and
+    * denominator both exact int64 (n ≤ 2·10⁷ rows/group before nΣxy
+    * approaches 2⁶³ at these ranges); the single IEEE division at the end
+    * is bit-identical across engines on identical operands — the same
+    * determinism contract as spanCoverage's coverage ratio.
+    *
+    * One map-side-combinable aggregate per group after the anchor join;
+    * no windows, no per-group sorts. */
+  def linearTrend(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val anchor = events.agg(min(us).as("min_us"))
+    events
+      .crossJoin(broadcast(anchor))
+      .select(col("event_type").as("code"),
+        expr("(unix_micros(ts) - min_us) div 3600000000").as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("code"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_cents_per_hour",
+        col("num").cast("double") / col("den").cast("double"))
+  }
+
   /** Robust (median/MAD) outlier detection per event type: flag events
     * whose |value − median| exceeds `k` × the median-absolute-deviation of
     * their type — the robust z-score that a mean/stddev rule gets wrong on

@@ -292,6 +292,56 @@ object Pipeline {
           .orderBy(col("cohort_day"), col("offset_periods"))
     },
 
+    // Per-type least-squares drift: exact int64 moment sums, one IEEE
+    // division for the slope (deterministic on identical operands).
+    QuerySpec.sql("q_trend_per_type",
+      """WITH a AS (SELECT min(epoch_us(ts)) AS min_us FROM events),
+        |e AS (SELECT event_type AS code,
+        |             (epoch_us(ts) - a.min_us) // 3600000000 AS x,
+        |             CAST(floor(value * 100) AS BIGINT) AS y
+        |      FROM events CROSS JOIN a),
+        |s AS (SELECT code, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT code, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |         AS slope_cents_per_hour
+        |FROM s ORDER BY code""") {
+      (s, dir) =>
+        EventAnalytics.linearTrend(Tables.events(s, dir))
+          .orderBy(col("code"))
+    },
+
+    // Generated calendar spine × daily counts: the gaps-included daily
+    // series (a LEFT join against a `sequence`-generated relation — days
+    // with zero events still appear). The spine is O(days), driver-free.
+    QuerySpec.sql("q_calendar_daily",
+      """WITH b AS (SELECT epoch_us(min(ts)) // 86400000000 AS d0,
+        |                  epoch_us(max(ts)) // 86400000000 AS d1 FROM events),
+        |spine AS (SELECT unnest(range(d0, d1 + 1)) AS dd FROM b),
+        |act AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        |               CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+        |SELECT strftime(make_timestamp(dd * 86400000000), '%Y-%m-%d') AS day,
+        |       coalesce(n, 0) AS n_events
+        |FROM spine LEFT JOIN act USING (dd)
+        |ORDER BY day""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val b = ev.agg(expr("min(unix_micros(ts)) div 86400000000").as("d0"),
+          expr("max(unix_micros(ts)) div 86400000000").as("d1"))
+        val spine = b.select(explode(sequence(col("d0"), col("d1"))).as("dd"))
+        val act = ev.groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(act, Seq("dd"), "left")
+          .select(date_format(timestamp_micros(col("dd") * 86400000000L), "yyyy-MM-dd")
+              .as("day"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy(col("day"))
+      }
+    },
+
     // Robust per-type outlier flags: |value − median| > 3·MAD on floored
     // µ-quantized longs — the int64 compare can't flip on a float boundary.
     QuerySpec.sql("q_mad_anomalies",

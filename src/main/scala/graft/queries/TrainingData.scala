@@ -1381,6 +1381,47 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Maximal duplicated runs (ExactSubstr in n-gram resolution):
+    // consecutive duplicated 5-gram positions merge into token-true runs;
+    // longest_run_tokens drives the ">= 50-token duplicated run" drop rule
+    // without a distributed suffix array.
+    QuerySpec.sql("dd_dup_runs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |p0 AS (SELECT doc_id, unnest(list_transform(range(1, n - 3),
+        |        i -> {'pos': i, 's': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]})) AS u
+        |      FROM t),
+        |p AS (SELECT doc_id, u.pos AS pos,
+        |        list_reduce(list_transform(string_split(substr(md5(u.s), 1, 15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS sk
+        |      FROM p0),
+        |df AS (SELECT sk, count(DISTINCT doc_id) AS df FROM p GROUP BY sk),
+        |dup AS (SELECT doc_id, pos FROM p JOIN df USING (sk) WHERE df >= 2),
+        |r AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+        |             THEN 1 ELSE 0 END AS nr
+        |      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |rid AS (SELECT doc_id, pos,
+        |          sum(nr) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS run_id
+        |        FROM r),
+        |runs AS (SELECT doc_id, run_id,
+        |           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS run_tokens
+        |         FROM rid GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |          max(run_tokens) AS longest_run_tokens,
+        |          CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
+        |        FROM runs GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_runs, 0) AS n_runs,
+        |       coalesce(a.longest_run_tokens, 0) AS longest_run_tokens,
+        |       coalesce(a.dup_tokens, 0) AS dup_tokens
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") {
+      (s, dir) =>
+        Dedup.dupRuns(Tables.documents(s, dir), n = 5)
+          .orderBy(col("doc_id"))
+    },
+
     // The FULL composition contract from Dedup's scaladoc, end-to-end:
     // exact dedup FIRST (collapse identical copies for one (hash, id)
     // shuffle), near-dup edges over the survivors only, transitive

@@ -294,6 +294,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupRuns merges consecutive duplicated positions into token-true runs") {
+    val corpus = Seq(
+      // d1 shares a 7-token phrase with d2 (→ 3 consecutive dup 5-gram
+      // positions = one 7-token run) and a 5-token phrase with d3
+      (1L, "a b c d e f g x1 x2 x3 p q r s t"),
+      (2L, "z1 z2 a b c d e f g z3"),
+      (3L, "w1 w2 w3 p q r s t"),
+      (4L, "u v") // shorter than n → all zeros
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupRuns(corpus, n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 7L, 12L)), s"d1: $out") // runs of 7 and 5 tokens
+    assert(out(2L) === ((1L, 7L, 7L)))
+    assert(out(3L) === ((1L, 5L, 5L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
   test("triangleCounts: each triangle counted once, hubs close no wedges") {
     // triangle {1,2,3} + tail 3-4, a K4 {5,6,7,8}, and a 5-spoke star at 20
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),

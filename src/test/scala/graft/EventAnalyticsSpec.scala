@@ -81,6 +81,20 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(approx === Set(("a", 6L), ("b", 10L)))
   }
 
+  test("linearTrend recovers an exact slope from integer moment sums") {
+    val events = ev(
+      // code a: value climbs exactly 1.00/hour → slope 100 cents/hour
+      (1L, 1L, 0L, "a", 1.0), (2L, 1L, 60L, "a", 2.0), (3L, 1L, 120L, "a", 3.0),
+      // code b: flat → slope 0
+      (4L, 2L, 0L, "b", 5.0), (5L, 2L, 60L, "b", 5.0), (6L, 2L, 120L, "b", 5.0))
+    val out = EventAnalytics.linearTrend(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("a") === ((3L, 600L, 6L, 100.0)))
+    assert(out("b") === ((3L, 0L, 6L, 0.0)))
+  }
+
   test("scd2 collapses runs, keeps re-assertions out, flags the open row") {
     val events = ev(
       (1L, 1L, 0L, "a", 1.0),
