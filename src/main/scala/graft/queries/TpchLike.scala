@@ -354,6 +354,73 @@ object TpchLike {
           .orderBy(col("priority"), col("quartile"))
     },
 
+    // TPC-H Q7 shape: cross-nation shipping volume — lineitem reaches BOTH
+    // nation dimensions (via supplier and via orders→customer) in one
+    // plan; both nation maps broadcast, the two fact joins shuffle on
+    // their natural keys (suppkey, orderkey).
+    QuerySpec.sql("q7_nation_volume",
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_c,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name != cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""") {
+      (s, dir) => {
+        val nat = Tables.nation(s, dir)
+        li(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+            col("snk") === col("s_nationkey"))
+          .join(ord(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(cust(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(nat.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+            col("cnk") === col("c_nationkey"))
+          .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
+            col("cust_nation").isin("NATION_1", "NATION_2") &&
+            col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            date_format(col("l_shipdate"), "yyyy").cast("long").as("ship_year"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).as("volume_c"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      }
+    },
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue — the
+    // returns-quality report; TakeOrderedAndProject bounds the output.
+    QuerySpec.sql("q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |       n_name
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_c DESC, c_custkey LIMIT 20""") {
+      (s, dir) =>
+        cust(s, dir)
+          .join(ord(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(li(s, dir).filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_c"))
+          .select(col("c_custkey"), col("c_name"), col("revenue_c"), col("n_name"))
+          .orderBy(col("revenue_c").desc, col("c_custkey"))
+          .limit(20)
+    },
+
     // TPC-H Q13 shape: distribution of customers by order count — LEFT
     // OUTER join (zero-order customers must appear at c_count 0) + two
     // stacked aggregates. The left outer shuffles on custkey; the
