@@ -299,6 +299,12 @@ object ScaleProbe {
           time(s"$tag/dup_runs")(
             Dedup.dupRuns(docs, n = 5)
               .filter(col("dup_tokens") >= 0L).count())),
+        // winnowing: per-doc frame min (one keyed window) + df-capped
+        // posting join on the ~2/(w+1)-density selected prints — replica
+        // groups share every print, so the cap is what bounds the join
+        "winnow_pairs" -> (() =>
+          time(s"$tag/winnow_pairs")(
+            Dedup.winnowPairs(docs, maxDf = 64).count())),
         // per-doc keyword argmax: token explode + two hash-aggs + a term
         // join — posting depth (replicated docs share their vocabulary)
         // lands in the df aggregate's combiner, never a per-doc window

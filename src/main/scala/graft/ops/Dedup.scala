@@ -158,6 +158,59 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Winnowing fingerprint selection + candidate pairs (Schleimer/
+    * Wilkerson/Aiken's MOSS scheme) — the third near-dup FAMILY next to
+    * minhash (whole-doc similarity) and simhash (bit-flip distance):
+    * LOCAL fingerprint selection with a positional guarantee — any shared
+    * token run of ≥ w + k − 1 tokens is guaranteed to share at least one
+    * selected fingerprint, which set-sampling schemes cannot promise.
+    * That makes it the candidate generator for partial-overlap detection
+    * (plagiarism, quote reuse) where minhash's global-Jaccard lens dilutes
+    * a short shared passage to invisibility.
+    *
+    * Selection: per k-gram position the 40-bit md5-derived hash; per
+    * sliding window of `w` consecutive hashes keep the minimum, rightmost
+    * on ties — encoded as ONE long min over hk·2²⁰ + (2²⁰−1−pos), so both
+    * engines run a plain integer `min` over the frame (no struct ordering
+    * semantics to align) and docs stay ≤ 2²⁰ tokens by contract. Selected
+    * prints dedup per doc; docs with fewer than w k-grams emit nothing
+    * (no partial windows — the guarantee starts at w full hashes).
+    *
+    * Pair generation is the standard posting join on the selected-print
+    * relation (≈ 2/(w+1) of positions survive selection — the winnowing
+    * density bound — so the posting list is w/2× smaller than the full
+    * k-gram index), df-capped via `maxDf` exactly like
+    * [[ngramJaccardPairs]]: boilerplate prints above the cap are dropped
+    * from the whole universe before the self-join.
+    *
+    * Scale: explode O(tokens); the frame min is a per-doc window (one
+    * keyed exchange); the self-join is bounded by maxDf²/2 per print. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, maxDf: Int = 1000,
+                  textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+        posexplode(positionalShingles(col(textCol), k)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("hk"))
+    val wf = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val sel = pos
+      .withColumn("sel", min(col("hk") * lit(1048576L) +
+        (lit(1048575L) - col("pos"))).over(wf))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col("doc_id"), expr("sel div 1048576").as("fp"))
+      .distinct()
+    val keep = sel.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val pruned = sel.join(keep.select(col("fp")), "fp")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Exact dedup: group by content fingerprint, keep the lowest doc_id as
     * canonical. Output one row per distinct content. */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =

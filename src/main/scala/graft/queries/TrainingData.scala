@@ -1381,6 +1381,40 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Winnowing (MOSS) candidate pairs: local min-hash selection per
+    // sliding window with the >= w+k-1-token shared-run guarantee that
+    // set-sampling schemes can't give — the partial-overlap detector.
+    // Selection is one integer min per frame (hk*2^20 + reversed pos);
+    // fp sets match across engines regardless of 0/1-based positions.
+    QuerySpec.sql("dd_winnow_pairs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |p0 AS (SELECT doc_id, unnest(list_transform(range(1, n - 2),
+        |        i -> {'pos': i, 's': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]})) AS u
+        |      FROM t),
+        |p AS (SELECT doc_id, u.pos AS pos,
+        |        list_reduce(list_transform(string_split(substr(md5(u.s), 1, 10), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |      FROM p0),
+        |m AS (SELECT doc_id, pos,
+        |        min(hk * 1048576 + (1048576 - pos))
+        |          OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |      FROM p),
+        |selp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp FROM m WHERE pos >= 4),
+        |keep AS (SELECT fp FROM selp GROUP BY fp HAVING count(*) <= 1000),
+        |pr AS (SELECT selp.doc_id, selp.fp FROM selp JOIN keep USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) =>
+        Dedup.winnowPairs(Tables.documents(s, dir), k = 4, w = 4,
+            minShared = 2, maxDf = 1000)
+          .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Maximal duplicated runs (ExactSubstr in n-gram resolution):
     // consecutive duplicated 5-gram positions merge into token-true runs;
     // longest_run_tokens drives the ">= 50-token duplicated run" drop rule

