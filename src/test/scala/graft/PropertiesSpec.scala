@@ -147,6 +147,73 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("funnel reach is monotonically non-increasing with non-negative lags") {
+    val eventsGen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 8L)
+      m <- Gen.choose(0L, 500L)
+      t <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u, m, t))
+    samples(eventsGen, 4).foreach { evs =>
+      val df = evs.zipWithIndex.map { case ((u, m, t), i) =>
+        (i.toLong, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60)),
+          u, t, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = graft.ops.EventAnalytics.funnel(df, Seq("view", "click", "purchase"))
+        .orderBy("step").collect()
+      val reach = out.map(_.getLong(2))
+      assert(reach.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+        s"reach must shrink per step: ${reach.toSeq}")
+      assert(out.forall(_.getLong(3) >= 0L), "lags are non-negative")
+    }
+  }
+
+  test("per-node triangle counts always sum to 3x the triangle total") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(edgesGen, 4).foreach { es =>
+      val pairs = es.distinct.toDF("doc_a", "doc_b")
+      val out = Dedup.triangleCounts(pairs).collect()
+      val perNodeSum = out.map(_.getLong(3)).sum
+      // brute-force ground truth on the tiny edge set
+      val adj = es.distinct.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val triangles = (for {
+        i <- nodes; j <- nodes if j > i && adj(i)(j)
+        k <- nodes if k > j && adj(i)(k) && adj(j)(k)
+      } yield 1).size
+      assert(perNodeSum === 3L * triangles,
+        s"per-node sum $perNodeSum != 3 x $triangles")
+      out.foreach { r => assert(r.getLong(3) <= r.getLong(2),
+        "triangles cannot exceed wedges") }
+    }
+  }
+
+  test("dupRuns and spanCoverage agree on where duplication exists") {
+    val docsGen = Gen.listOfN(5, Gen.listOfN(12,
+      Gen.oneOf("p", "q", "r", "s", "t")).map(_.mkString(" ")))
+    samples(docsGen, 4).foreach { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cov = Dedup.spanCoverage(docs, n = 5).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val runs = Dedup.dupRuns(docs, n = 5).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val tokens = ts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").length }.toMap
+      runs.foreach { case (id, (nRuns, longest, dupTokens)) =>
+        val (_, dupSpans) = cov(id)
+        assert((dupSpans == 0L) === (dupTokens == 0L),
+          s"doc $id: coverage and runs disagree on duplication existing")
+        assert(dupTokens >= longest)
+        if (nRuns > 0) assert(longest >= 5L, "a run covers at least n tokens")
+        assert(dupTokens <= tokens(id), "duplicated mass cannot exceed the doc")
+      }
+    }
+  }
+
   test("jaccard pairs are within (0,1] with doc_a < doc_b") {
     val texts = Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w"))
       .map(_.mkString(" ")))

@@ -130,6 +130,50 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[ObsState]
+    val purchases = MemoryStream[ObsState]
+    val v = views.toDF().withWatermark("event_timestamp", "10 minutes")
+      .select(col("location").as("v_loc"), col("event_timestamp").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.toDF().withWatermark("event_timestamp", "10 minutes")
+      .select(col("location").as("p_loc"), col("event_timestamp").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = p.join(v,
+      col("p_loc") === col("v_loc") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val query = joined.writeStream.format("memory")
+      .queryName("ss_left_join").outputMode("append").start()
+
+    views.addData(ObsState("a", ts(10, 0), 1, "v", 0))
+    purchases.addData(
+      ObsState("a", ts(10, 25), 9, "p", 0),  // matched by view 1
+      ObsState("c", ts(10, 30), 10, "p", 0)) // no view at all
+    query.processAllAvailable()
+    // the unmatched row may not emit until the watermark passes its join
+    // window — push the watermark far ahead on both sides
+    views.addData(ObsState("z", ts(14, 0), 98, "v", 0))
+    purchases.addData(ObsState("z", ts(14, 0), 99, "p", 0))
+    query.processAllAvailable()
+    views.addData(ObsState("z2", ts(15, 0), 96, "v", 0))
+    purchases.addData(ObsState("z2", ts(15, 0), 97, "p", 0))
+    query.processAllAvailable()
+
+    val rows = spark.table("ss_left_join").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong)))
+      .toSet
+    assert(rows.contains((9L, Some(1L))), s"matched pair missing: $rows")
+    assert(rows.contains((10L, None)),
+      s"unmatched purchase must emit with null view after watermark: $rows")
+    query.stop()
+  }
+
   test("stateful latest-per-key updates across batches and survives out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
