@@ -331,6 +331,16 @@ object ScaleProbe {
             EmbeddingSim.semanticDedup(vecs,
               numCentroids = 8 * math.max(1, tag.takeWhile(_.isDigit).toInt), iters = 2,
               threshold = 0.45, trainSample = 0.1).count())),
+        // hierarchical assignment on top of sampled training: the corpus
+        // pays 2·√k distance evals instead of k — the remaining n·k term
+        // semantic_dedup_sampled's scaladoc flags as the next bottleneck
+        "semantic_dedup_hier" -> (() => {
+          val k = 8 * math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/semantic_dedup_hier")(
+            EmbeddingSim.semanticDedupHier(vecs, numCentroids = k, iters = 2,
+              threshold = 0.45, coarseK = math.max(2, math.sqrt(k.toDouble).toInt),
+              trainSample = 0.1).count())
+        }),
         // BPE train+encode: the corpus passes are the (doc, word) count and
         // the final word-key join; the merge fixpoint runs on the vocab
         // (replication grows word COUNTS, and the marker jitter adds only

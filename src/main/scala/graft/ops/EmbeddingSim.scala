@@ -396,6 +396,70 @@ object EmbeddingSim {
         col("__dropped").isNull.cast("long").as("is_kept"))
   }
 
+  /** [[semanticDedup]] with HIERARCHICAL cell assignment — the n·√k
+    * successor flagged when semantic dedup's assignment pass becomes the
+    * bottleneck: with k grown ∝ corpus (the SemDeDup constant-cell-
+    * population rule) flat assignment is n·k·d and dominates even the
+    * sampled-training configuration (probed 46.7 s at 100×, ratio 8.6).
+    * Here each vector pays coarseK + k/coarseK ≈ 2√k distance evals
+    * instead of k: nearest of the `coarseK` coarse group centroids first,
+    * then nearest fine centroid among that group's children only — the
+    * [[ivfHierTopK]] assignment applied to trained centroids.
+    *
+    * Coarse centroids are the coarseK lowest-cid TRAINED fine centroids
+    * (deterministic, oracle-replayable; k-means over the centroids would
+    * spread them better but adds another unrollable training loop).
+    * Assignment is approximate at group boundaries exactly as in
+    * [[ivfHierTopK]] — a vector can land in a different (still nearby)
+    * cell than flat assignment picks, so survivors may differ from
+    * [[semanticDedup]]'s: both are valid SemDeDup ε-ball samples, and the
+    * identical-vector contract (identical vectors share a cell, min-id
+    * survives) holds under ANY assignment, spec-pinned for both. */
+  def semanticDedupHier(vectors: DataFrame, numCentroids: Int = 8,
+                        iters: Int = 2, threshold: Double = 0.45,
+                        coarseK: Int = 4,
+                        trainSample: Double = 1.0): DataFrame = {
+    val corpus = prepared(vectors)
+    val trainSet =
+      if (trainSample >= 1.0) vectors
+      else vectors.filter(Sampling.hashKey(col("vec_id")) <
+        lit((trainSample * 4294967296.0).toLong))
+    val cents = kmeansCentroids(trainSet, numCentroids, iters)
+    val coarse = broadcast(cents.orderBy(col("cid").asc).limit(coarseK)
+      .select(col("cid").as("gid"), col("cq").as("gq"), col("cn2").as("gn2")))
+    val parent = cents.crossJoin(coarse)
+      .withColumn("pd2",
+        col("cn2") + col("gn2") - lit(2L) * qdot(col("cq"), col("gq")))
+      .groupBy(col("cid"))
+      .agg(min_by(col("gid"), struct(col("pd2"), col("gid"))).as("gid"))
+    val fineT = broadcast(cents.join(parent, "cid"))
+    val cg = corpus.crossJoin(coarse)
+      .withColumn("d2",
+        col("n2") + col("gn2") - lit(2L) * qdot(col("q"), col("gq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("gid"), struct(col("d2"), col("gid"))).as("gid"),
+        min_by(col("q"), struct(col("d2"), col("gid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("gid"))).as("n2"))
+    val mc = cg.join(fineT, "gid")
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        min_by(col("q"), struct(col("d2"), col("cid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("cid"))).as("n2"))
+    val drops = mc.as("a")
+      .join(mc.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(qcosine(qdot(col("a.q"), col("b.q")),
+        col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    mc.select(col("vec_id"), col("cid"))
+      .join(drops.withColumn("__dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("__dropped").isNull.cast("long").as("is_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b), blocked
     * on a coarse LSH signature so the pair join is an equi-join. With
     * `planes = 0` the blocking is disabled (exact all-pairs — test scale

@@ -1788,6 +1788,48 @@ object TrainingData {
           .orderBy(col("vec_id"))
     },
 
+    // Hierarchical-assignment SemDeDup: same trained centroids, but every
+    // vector pays coarseK + k/coarseK distance evals instead of k — the
+    // n·√k scale path when k grows with the corpus. The oracle replays
+    // training (2 unrolled Lloyd rounds), the coarse/parent derivation and
+    // BOTH assignment levels, then the same within-cell dominance.
+    QuerySpec.sql("dd_semantic_hier",
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c0 AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |${kmeansRoundSql(1, "c0")},
+        |${kmeansRoundSql(2, "c1")},
+        |g AS (SELECT cid AS gid, cq AS gq, cn2 AS gn2 FROM c2 ORDER BY cid LIMIT 4),
+        |par AS (SELECT cid, gid FROM (
+        |          SELECT c.cid, g.gid,
+        |                 c.cn2 + g.gn2 - 2 * list_sum(list_transform(range(1, 65), i -> c.cq[i] * g.gq[i])) AS pd2
+        |          FROM c2 c CROSS JOIN g)
+        |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY pd2 ASC, gid ASC) = 1),
+        |ft AS (SELECT c.cid, c.cq, c.cn2, par.gid FROM c2 c JOIN par USING (cid)),
+        |cg AS (SELECT vec_id, gid FROM (
+        |         SELECT m.vec_id, g.gid,
+        |                m.n2 + g.gn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * g.gq[i])) AS d2
+        |         FROM m CROSS JOIN g)
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, gid ASC) = 1),
+        |cells AS (SELECT vec_id, cid FROM (
+        |            SELECT m.vec_id, ft.cid,
+        |                   m.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * ft.cq[i])) AS d2
+        |            FROM m JOIN cg USING (vec_id) JOIN ft USING (gid))
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |mc AS (SELECT m.vec_id, m.qv, m.n2, cells.cid FROM m JOIN cells USING (vec_id)),
+        |drops AS (SELECT DISTINCT b.vec_id
+        |          FROM mc a JOIN mc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |          WHERE list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |                / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) >= 0.45)
+        |SELECT cells.vec_id, cells.cid, CAST(drops.vec_id IS NULL AS BIGINT) AS is_kept
+        |FROM cells LEFT JOIN drops ON drops.vec_id = cells.vec_id
+        |ORDER BY cells.vec_id""") {
+      (s, dir) =>
+        EmbeddingSim.semanticDedupHier(Tables.embeddings(s, dir))
+          .orderBy(col("vec_id"))
+    },
+
     // The scale configuration of the same operator: plane count derived
     // from the corpus size (expected bucket ≈ 64 vectors, so candidates
     // grow linearly with the corpus instead of n²/2^planes going quadratic

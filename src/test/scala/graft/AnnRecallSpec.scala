@@ -198,5 +198,17 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(keptS === Set(0L, 3L, 6L, 9L),
       s"sampled training must keep the same min-id survivors, got $keptS")
+
+    // Hierarchical assignment: identical vectors still share a cell under
+    // ANY assignment (identical distances at both levels, deterministic
+    // tie-breaks), so the min-id-survivor contract is unchanged even
+    // though boundary vectors may land in different cells than flat.
+    val hier = EmbeddingSim.semanticDedupHier(vecs, numCentroids = 4,
+      iters = 2, threshold = 0.9, coarseK = 2).collect()
+    assert(hier.length === 12, "one row per input vector (hier assignment)")
+    val keptH = hier.filter(_.getAs[Long]("is_kept") == 1L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(keptH === Set(0L, 3L, 6L, 9L),
+      s"hier assignment must keep the same min-id survivors, got $keptH")
   }
 }
