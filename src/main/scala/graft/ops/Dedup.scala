@@ -117,7 +117,9 @@ object Dedup {
     * token-true: `dup_tokens` is the exact duplicated token mass (a run
     * over positions [i, j] covers j − i + n tokens, counted once, where
     * [[spanCoverage]]'s per-span ratio counts overlapping spans
-    * separately), `longest_run_tokens` is the longest duplicated
+    * separately; runs merge while their token spans overlap — gap ≤ n−1 —
+    * so the union is contiguous and never double-counted),
+    * `longest_run_tokens` is the longest duplicated
     * substring-in-n-gram-resolution — the statistic that decides the
     * "drop docs with a ≥50-token duplicated run" rule without a
     * distributed suffix array.
@@ -138,9 +140,15 @@ object Dedup {
     val dup = pos.join(df.filter(col("__df") >= 2), "sk")
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // runs merge while their TOKEN spans overlap: positions i < j cover
+    // [i, i+n-1] and [j, j+n-1], which overlap iff j − i ≤ n − 1 — merging
+    // only consecutive positions (gap 1) would count the overlap of
+    // gap-2..n-1 spans twice and dup_tokens could exceed the doc length.
+    // A gap of exactly n gives adjacent DISJOINT spans: two runs whose
+    // lengths still sum to the exact union.
     val runs = dup
       .withColumn("new_run",
-        (coalesce(col("pos") - lag(col("pos"), 1).over(w), lit(2)) > 1)
+        (coalesce(col("pos") - lag(col("pos"), 1).over(w), lit(n.toLong)) > n - 1)
           .cast("long"))
       .withColumn("run_id", sum(col("new_run"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -185,21 +193,33 @@ object Dedup {
     *
     * Scale: explode O(tokens); the frame min is a per-doc window (one
     * keyed exchange); the self-join is bounded by maxDf²/2 per print. */
-  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
-                  minShared: Int = 2, maxDf: Int = 1000,
-                  textCol: String = "text"): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+                         textCol: String = "text"): DataFrame = {
     val pos = docs.select(col("doc_id"),
         posexplode(positionalShingles(col(textCol), k)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("hk"))
     val wf = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
-    val sel = pos
+    pos
       .withColumn("sel", min(col("hk") * lit(1048576L) +
         (lit(1048575L) - col("pos"))).over(wf))
       .filter(col("pos") >= w - 1) // full windows only
       .select(col("doc_id"), expr("sel div 1048576").as("fp"))
       .distinct()
+  }
+
+  /** Candidate pairs over [[winnowFingerprints]]: df-capped posting
+    * self-join, pairs sharing ≥ `minShared` selected prints. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, maxDf: Int = 1000,
+                  textCol: String = "text"): DataFrame = {
+    // persisted: feeds the df-cap aggregate and BOTH sides of the posting
+    // self-join — without the cache each reference re-runs the
+    // tokenize/md5/window-min selection over the whole corpus (the
+    // triangleCounts lesson from this same file). Fixed-width two-long rows.
+    val sel = winnowFingerprints(docs, k, w, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keep = sel.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
     val pruned = sel.join(keep.select(col("fp")), "fp")

@@ -486,17 +486,18 @@ object TpchLike {
     // verification over the vocabulary-sized distinct-name relation — see
     // Linkage.fuzzyNamePairs for the scale contract.
     QuerySpec.sql("q_fuzzy_part_names",
-      """WITH nm AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n
+      """WITH nm AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n,
+        |                   CAST(min(p_partkey) AS BIGINT) AS ek
         |            FROM part GROUP BY 1),
-        |bl AS (SELECT DISTINCT nm, n,
+        |bl AS (SELECT DISTINCT nm, n, ek,
         |         unnest([string_split(nm, ' ')[1], string_split(nm, ' ')[-1]]) AS bk
         |       FROM nm),
         |cand AS (SELECT DISTINCT a.nm AS name_a, b.nm AS name_b,
-        |                a.n AS n_a, b.n AS n_b
+        |                a.n AS n_a, b.n AS n_b, a.ek AS key_a, b.ek AS key_b
         |         FROM bl a JOIN bl b ON a.bk = b.bk AND a.nm < b.nm)
         |SELECT name_a, name_b,
         |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
-        |       n_a, n_b, n_a * n_b AS n_record_pairs
+        |       n_a, n_b, key_a, key_b, n_a * n_b AS n_record_pairs
         |FROM cand WHERE levenshtein(name_a, name_b) <= 2
         |ORDER BY name_a, name_b""") {
       (s, dir) =>

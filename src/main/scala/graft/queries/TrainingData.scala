@@ -1432,7 +1432,9 @@ object TrainingData {
         |df AS (SELECT sk, count(DISTINCT doc_id) AS df FROM p GROUP BY sk),
         |dup AS (SELECT doc_id, pos FROM p JOIN df USING (sk) WHERE df >= 2),
         |r AS (SELECT doc_id, pos,
-        |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+        |        -- token spans of positions i < j overlap iff j - i <= n-1 = 4:
+        |        -- merged runs are contiguous token unions, never double-counted
+        |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 4
         |             THEN 1 ELSE 0 END AS nr
         |      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         |rid AS (SELECT doc_id, pos,

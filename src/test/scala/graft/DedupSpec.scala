@@ -312,13 +312,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs === (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet)
   }
 
-  test("winnowing selects far fewer prints than positions, none for short docs") {
+  test("winnowing selection density stays near 2/(w+1), short docs emit nothing") {
     val doc = (0 until 200).map(i => s"t$i").mkString(" ")
     val corpus = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
-    // no pairs (nothing shared), but the selection density bound is the
-    // point: expected ≈ 2/(w+1) of positions — assert well under half
-    val sel = graft.ops.Dedup.winnowPairs(corpus, k = 4, w = 4, minShared = 1)
-    assert(sel.count() === 0)
+    val fps = graft.ops.Dedup.winnowFingerprints(corpus, k = 4, w = 4)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 197 k-gram positions; expected selected ≈ 2/(w+1) = 0.4 of them.
+    // Bound it both ways: a broken frame that selects every position
+    // (destroying the w/2x posting-list reduction) or one that selects
+    // almost nothing (destroying the shared-run guarantee) must fail.
+    val selected = fps(1L)
+    assert(selected <= 110, s"selection density too high: $selected / 197")
+    assert(selected >= 40, s"selection density too low: $selected / 197")
+    assert(!fps.contains(2L), "sub-w docs emit no fingerprints")
+    // and unrelated contents still pair to nothing
+    assert(graft.ops.Dedup.winnowPairs(corpus, k = 4, w = 4, minShared = 1)
+      .count() === 0)
   }
 
   test("dupRuns merges consecutive duplicated positions into token-true runs") {
@@ -337,6 +347,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) === ((1L, 7L, 7L)))
     assert(out(3L) === ((1L, 5L, 5L)))
     assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("dupRuns merges OVERLAPPING spans with position gaps up to n-1") {
+    // d1's positions 0 (w0..w4, shared with d2) and 2 (w2..w6, shared with
+    // d3) are duplicated but position 1 is not: the spans overlap by 3
+    // tokens, so they must merge into ONE 7-token run — counting them as
+    // two 5-token runs would claim 10 duplicated tokens in a 7-token doc.
+    val corpus = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6"),
+      (2L, "x1 w0 w1 w2 w3 w4 x2"),
+      (3L, "y1 w2 w3 w4 w5 w6 y2")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupRuns(corpus, n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((1L, 7L, 7L)), s"overlapping spans must merge: $out")
+    assert(out.values.forall(_._3 <= 7L), "dup mass never exceeds the doc")
   }
 
   test("triangleCounts: each triangle counted once, hubs close no wedges") {

@@ -19,13 +19,15 @@ class LinkageSpec extends AnyFunSuite with SparkFixture {
     val out = Linkage.fuzzyNamePairs(records, "id", "name", maxDist = 2)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))
       .toMap
     // first-token block: the duplicate-contracted "acme corp" (n=2) pairs
-    // with its typo once, carrying the 2×1 record-pair count
-    assert(out(("acme corp", "acme corpp")) === ((1L, 2L, 1L, 2L)))
+    // with its typo once, carrying the 2×1 record-pair count and each
+    // side's min-key exemplar record
+    assert(out(("acme corp", "acme corpp")) === ((1L, 2L, 1L, 1L, 3L, 2L)))
     // last-token block catches the first-token typo
-    assert(out(("alpha gadget", "alpho gadget")) === ((1L, 1L, 1L, 1L)))
+    assert(out(("alpha gadget", "alpho gadget")) === ((1L, 1L, 1L, 5L, 6L, 1L)))
     // blocking is deliberate recall loss: no shared token → never compared
     assert(!out.contains(("qq rr", "qs rt")))
     assert(out.size === 2)
