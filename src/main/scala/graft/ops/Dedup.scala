@@ -1116,6 +1116,63 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).cast("long").as("is_canonical"))
   }
 
+  /** Incremental connected-components maintenance — the operational form of
+    * clustering at 100 TB: a new batch arrives, its pairs against the
+    * stored corpus (from [[minhashLshPairsAgainst]]) and within itself are
+    * discovered, and the STORED (doc_id, component) relation is updated
+    * WITHOUT re-clustering the corpus. The classic quotient-graph argument
+    * makes this exact: stored clusters are internally connected, so
+    * contracting each to its label and running the fixpoint on the new
+    * pairs' label-label edges yields the same components as a full
+    * recompute over all pairs — and since every stored label is the min
+    * doc_id of its cluster and new nodes self-label, the merged label
+    * (min of merged labels) is again the global min doc_id. The
+    * `dd_incremental_cc` oracle exploits that literally: its DuckDB side
+    * IS the full-recompute closure.
+    *
+    * Cost: the fixpoint input is |new pairs| edges — batch-sized, not
+    * corpus-sized; the corpus pays two broadcast-able lookups of the pair
+    * endpoints and one join to re-label affected members. Unaffected
+    * clusters keep their labels through the coalesce, untouched.
+    *
+    * `storedComponents`: (doc_id, component) as [[minhashLshComponents]]
+    * emits (docs without near-dups may be absent — they self-label).
+    * `newPairs`: (doc_a, doc_b) — batch↔corpus and batch↔batch pairs.
+    * Returns (doc_id, component) for every stored doc and every pair
+    * endpoint. */
+  def incrementalComponents(storedComponents: DataFrame,
+                            newPairs: DataFrame): DataFrame = {
+    // both relations feed two consumers each (endpoint lookups + the
+    // member/new-node unions) — persist, same contract as triangleCounts
+    val comp = storedComponents.select(col("doc_id"), col("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = newPairs.select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repPairs = p
+      .join(comp.select(col("doc_id").as("doc_a"), col("component").as("ra")),
+        Seq("doc_a"), "left")
+      .join(comp.select(col("doc_id").as("doc_b"), col("component").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("u"),
+        coalesce(col("rb"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("doc_a"),
+        greatest(col("u"), col("v")).as("doc_b"))
+      .distinct()
+    val upd = connectedComponents(repPairs)
+    val newNodes = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep"))
+    val members = comp.select(col("doc_id"), col("component").as("rep"))
+      .union(newNodes)
+    members
+      .join(upd.select(col("doc_id").as("rep"), col("component")),
+        Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("rep")).as("component"))
+  }
+
   /** [[canonicalize]] from a precomputed component relation (the tail of
     * canonicalize, shared with the contracted clustering entry points). */
   def canonicalizeFrom(docs: DataFrame, components: DataFrame): DataFrame =

@@ -1195,6 +1195,34 @@ object TrainingData {
       }
     },
 
+    // Incremental cluster MAINTENANCE: the corpus's stored components are
+    // updated with one batch's cross + internal pairs — no corpus
+    // re-clustering. The oracle is deliberately the FULL-recompute closure
+    // (identical SQL to dd_cluster_minhash), so the driver's hash-compare
+    // IS the incremental ≡ recompute equivalence proof.
+    QuerySpec.sql("dd_incremental_cc",
+      s"""WITH RECURSIVE $MinhashClosureCtes
+        |SELECT d.doc_id,
+        |       coalesce(c.component, d.doc_id) AS canonical_id,
+        |       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val stored = Dedup.minhashLshComponents(corpus, threshold = 0.5)
+        val cross = Dedup.minhashLshPairsAgainst(batch,
+            Dedup.minhashSignature(corpus, 16), threshold = 0.5)
+          .select(col("doc_new").as("doc_a"), col("doc_corpus").as("doc_b"))
+        val internal = Dedup.minhashLshPairs(batch, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.canonicalizeFrom(docs,
+            Dedup.incrementalComponents(stored, cross.union(internal)))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Cluster-size histogram over the same minhash closure — the dedup
     // diagnostic a practitioner reads before choosing thresholds: how many
     // clusters of each size, and how many docs they hold.

@@ -392,6 +392,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("incrementalComponents merges stored clusters exactly like a recompute") {
+    // stored: {1,2}, {5,6}, {10,11}; batch doc 9 bridges 2 and 5 (merging
+    // the first two clusters through itself), batch pair {20,21} is new,
+    // cluster {10,11} is untouched, and 30 pairs with singleton 31 that
+    // the store never knew (corpus doc with no prior near-dup).
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val newPairs = Seq((9L, 2L), (9L, 5L), (20L, 21L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val upd = graft.ops.Dedup.incrementalComponents(stored, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recompute over stored-implied pairs + new pairs
+    val allPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L),
+      (9L, 2L), (9L, 5L), (20L, 21L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val full = graft.ops.Dedup.connectedComponents(allPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(upd === full)
+    assert(upd(9L) === 1L && upd(5L) === 1L && upd(6L) === 1L,
+      s"bridged clusters must merge to the global min id: $upd")
+    assert(upd(10L) === 10L && upd(11L) === 10L, "untouched cluster keeps its label")
+    assert(upd(20L) === 20L && upd(31L) === 30L)
+  }
+
   test("connectedComponents and canonicalize handle an empty pair relation") {
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(noPairs).count() === 0L)
