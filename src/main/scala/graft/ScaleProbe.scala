@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Curation, Dedup, EmbeddingSim, Forecast, Latest, Packing, Rollup, Sampling, Sequences}
+import graft.ops.{AsofJoin, Checkpoints, Curation, Dedup, EmbeddingSim, Forecast, Latest, Packing, Rollup, Sampling, Sequences}
 import graft.ingest.Parse
 
 /** Empirical scale probe: replicates the sf0.1 corpus N× (fresh ids, jittered
@@ -142,6 +142,26 @@ object ScaleProbe {
         }),
         "simhash_pairs" -> (() =>
           time(s"$tag/simhash_pairs")(Dedup.simhashPairs(docs).count())),
+        // incremental cluster maintenance: corpus state (components +
+        // signature store) is materialized UNTIMED, as in deployment; the
+        // timed section is one batch's pair discovery + the quotient
+        // update — the recurring cost a streaming dedup pipeline pays
+        "incremental_cc" -> (() => {
+          val batch = docs.filter(col("doc_id") % 97 === 0)
+          val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          val stored = Checkpoints.materialized(
+            Dedup.minhashLshComponents(corpus, threshold = 0.5))
+          val corpusSig = Dedup.minhashSignature(corpus, 16)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          corpusSig.count()
+          time(s"$tag/incremental_cc")({
+            val cross = Dedup.minhashLshPairsAgainst(batch, corpusSig, threshold = 0.5)
+              .select(col("doc_new").as("doc_a"), col("doc_corpus").as("doc_b"))
+            val internal = Dedup.minhashLshPairs(batch, threshold = 0.5)
+              .select(col("doc_a"), col("doc_b"))
+            Dedup.incrementalComponents(stored, cross.union(internal)).count()
+          })
+        }),
         "ngram_jaccard" -> (() =>
           time(s"$tag/ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "lang", 0.5).count())),
         // The df-capped 100-TB shape: replica groups here are 100 deep, so
