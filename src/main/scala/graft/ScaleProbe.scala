@@ -125,6 +125,17 @@ object ScaleProbe {
     def suite(tag: String, docs: DataFrame, vecs: DataFrame, ev: DataFrame,
               keep: Seq[DataFrame]) = {
       val obs = Parse.eventsAsObservations(ev)
+      // shared batch/corpus split + persisted signature store for the two
+      // incremental probes — one definition, so the marginal-screen vs
+      // maintenance comparison BASELINE.md draws can't drift on setup
+      def incrementalSetup(): (DataFrame, DataFrame, DataFrame) = {
+        val batch = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val corpusSig = Dedup.minhashSignature(corpus, 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpusSig.count()
+        (batch, corpus, corpusSig)
+      }
       val probes: Seq[(String, () => (String, Double, Long))] = Seq(
         "minhash_lsh" -> (() =>
           time(s"$tag/minhash_lsh")(Dedup.minhashLshPairs(docs).count())),
@@ -132,11 +143,7 @@ object ScaleProbe {
         // rest): the corpus signature store is materialized untimed first,
         // as it would be in deployment — that is the operator's point.
         "incremental_minhash" -> (() => {
-          val batch = docs.filter(col("doc_id") % 97 === 0)
-          val corpusSig = Dedup.minhashSignature(
-              docs.filter(col("doc_id") % 97 =!= 0), 16)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          corpusSig.count()
+          val (batch, _, corpusSig) = incrementalSetup()
           time(s"$tag/incremental_minhash")(
             Dedup.minhashLshPairsAgainst(batch, corpusSig).count())
         }),
@@ -147,13 +154,9 @@ object ScaleProbe {
         // timed section is one batch's pair discovery + the quotient
         // update — the recurring cost a streaming dedup pipeline pays
         "incremental_cc" -> (() => {
-          val batch = docs.filter(col("doc_id") % 97 === 0)
-          val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          val (batch, corpus, corpusSig) = incrementalSetup()
           val stored = Checkpoints.materialized(
             Dedup.minhashLshComponents(corpus, threshold = 0.5))
-          val corpusSig = Dedup.minhashSignature(corpus, 16)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          corpusSig.count()
           time(s"$tag/incremental_cc")({
             val cross = Dedup.minhashLshPairsAgainst(batch, corpusSig, threshold = 0.5)
               .select(col("doc_new").as("doc_a"), col("doc_corpus").as("doc_b"))

@@ -401,8 +401,13 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .toDF("doc_id", "component")
     val newPairs = Seq((9L, 2L), (9L, 5L), (20L, 21L), (30L, 31L))
       .toDF("doc_a", "doc_b")
-    val upd = graft.ops.Dedup.incrementalComponents(stored, newPairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val updRows = graft.ops.Dedup.incrementalComponents(stored, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // one row per doc BEFORE toMap: a members/newNodes overlap would emit
+    // duplicates that the map would silently collapse
+    assert(updRows.length === updRows.map(_._1).distinct.length,
+      s"duplicate doc rows: ${updRows.toSeq.sorted}")
+    val upd = updRows.toMap
     // full recompute over stored-implied pairs + new pairs
     val allPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L),
       (9L, 2L), (9L, 5L), (20L, 21L), (30L, 31L)).toDF("doc_a", "doc_b")

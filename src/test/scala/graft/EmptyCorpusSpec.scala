@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.Registry
 
 /** Runs EVERY registry query against a corpus of schema-identical EMPTY
   * tables: a new partition, tenant, or date range with no data yet is an
@@ -18,23 +17,16 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
   test("every registry query degrades to empty output on an empty corpus") {
     val src = "/root/testdata/sf0.001"
     assume(new java.io.File(src).isDirectory, s"$src not present")
-    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    // under target/ (not /tmp): mode=overwrite makes reruns reuse the same
+    // path instead of accumulating per-run temp directories
+    val dir = "target/empty_corpus"
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    val failures = Registry.all.flatMap { q =>
-      try {
-        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-        None
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          Some(s"${q.name}: ${msg.linesIterator.nextOption().getOrElse("")}")
-      }
-    }
+    val failures = runRegistry(dir)
     assert(failures.isEmpty,
       s"${failures.size} queries crash on an empty corpus:\n" + failures.mkString("\n"))
   }

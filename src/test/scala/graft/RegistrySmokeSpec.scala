@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.Registry
 
 /** Executes EVERY registry query end-to-end at sf0.001 (noop sink, so all
   * output columns materialize — a bare count() would let Catalyst prune the
@@ -23,16 +22,7 @@ class RegistrySmokeSpec extends AnyFunSuite with SparkFixture {
   test("every registry query executes against sf0.001") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory, s"$dir not present")
-    val failures = Registry.all.flatMap { q =>
-      try {
-        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-        None
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          Some(s"${q.name}: ${msg.linesIterator.nextOption().getOrElse("")}")
-      }
-    }
+    val failures = runRegistry(dir)
     assert(failures.isEmpty, s"${failures.size} queries failed:\n" + failures.mkString("\n"))
   }
 }
