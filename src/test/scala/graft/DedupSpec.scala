@@ -420,6 +420,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(upd(20L) === 20L && upd(31L) === 30L)
   }
 
+  test("incremental state stores round-trip through parquet") {
+    // the deployment shape: signature + component stores are PERSISTED
+    // relations, written by one run and read by the next — the incremental
+    // update must behave identically from reloaded state (pins that the
+    // store schemas actually round-trip, no in-memory-only types)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val dir = "target/dedup_store"
+    graft.ops.Dedup.minhashSignature(corpus, 16)
+      .write.mode("overwrite").parquet(s"$dir/sig")
+    graft.ops.Dedup.minhashLshComponents(corpus, threshold = 0.5)
+      .write.mode("overwrite").parquet(s"$dir/comp")
+    val sig = spark.read.parquet(s"$dir/sig")
+    val stored = spark.read.parquet(s"$dir/comp")
+    val cross = graft.ops.Dedup.minhashLshPairsAgainst(batch, sig, threshold = 0.5)
+      .select(col("doc_new").as("doc_a"), col("doc_corpus").as("doc_b"))
+    val internal = graft.ops.Dedup.minhashLshPairs(batch, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val incr = graft.ops.Dedup.canonicalizeFrom(docs,
+        graft.ops.Dedup.incrementalComponents(stored, cross.union(internal)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.ops.Dedup.canonicalizeFrom(docs,
+        graft.ops.Dedup.minhashLshComponents(docs, threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === full,
+      "incremental update from RELOADED stores must equal the full recompute")
+  }
+
   test("connectedComponents and canonicalize handle an empty pair relation") {
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(noPairs).count() === 0L)
