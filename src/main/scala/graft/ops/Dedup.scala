@@ -117,8 +117,8 @@ object Dedup {
     * token-true: `dup_tokens` is the exact duplicated token mass (a run
     * over positions [i, j] covers j − i + n tokens, counted once, where
     * [[spanCoverage]]'s per-span ratio counts overlapping spans
-    * separately; runs merge while their token spans overlap — gap ≤ n−1 —
-    * so the union is contiguous and never double-counted),
+    * separately; runs merge while their token spans overlap or touch —
+    * gap ≤ n — so the union is contiguous and never double-counted),
     * `longest_run_tokens` is the longest duplicated
     * substring-in-n-gram-resolution — the statistic that decides the
     * "drop docs with a ≥50-token duplicated run" rule without a
@@ -140,15 +140,18 @@ object Dedup {
     val dup = pos.join(df.filter(col("__df") >= 2), "sk")
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // runs merge while their TOKEN spans overlap: positions i < j cover
-    // [i, i+n-1] and [j, j+n-1], which overlap iff j − i ≤ n − 1 — merging
-    // only consecutive positions (gap 1) would count the overlap of
-    // gap-2..n-1 spans twice and dup_tokens could exceed the doc length.
-    // A gap of exactly n gives adjacent DISJOINT spans: two runs whose
-    // lengths still sum to the exact union.
+    // runs merge while their TOKEN spans overlap OR TOUCH: positions i < j
+    // cover [i, i+n-1] and [j, j+n-1], which form one contiguous duplicated
+    // region iff j − i ≤ n (gap = n means span j starts exactly where span i
+    // ends — tokens i..i+2n-1 are one unbroken duplicated region, and
+    // run_tokens = max − min + n is still the exact union). Merging only at
+    // gap ≤ n−1 would split that region into two runs of n each:
+    // dup_tokens stays exact but longest_run_tokens under-reports, which
+    // can under-trigger the "drop docs with a ≥50-token duplicated run"
+    // rule. Gaps > n leave a genuinely non-duplicated token between spans.
     val runs = dup
       .withColumn("new_run",
-        (coalesce(col("pos") - lag(col("pos"), 1).over(w), lit(n.toLong)) > n - 1)
+        (coalesce(col("pos") - lag(col("pos"), 1).over(w), lit(n + 1L)) > n)
           .cast("long"))
       .withColumn("run_id", sum(col("new_run"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -180,7 +183,8 @@ object Dedup {
     * sliding window of `w` consecutive hashes keep the minimum, rightmost
     * on ties — encoded as ONE long min over hk·2²⁰ + (2²⁰−1−pos), so both
     * engines run a plain integer `min` over the frame (no struct ordering
-    * semantics to align) and docs stay ≤ 2²⁰ tokens by contract. Selected
+    * semantics to align); positions ≥ 2²⁰ are filtered out up front to
+    * ENFORCE the packing contract (see the inline note). Selected
     * prints dedup per doc; docs with fewer than w k-grams emit nothing
     * (no partial windows — the guarantee starts at w full hashes).
     *
@@ -197,6 +201,16 @@ object Dedup {
                          textCol: String = "text"): DataFrame = {
     val pos = docs.select(col("doc_id"),
         posexplode(positionalShingles(col(textCol), k)).as(Seq("pos", "s")))
+      // ENFORCED position contract: the tie-break packs (2²⁰−1 − pos) into
+      // the low 20 bits, so a doc with more than 2²⁰ k-gram positions would
+      // make the offset negative and `sel div 2²⁰` could emit hk−1 — a
+      // WRONG fingerprint, silently. Positions ≥ 2²⁰ are dropped before
+      // selection (the oracle applies the identical cut), so oversized docs
+      // degrade to "first 1,048,576 positions fingerprinted" instead of
+      // corrupting prints; real docs never hit the cap (2²⁰ tokens ≈ 4 MB
+      // of text), and a caller chunking book-sized inputs should split via
+      // chunkSliding first.
+      .filter(col("pos") < 1048576)
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("hk"))
     val wf = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -209,27 +223,45 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs over [[winnowFingerprints]]: df-capped posting
-    * self-join, pairs sharing ≥ `minShared` selected prints. */
+  /** Candidate pairs over [[winnowFingerprints]]: pairs sharing ≥
+    * `minShared` selected prints, over the df-capped print universe
+    * (prints in more than `maxDf` docs are boilerplate and dropped).
+    *
+    * Plan (round 12): ONE pass — the selection relation is grouped by
+    * print into df-capped posting lists
+    * ([[graft.functions.BoundedCollectLong]]: per-group state bounded at
+    * maxDf+1 ids no matter how hot the print), and the pairs are exploded
+    * from each sorted list NARROWLY (`i < j` ⇒ doc_a < doc_b, ≤ maxDf²/2
+    * rows per print — the same intermediate bound as the old posting
+    * self-join) into the map-side-combinable pair count. This replaces the
+    * previous persist(MEMORY_AND_DISK) + count/anti-join + double-shuffled
+    * self-join: the selection is computed ONCE with no pinned cache (the
+    * round-11 driver bench measured that persist degrading 2.5× under
+    * ambient memory pressure while the clean-box envelope held), and the
+    * corpus-shaped relation crosses exactly one exchange. */
   def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
                   minShared: Int = 2, maxDf: Int = 1000,
                   textCol: String = "text"): DataFrame = {
-    // persisted: feeds the df-cap aggregate and BOTH sides of the posting
-    // self-join — without the cache each reference re-runs the
-    // tokenize/md5/window-min selection over the whole corpus (the
-    // triangleCounts lesson from this same file). Fixed-width two-long rows.
-    val sel = winnowFingerprints(docs, k, w, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val keep = sel.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-    val pruned = sel.join(keep.select(col("fp")), "fp")
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bounded = udaf(graft.functions.BoundedCollectLong(maxDf))
+    winnowFingerprints(docs, k, w, textCol)
+      .groupBy(col("fp"))
+      .agg(bounded(col("doc_id")).as("ds"))
+      // null = df > maxDf (dropped universe); singleton lists emit no pairs
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .select(explode(pairsFromSortedList(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** All unordered pairs (a < b) from an ascending-sorted id array — the
+    * narrow pair-explode over a df-capped posting list (≤ |ds|²/2 rows,
+    * generated inside codegen; `slice` clamps at the array end). */
+  private def pairsFromSortedList(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** Exact dedup: group by content fingerprint, keep the lowest doc_id as
     * canonical. Output one row per distinct content. */
@@ -318,38 +350,60 @@ object Dedup {
     * sizes — (doc_a, doc_b, n_inter, na, nb). */
   private def shinglePairStats(docs: DataFrame, blockCol: String,
                                textCol: String, maxDf: Int): DataFrame = {
-    val shKept =
-      if (maxDf == Int.MaxValue) shingleRows(docs, Some(blockCol), textCol)
-      else {
-        // NOT persisted: only the filtered result below is cached, so the
-        // hot-list aggregate costs one extra tokenize+explode pass. The
-        // alternative (persisting this frame too) double-pins corpus-sized
-        // shingle blocks for the session's lifetime — the exact MemoryStore
-        // pressure class the round-6 contagion post-mortem documents — and
-        // an operator returning a lazy frame has no sound point to unpersist
-        // it. No broadcast hint on the hot list: on boilerplate-heavy
-        // corpora it can itself grow corpus-like, and a pinned broadcast
-        // would collect it to the driver (the scale-killer
-        // hashedTfCosinePairs' scaladoc warns about); AQE upgrades the
-        // anti-join to broadcast at runtime whenever the list is actually
-        // small.
-        val shAll = shingleRows(docs, Some(blockCol), textCol)
-        val hot = shAll.groupBy(col(blockCol), col("s"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf)
-          .select(col(blockCol), col("s"))
-        shAll.join(hot, Seq(blockCol, "s"), "left_anti")
+    val (inter, sizes) =
+      if (maxDf == Int.MaxValue) {
+        // UNCAPPED form (the small-corpus configuration — production runs
+        // the cap, see ngramJaccardPairs' scaladoc): persisted because the
+        // exploded shingle set feeds THREE plan branches (sizes, both
+        // self-join sides) and would otherwise re-tokenize the corpus 3×.
+        // The posting self-join is kept here — without a df bound a hot
+        // shingle's posting list is unbounded, so the collect-and-explode
+        // form below would hold unbounded aggregation buffers; the join
+        // shuffles but never buffers a whole posting list.
+        val sh = shingleRows(docs, Some(blockCol), textCol)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val in = sh.as("a").hint("shuffle_hash")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col(s"a.$blockCol") === col(s"b.$blockCol")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        (in, sz)
+      } else {
+        // DF-CAPPED form (the 100-TB shape), restructured round 12: ONE
+        // grouping of the exploded shingles into df-capped posting lists
+        // (BoundedCollectLong: per-group state ≤ maxDf+1 ids even on
+        // million-hot boilerplate shingles; lists over the cap → null →
+        // dropped from the universe, sizes included — identical semantics
+        // to the old count/anti-join pre-filter). Sizes re-explode the
+        // capped lists (≤ maxDf per row); pairs explode NARROWLY from each
+        // sorted list (a < b by sort order, ≤ maxDf²/2 rows per shingle —
+        // the same bound as the old self-join intermediate). The corpus-
+        // shaped shingle relation crosses ONE exchange instead of three
+        // (count, anti-join probe, self-join), and the only persisted
+        // relation is the vocabulary-sized capped posting table — pinned
+        // DISK_ONLY, not MEMORY_AND_DISK: the round-11 driver bench showed
+        // memory-resident persists of exactly this operator degrading 2.1×
+        // under ambient MemoryStore pressure while clean-box envelopes held
+        // flat; a disk-pinned columnar block costs two sequential local
+        // reads and competes with nothing.
+        val bounded = udaf(graft.functions.BoundedCollectLong(maxDf))
+        val posting = shingleRows(docs, Some(blockCol), textCol)
+          .groupBy(col(blockCol), col("s"))
+          .agg(bounded(col("doc_id")).as("ds"))
+          .filter(col("ds").isNotNull)
+          .select(col("ds"))
+          .persist(StorageLevel.DISK_ONLY)
+        val sz = posting.select(explode(col("ds")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val in = posting.filter(size(col("ds")) >= 2)
+          .select(explode(pairsFromSortedList(col("ds"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        (in, sz)
       }
-    // Persisted: the exploded shingle set feeds THREE plan branches (sizes,
-    // both self-join sides) and would otherwise re-tokenize the corpus 3×.
-    val sh = shKept.persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$blockCol") === col(s"b.$blockCol")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))

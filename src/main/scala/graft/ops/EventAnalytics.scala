@@ -116,8 +116,13 @@ object EventAnalytics {
       .select(col("code"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      // den = 0 (single row, or every x in one hour bucket) has no defined
+      // slope: emit NULL on both engines rather than the engine-dependent
+      // NaN/Inf/NULL a 0/0 division produces (DuckDB's behavior depends on
+      // its ieee_floating_point_ops setting — a latent oracle mismatch).
       .withColumn("slope_cents_per_hour",
-        col("num").cast("double") / col("den").cast("double"))
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
   }
 
   /** Robust (median/MAD) outlier detection per event type: flag events

@@ -306,7 +306,8 @@ object Pipeline {
         |             CAST(sum(x * x) AS BIGINT) AS sxx
         |      FROM e GROUP BY 1)
         |SELECT code, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
-        |       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE)
         |         AS slope_cents_per_hour
         |FROM s ORDER BY code""") {
       (s, dir) =>

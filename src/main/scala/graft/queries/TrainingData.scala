@@ -1423,7 +1423,7 @@ object TrainingData {
         |p AS (SELECT doc_id, u.pos AS pos,
         |        list_reduce(list_transform(string_split(substr(md5(u.s), 1, 10), ''),
         |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
-        |      FROM p0),
+        |      FROM p0 WHERE u.pos <= 1048576),
         |m AS (SELECT doc_id, pos,
         |        min(hk * 1048576 + (1048576 - pos))
         |          OVER (PARTITION BY doc_id ORDER BY pos
@@ -1460,9 +1460,10 @@ object TrainingData {
         |df AS (SELECT sk, count(DISTINCT doc_id) AS df FROM p GROUP BY sk),
         |dup AS (SELECT doc_id, pos FROM p JOIN df USING (sk) WHERE df >= 2),
         |r AS (SELECT doc_id, pos,
-        |        -- token spans of positions i < j overlap iff j - i <= n-1 = 4:
-        |        -- merged runs are contiguous token unions, never double-counted
-        |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 4
+        |        -- token spans of positions i < j form one contiguous duplicated
+        |        -- region iff j - i <= n = 5 (gap = n means touching spans: one
+        |        -- unbroken region whose union is still max - min + n tokens)
+        |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
         |             THEN 1 ELSE 0 END AS nr
         |      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         |rid AS (SELECT doc_id, pos,

@@ -366,6 +366,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.values.forall(_._3 <= 7L), "dup mass never exceeds the doc")
   }
 
+  test("dupRuns merges TOUCHING spans (gap exactly n) into one region") {
+    // d1's positions 0 (t0..t4, shared with d2) and 5 (t5..t9, shared with
+    // d3) are duplicated; the spans are disjoint but touch — tokens t0..t9
+    // form ONE contiguous 10-token duplicated region, and the ≥50-token
+    // drop rule must see longest_run_tokens = 10, not two runs of 5.
+    val corpus = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a t0 t1 t2 t3 t4 b"),
+      (3L, "c t5 t6 t7 t8 t9 d")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupRuns(corpus, n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((1L, 10L, 10L)), s"touching spans must merge: $out")
+  }
+
   test("triangleCounts: each triangle counted once, hubs close no wedges") {
     // triangle {1,2,3} + tail 3-4, a K4 {5,6,7,8}, and a 5-spoke star at 20
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
