@@ -96,47 +96,74 @@ object Bench {
       val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
       System.err.println(
         f"[bench-gap] $name%-28s ${elapsed}%8.3f s; jobs $jobs%3d stages $stages%4d tasks $tasks%5d; task run ${runMs / 1e3}%8.2f s gc ${gcMs / 1e3}%6.2f s sched ${schedMs / 1e3}%6.2f s; jvm gc $jvmGc%5.2f s; dropped $dropped%3d broadcasts; storage ${storageUsed / 1048576.0}%7.2f MiB")
-      name -> elapsed
+      (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc)
     }
     val total = results.map(_._2).sum
+    // Locale.ROOT: the f""/format interpolators honor the JVM default
+    // locale, so a comma-decimal locale would emit 99,800 and break the
+    // driver's JSON parse — the exact failure the compact line exists to
+    // avoid.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Per-query execution-profile attribution IN the artifact (round 12):
+    // wall times alone cannot distinguish "the shared box was loaded"
+    // (sched delay + GC inflate, task run time flat vs the clean-box
+    // envelope) from "a plan or the harness regressed" (task run time
+    // itself grew) — the round-11 verdict had to take that split on faith
+    // because only the last [bench-gap] stderr line survived into the
+    // BENCH artifact. attr packs [task_run_s, task_gc_s, sched_s,
+    // jvm_gc_s] per query (jvm_gc covers the whole driver JVM for the
+    // interval — a superset of task_gc that also counts planning-time GC).
+    val attrCols = """"attr_cols":["task_run_s","task_gc_s","sched_s","jvm_gc_s"]"""
+    def attrEntry(r: (String, Double, Double, Double, Double, Double)) =
+      "\"" + r._1 + "\":[" + fmt2(r._3) + "," + fmt2(r._4) + "," +
+        fmt2(r._5) + "," + fmt2(r._6) + "]"
+    val totals = s""""totals":{"task_run_s":${fmt(results.map(_._3).sum)},""" +
+      s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +
+      s""""sched_s":${fmt(results.map(_._5).sum)},""" +
+      s""""jvm_gc_s":${fmt(results.map(_._6).sum)}}"""
     // Full-precision, all-query JSON → target/bench.json (the durable
     // artifact; BASELINE.md points the judge here for per-query numbers).
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val fullQs = results.map(r => s"\"" + r._1 + "\":" + r._2)
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val fullAttr = results.map(attrEntry).mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$fullQs,$attrCols,"attr":$fullAttr,$totals,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), fullLine + "\n")
     // Stdout line: the driver captures only the LAST ~2000 chars of the run
     // log (BENCH_r08/r09 both came back `parsed: null` — the 80+-query
     // full-precision line is ~2.6 KB, so its head was clipped and the JSON
     // never parsed). Per-query names alone exceed the buffer, so emit the
-    // headline total plus as many of the SLOWEST queries as fit a 1.8 KB
-    // budget (the slow tail is what a perf reader needs first), and point at
-    // target/bench.json for the complete map.
-    // Locale.ROOT: the f"" interpolator honors the JVM default locale, so a
-    // comma-decimal locale would emit 99,800 and break the driver's JSON
-    // parse — the exact failure this compact line exists to avoid.
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val slowestFirst = results.sortBy { case (n, v) => (-v, n) }
+    // headline total plus the SLOWEST queries — each with BOTH its wall
+    // time (in `queries`, the driver's contract shape) and its attr vector
+    // — for as many as fit a 1.8 KB budget (the slow tail is what a perf
+    // reader needs first), and point at target/bench.json for the rest.
+    val slowestFirst = results.sortBy(r => (-r._2, r._1))
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    val suffixFor = (omitted: Int) =>
-      s"""},"omitted_fastest":$omitted,"full":"target/bench.json","sf":"$sfDir"}"""
+    val suffixFor = (omitted: Int, attrs: Seq[String]) =>
+      s"""},$attrCols,"attr":${attrs.mkString("{", ",", "}")},$totals,""" +
+        s""""omitted_fastest":$omitted,"full":"target/bench.json","sf":"$sfDir"}"""
     val budget = 1800
     val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var len = prefix.length + suffixFor(results.size).length
+    val keptAttr = scala.collection.mutable.ListBuffer.empty[String]
+    var len = prefix.length + suffixFor(results.size, Seq.empty).length
     // Stop at the FIRST entry that doesn't fit: kept must be a true
     // slowest-first prefix, or a short-named fast query could slip in after
     // a long-named slower one was dropped and "omitted_fastest" would lie.
     val it = slowestFirst.iterator
     var full = false
     while (it.hasNext && !full) {
-      val (k, v) = it.next()
-      val entry = "\"" + k + "\":" + fmt(v)
-      if (len + entry.length + 1 <= budget) { kept += entry; len += entry.length + 1 }
-      else full = true
+      val r = it.next()
+      val entry = "\"" + r._1 + "\":" + fmt(r._2)
+      val ae = attrEntry(r)
+      if (len + entry.length + ae.length + 2 <= budget) {
+        kept += entry; keptAttr += ae
+        len += entry.length + ae.length + 2
+      } else full = true
     }
     val omitted = results.size - kept.size
-    println(prefix + kept.mkString(",") + suffixFor(omitted))
+    println(prefix + kept.mkString(",") + suffixFor(omitted, keptAttr.toSeq))
     spark.stop()
   }
 }
