@@ -118,6 +118,61 @@ object Curation {
     concat(host, regexp_replace(t4, "\\?$", ""))
   }
 
+  /** Container blocks whose CONTENT must go with the tags: script/style
+    * bodies are code, not text, and comments can hide whole markup trees.
+    * RE2-safe: inline `(?is)` flags + non-greedy `.*?` only — no
+    * lookarounds (RE2 has none), so the non-greedy "up to the nearest
+    * closer" semantics are identical in Java regex and DuckDB. An UNCLOSED
+    * script/style block deliberately fails this pattern and falls through
+    * to [[HtmlTagRe]] (tags stripped, body survives as text) — the
+    * deterministic degradation both engines share, rather than eating the
+    * rest of the document. */
+  val HtmlBlockRe: String =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
+
+  /** Any remaining tag (open/close/self-closing/doctype). `[^>]` matches
+    * newlines in both engines without a dotall flag, so multi-line tags
+    * strip identically. */
+  val HtmlTagRe: String = "<[^>]*>"
+
+  /** HTML/markup boilerplate stripping — the curation stage every crawl
+    * corpus hits BEFORE any text operator (C4/CCNet step 1): drop
+    * script/style/comment blocks, strip all remaining tags (each replaced
+    * by a space so `</p><p>` never glues words), decode the six dominant
+    * character entities, collapse whitespace, and gate on text density.
+    *
+    * Entity decode runs AFTER tag stripping (decoding `&lt;` first would
+    * fabricate tags out of escaped text) and decodes `&amp;` LAST — so
+    * double-encoded `&amp;lt;` correctly yields the literal text `&lt;`,
+    * not `<`. All six are literal `replace` calls, not regexes.
+    *
+    * The density gate is the boilerplate verdict: a page whose visible
+    * text is under `minDensityPct`% of its raw length is chrome/nav/markup
+    * shell, not content (the text-density heuristic behind boilerplate
+    * removal since Kohlschütter's boilerpipe). INTEGER cross-multiplied —
+    * `100·text_len ≥ pct·raw_len` — zero float divisions, the
+    * gopherRules discipline.
+    *
+    * Pure codegen'd per-row projection chain — no shuffle, no UDF; every
+    * pattern RE2-safe so DuckDB reproduces the operator verbatim.
+    * Emits (doc_id, text, raw_len, text_len, is_content). */
+  def stripMarkup(docs: DataFrame, rawCol: String = "html",
+                  minDensityPct: Int = 20): DataFrame = {
+    val noBlocks = regexp_replace(col(rawCol), HtmlBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val collapsed = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+    docs.select(col("doc_id"), collapsed.as("text"),
+        length(col(rawCol)).cast("long").as("raw_len"))
+      .select(col("doc_id"), col("text"), col("raw_len"),
+        length(col("text")).cast("long").as("text_len"))
+      .withColumn("is_content",
+        (col("text_len") * 100 >= col("raw_len") * minDensityPct)
+          .cast("long"))
+  }
+
   /** Repetition (boilerplate) statistics, Gopher-style: the fraction of
     * duplicated 2-grams and 3-grams per document. High ratios mark
     * templated/spammy text for the quality filter. Narrow projections — no

@@ -122,6 +122,38 @@ object TrainingData {
   private val MixWeights: Seq[(String, Double)] = Seq(
     "en" -> 4.0, "de" -> 2.0, "es" -> 2.0, "fr" -> 1.0, "zh" -> 1.0)
 
+  /** HTML fixture for `t_strip_markup` (same rationale as [[PiiFixture]]:
+    * the corpus has no markup, so crawl-shaped HTML is constructed — and
+    * these literals pin the edge semantics: nested tags, case-insensitive
+    * script/style block removal WITH their bodies, comments hiding markup,
+    * entity decode incl. the double-encoded `&amp;lt;` staying literal,
+    * the unclosed-script fallback, and multi-line whitespace collapse).
+    * No single quotes in the literals — they are interpolated into the
+    * oracle's VALUES verbatim. */
+  private val HtmlFixture: Seq[(Long, String)] = Seq(
+    (-8L, "<div><p><b>bold <i>nested</i></b> tail</p></div>"),
+    (-7L, "<p>keep</p><SCRIPT type=\"text/javascript\">if (a < b) { alert(1); }</SCRIPT><p>also</p>"),
+    (-6L, "<style>.x { display: none; }</style>visible text only"),
+    (-5L, "before<!-- <p>hidden</p> secret -->after"),
+    (-4L, "Fish &amp; Chips say &quot;hi&quot; to &lt;b&gt;not bold&lt;/b&gt; caf&#39;e&nbsp;end"),
+    (-3L, "&amp;lt;p&amp;gt; stays literal text"),
+    (-2L, "<script>var danger = 1; <p>unclosed script leaves its text"),
+    (-1L, "<p>\n  line one\n</p>\n<p>line&nbsp;&nbsp;two</p>"))
+
+  /** The crawl-HTML construction for `t_strip_markup`, written once and
+    * used verbatim by BOTH engines (the [[UrlVariantCaseSql]] pattern):
+    * each doc's text wrapped in a page shell with a style block, a script
+    * block containing `<`/`&&`, a comment, attributes, and entity-encoded
+    * boilerplate — so the corpus side exercises every removal class, and
+    * the density gate sees realistic shell overhead. */
+  private val HtmlWrapSql: String =
+    """'<!DOCTYPE html><html><head><title>' || source || '</title>""" +
+      """<style type="text/css">body { color: red; }</style>""" +
+      """<script src="app.js">var x = 1 < 2 && y > 0;</script></head>""" +
+      """<body class="main"><!-- nav: ' || lang || """ +
+      """' --><div id="content"><p>' || text || """ +
+      """'</p><p>&amp; more &lt;tags&gt;&nbsp;here</p></div></body></html>'"""
+
   /** URL fixture for `dd_url_canonical` (same rationale as [[PiiFixture]]:
     * the corpus has no URL column, so crawl-shaped URLs are constructed —
     * and these literals pin the NEGATIVE space: ports and punycode
@@ -854,6 +886,48 @@ object TrainingData {
             Tables.documents(s, dir).select(col("doc_id"), col("text"))
               .unionByName(PiiFixture.toDF("doc_id", "text")))
           .orderBy(col("doc_id"))
+      }
+    },
+
+    // HTML/markup boilerplate stripping — the crawl-corpus stage BEFORE
+    // any text operator (C4/CCNet step 1): script/style/comment blocks out
+    // with their bodies, remaining tags to spaces, the six dominant
+    // entities decoded (after tag strip, &amp; last), whitespace
+    // collapsed, and the integer cross-multiplied text-density gate. The
+    // oracle runs the identical RE2-safe chain in DuckDB over the same
+    // constructed pages ∪ fixture rows (Curation.stripMarkup's scaladoc
+    // documents each edge the fixture pins).
+    QuerySpec.sql("t_strip_markup",
+      s"""WITH input AS (
+        |  SELECT doc_id, $HtmlWrapSql AS html FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ${HtmlFixture.map { case (i, t) =>
+            s"($i, '$t')" }.mkString(", ")}) fx(doc_id, html)),
+        |s1 AS (SELECT doc_id, html,
+        |         regexp_replace(regexp_replace(html,
+        |           '${Curation.HtmlBlockRe}', ' ', 'g'),
+        |           '${Curation.HtmlTagRe}', ' ', 'g') AS t
+        |       FROM input),
+        |s2 AS (SELECT doc_id, html,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |       FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         trim(regexp_replace(t, '[ \\t\\r\\n]+', ' ', 'g')) AS text,
+        |         CAST(length(html) AS BIGINT) AS raw_len
+        |       FROM s2)
+        |SELECT doc_id, text, raw_len,
+        |       CAST(length(text) AS BIGINT) AS text_len,
+        |       CAST(CASE WHEN length(text) * 100 >= raw_len * 20
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_content
+        |FROM s3 ORDER BY doc_id""") {
+      (s, dir) => {
+        import s.implicits._
+        val pages = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(HtmlWrapSql).as("html"))
+          .unionByName(HtmlFixture.toDF("doc_id", "html"))
+        Curation.stripMarkup(pages).orderBy(col("doc_id"))
       }
     },
 

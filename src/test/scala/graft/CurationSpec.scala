@@ -122,6 +122,45 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(8L) === ((1L, "dial <PHONE> today")))
   }
 
+  test("stripMarkup drops blocks with bodies, strips tags, decodes entities") {
+    val pages = Seq(
+      (1L, "<div><p><b>bold <i>nested</i></b> tail</p></div>"),
+      (2L, "<p>keep</p><SCRIPT type=\"text/javascript\">if (a < b) { alert(1); }</SCRIPT><p>also</p>"),
+      (3L, "<style>.x { display: none; }</style>visible"),
+      (4L, "before<!-- <p>hidden</p> secret -->after"),
+      (5L, "Fish &amp; Chips say &quot;hi&quot; &lt;b&gt;x&lt;/b&gt; caf&#39;e&nbsp;end"),
+      (6L, "&amp;lt;p&amp;gt; stays literal"),
+      (7L, "<script>var danger = 1; <p>unclosed survives as text"),
+      (8L, "<p>\n  line one\n</p>\n<p>line&nbsp;&nbsp;two</p>")
+    ).toDF("doc_id", "html")
+    val out = Curation.stripMarkup(pages)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "bold nested tail")
+    assert(out(2L) === "keep also", "script BODY must go with the tags")
+    assert(out(3L) === "visible", "style body dropped")
+    assert(out(4L) === "before after", "comments hide markup trees")
+    assert(out(5L) === "Fish & Chips say \"hi\" <b>x</b> caf'e end")
+    assert(out(6L) === "&lt;p&gt; stays literal",
+      "double-encoded entities decode ONE level (&amp; last)")
+    assert(out(7L) === "var danger = 1; unclosed survives as text",
+      "unclosed script falls back to tag-strip, never eats the document")
+    assert(out(8L) === "line one line two")
+  }
+
+  test("stripMarkup density gate: markup shells flagged, content pages kept") {
+    val text = ("real content word " * 40).trim
+    val pages = Seq(
+      (1L, s"<html><body><p>$text</p></body></html>"),
+      (2L, "<html><head><script>x = 1;</script></head><body class=\"nav\"><div><div><span>ok</span></div></div></body></html>")
+    ).toDF("doc_id", "html")
+    val out = Curation.stripMarkup(pages)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(out(1L)._1 === text)
+    assert(out(1L)._2 === 1L, "a text-dense page is content")
+    assert(out(2L)._1 === "ok")
+    assert(out(2L)._2 === 0L, "a markup shell fails the density gate")
+  }
+
   test("canonicalUrl collapses crawl variants and preserves the negatives") {
     def canon(urls: String*): Seq[String] = {
       val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
