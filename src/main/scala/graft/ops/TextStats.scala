@@ -344,6 +344,75 @@ object TextStats {
           .as("common_ratio"))
   }
 
+  /** Interpolated bigram language-model scoring — the KenLM-lite
+    * perplexity filter (CCNet's headline quality signal; [[bigramNovelty]]
+    * is its no-LM approximation): train unigram + bigram counts on the
+    * corpus in one pass, then score every document's average per-transition
+    * surprisal under the interpolated model
+    * p(w₂|w₁) = ¾·C(w₁w₂)/C(w₁) + ¼·C(w₂)/T.
+    *
+    * Arithmetic discipline (the [[collocations]] rule — zero floats, so
+    * DuckDB reproduces every value bit-for-bit):
+    *  - p_ppm = (750000·C₁₂) div C₁ + (250000·C₂) div T — the probability
+    *    in integer parts-per-million, each term bounded (C₁₂ ≤ C₁ by
+    *    construction), two integer divisions;
+    *  - per-transition surprisal third-bit-quantized via the CUBE:
+    *    q3 = 60 − floor(log₂(max(p_ppm,1)³)), where floor(log₂ x) =
+    *    length(bin(x)) − 1 — pure integer in both engines (no ln() ulp can
+    *    move a boundary); p_ppm ≤ 2²⁰ ⇒ p³ ≤ 2⁶⁰ fits int64, and the cube
+    *    buys log₂ resolution of ⅓ bit;
+    *  - avg_bits_x100 = (100·Σk·q3) div (3·Σk) — average surprisal in
+    *    centibits per transition; perplexity = 2^(avg/100). The keep gate
+    *    compares integers.
+    * Documents with < 2 tokens have no transitions: they score 0 and pass
+    * (length gates, not perplexity, own that case — same convention as
+    * spanCoverage's short-doc zeros).
+    *
+    * Scale shape (100 TB): the corpus is touched twice — the unigram count
+    * and the per-(doc, bigram) count, both map-side-combinable; the model
+    * relation is DISTINCT-bigram-bounded (vocabulary-shaped, not
+    * corpus-shaped) and built with two vocab joins + a 1-row broadcast
+    * total; the only corpus-shaped join keys per-doc bigram rows to the
+    * model on the bigram — an equi-join AQE can skew-split. No windows,
+    * no driver collect, nothing quadratic. */
+  def ngramLmPerplexity(docs: DataFrame, maxAvgBitsX100: Int = 1200,
+                        textCol: String = "text"): DataFrame = {
+    val t = col("__t")
+    val toks = docs.select(col("doc_id"), tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("t_total"))
+    val db = toks.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val model = db.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        (expr("750000 * c12 div c1") + expr("250000 * c2 div t_total"))
+          .as("p_ppm"))
+    val scored = db.join(model, Seq("w1", "w2"))
+      .withColumn("__p", greatest(col("p_ppm"), lit(1L)))
+      .withColumn("__q3", lit(60L) -
+        (length(bin(col("__p") * col("__p") * col("__p"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_trans"), sum(col("k") * col("__q3")).as("sum_q3"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("sum_q3"), lit(0L)).as("sum_q3"),
+        coalesce(expr("100 * sum_q3 div (3 * n_trans)"), lit(0L))
+          .as("avg_bits_x100"))
+      .withColumn("ppx_keep",
+        (col("avg_bits_x100") <= maxAvgBitsX100).cast("long"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021, App. A1.1 adapted):
     * per-document pass/fail flags for the published heuristic gates —
     * word-count bounds, mean-word-length bounds, symbol-to-word ratio,

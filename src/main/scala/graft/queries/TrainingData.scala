@@ -641,6 +641,49 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Interpolated bigram LM perplexity filter (KenLM-lite, the CCNet
+    // quality signal): unigram+bigram counts trained on the corpus, each
+    // doc scored by its average third-bit-quantized surprisal under
+    // p(w2|w1) = 3/4·C12/C1 + 1/4·C2/T. Every value is integer (ppm
+    // probabilities, floor-log2 via length(bin(x))-1, centibit average via
+    // integer div) so the oracle reproduces the scores bit-for-bit —
+    // see TextStats.ngramLmPerplexity's scaladoc for the quantization.
+    QuerySpec.sql("t_ngram_lm_ppx",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT unnest(t) AS w FROM tk),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM tk WHERE len(t) >= 2)),
+        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+        |       FROM bg GROUP BY 1, 2, 3),
+        |model AS (SELECT w1, w2,
+        |            (750000 * c12) // u1.c + (250000 * u2.c) // t.t_total AS p_ppm
+        |          FROM (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+        |                FROM db GROUP BY 1, 2) bi
+        |          JOIN uni u1 ON bi.w1 = u1.w
+        |          JOIN uni u2 ON bi.w2 = u2.w
+        |          CROSS JOIN tot t),
+        |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trans,
+        |         CAST(sum(k * (60 - (length(bin(
+        |           greatest(p_ppm, 1) * greatest(p_ppm, 1) * greatest(p_ppm, 1)
+        |         )) - 1))) AS BIGINT) AS sum_q3
+        |       FROM db JOIN model USING (w1, w2) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(sc.n_trans, 0) AS n_trans,
+        |       coalesce(sc.sum_q3, 0) AS sum_q3,
+        |       coalesce((100 * sc.sum_q3) // (3 * sc.n_trans), 0) AS avg_bits_x100,
+        |       CAST(CASE WHEN coalesce((100 * sc.sum_q3) // (3 * sc.n_trans), 0) <= 1200
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS ppx_keep
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") {
+      (s, dir) =>
+        TextStats.ngramLmPerplexity(Tables.documents(s, dir),
+            maxAvgBitsX100 = 1200)
+          .orderBy(col("doc_id"))
+    },
+
     // Gopher rule battery: the published heuristic gates as per-doc flags,
     // every ratio test integer cross-multiplied (no float divisions).
     QuerySpec.sql("t_gopher_rules",

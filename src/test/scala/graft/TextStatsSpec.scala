@@ -145,6 +145,33 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
       0L -> (3L, 2L, 0.6667), 1L -> (2L, 1L, 0.5), 2L -> (1L, 0L, 0.0)))
   }
 
+  test("ngramLmPerplexity: hand-computed interpolated surprisal, integer-exact") {
+    val docs = Seq(
+      (1L, "a b a b"), // transitions (a,b)x2, (b,a)x1
+      (2L, "a b"),     // (a,b)
+      (3L, "c"),       // no transitions
+      (4L, "z z")      // (z,z)
+    ).toDF("doc_id", "text")
+    // Unigrams a=3 b=3 c=1 z=2, T=9; bigram counts (a,b)=3 (b,a)=1 (z,z)=1.
+    // p_ppm = (750000·C12) div C1 + (250000·C2) div T:
+    //  (a,b): 750000 + 83333 = 833333 → q3 = 60 − floor(log2(p³)) = 1
+    //  (b,a): 250000 + 83333 = 333333 → q3 = 5
+    //  (z,z): 375000 + 55555 = 430555 → q3 = 4
+    // d1: n=3 Σ=2·1+5=7 avg=(700 div 9)=77; d2: n=1 Σ=1 avg=33;
+    // d3: 0/0/0; d4: n=1 Σ=4 avg=133.
+    val out = graft.ops.TextStats.ngramLmPerplexity(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map(
+      1L -> (3L, 7L, 77L, 1L), 2L -> (1L, 1L, 33L, 1L),
+      3L -> (0L, 0L, 0L, 1L), 4L -> (1L, 4L, 133L, 1L)))
+    // a stricter gate flips only the rare-transition doc; the
+    // transition-free doc still passes (length gates own that case)
+    val strict = graft.ops.TextStats.ngramLmPerplexity(docs, maxAvgBitsX100 = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(strict === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("gopherRules flags each published gate independently") {
     def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
     val docs = Seq(
