@@ -961,6 +961,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate IMAGE pairs over a 64-bit perceptual-hash signature
+    * frame (doc_id, c0..c3 — the four 16-bit chunks
+    * `Multimodal.imageDHash` emits): the same banded self-join + hamming
+    * verification as [[simhashPairs]], because a perceptual hash IS a
+    * simhash over visual content — pigeonhole blocking on chunk equality
+    * guarantees no misses up to hamming < bands, XOR+bit_count verifies.
+    * Identical images (hamming 0, the re-encode/rescale case) pair here;
+    * on replica-saturated image corpora feed [[contractSignatures]]-style
+    * edges to the CC machinery instead of listing m²/2 pairs — the exact
+    * [[simhashEdges]] argument, unchanged, since band agreement is a
+    * function of the signature alone. */
+  def imageHashPairs(sig: DataFrame, maxHamming: Int = 3,
+                     bands: Int = 4): DataFrame = {
+    // persisted (fixed-width, 5 longs/row): the signature frame is both
+    // band-join sides, and upstream of it sits the per-image DECODE — the
+    // most expensive subtree in this file; recomputing it per join side
+    // would double the codec work. Same cache-lifetime contract as
+    // contractSignatures' scaladoc.
+    val cached = sig
+      .select(col("doc_id") +: (0 until bands).map(b => col(s"c$b")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    simhashBandPairs(cached, maxHamming, bands)
+  }
+
   /** Signature-contracted spanning edges over identical-signature groups:
     * aggregate each group to its min-doc_id representative, star-connect
     * members to it, and return (star edges, representative signature

@@ -380,6 +380,107 @@ object Multimodal {
       case _     => decodeStub(payload, format)
     }
 
+  /** Per-image 64-bit difference hash, as its four 16-bit band chunks
+    * (`c0..c3`) — the join-ready signature shape `Dedup`'s simhash banding
+    * machinery consumes directly. */
+  case class ImageHash(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
+
+  /** Raster dispatch with dimensions: (width, height, channels, pixels) for
+    * every format that decodes for real. dHash needs the 2-D geometry, not
+    * just the byte stream [[decode]] returns; formats with no real codec
+    * fail fast here — a perceptual hash over undecoded container bytes
+    * would be content-meaningless. */
+  def decodeRaster(payload: Array[Byte], format: String): (Int, Int, Int, Array[Byte]) =
+    format match {
+      case "ppm" => val (w, h, px) = decodePpm(payload); (w, h, 3, px)
+      case "pgm" => val (w, h, px) = decodePgm(payload); (w, h, 1, px)
+      case f if imageIoFormats(f) =>
+        val (w, h, px) = decodeImage(payload); (w, h, 3, px)
+      case f => throw new IllegalArgumentException(
+        s"no real raster codec for format '$f'")
+    }
+
+  /** dHash (difference hash) of a decoded raster: nearest-neighbor sample a
+    * 9×8 grayscale grid, emit bit r·8+c = 1 iff the right neighbor is
+    * brighter — the row-gradient signature that is invariant to brightness
+    * shifts, lossless re-encodes, and integer nearest-neighbor rescales
+    * (sample positions `c·w div 9` / `r·h div 8` are floor-stable under
+    * k× upscaling: floor(floor(k·x)/k) = floor(x)). All-integer — gray is
+    * (r+g+b) div 3 — so an independent engine recomputes it exactly.
+    * Returned as four 16-bit chunks (bit i lives in chunk i div 16 at
+    * offset i mod 16) so no signed-64-bit shifting ever happens in any
+    * engine. */
+  def dHashChunks(w: Int, h: Int, ch: Int, px: Array[Byte]): Array[Long] = {
+    require(w > 0 && h > 0 && px.length == w * h * ch,
+      s"raster length ${px.length} != ${w}x$h x$ch")
+    def gray(x: Int, y: Int): Int =
+      if (ch == 1) px(y * w + x) & 0xff
+      else {
+        val i = (y * w + x) * ch
+        ((px(i) & 0xff) + (px(i + 1) & 0xff) + (px(i + 2) & 0xff)) / 3
+      }
+    val cs = new Array[Long](4)
+    var r = 0
+    while (r < 8) {
+      val sy = r * h / 8
+      var c = 0
+      while (c < 8) {
+        if (gray((c + 1) * w / 9, sy) > gray(c * w / 9, sy)) {
+          val i = r * 8 + c
+          cs(i / 16) |= 1L << (i % 16)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    cs
+  }
+
+  /** Perceptual image signatures over media rows: decode → 9×8 gray grid →
+    * 64-bit dHash, inside the same batched mapPartitions codec seam as
+    * [[extractFeatures]]. The output is one fixed-width row per image —
+    * feed it to `Dedup.imageHashPairs` (banding + hamming verify) for
+    * near-duplicate IMAGE detection, the visual twin of text simhash. */
+  def imageDHash(media: Dataset[MediaRecord],
+                 batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      val (w, h, ch, px) = decodeRaster(r.payload, r.format)
+      val cs = dHashChunks(w, h, ch, px)
+      ImageHash(r.doc_id, cs(0), cs(1), cs(2), cs(3))
+    }))
+  }
+
+  /** Adapt documents to 2-D grid PNG rows: UTF-8 text bytes wrap into rows
+    * of `gridWidth` gray pixels (zero-padded to fill the last row; empty
+    * text → one black row), written through the REAL PNG encoder — the 2-D
+    * sibling of [[asImagePng]] (whose 1×n strips are structurally
+    * degenerate for row-gradient hashing: every row samples one source
+    * column). An independent engine recomputes pixel (x, y) as text byte
+    * y·gridWidth + x (the `dd_image_phash` oracle). */
+  def asImageGridPng(docs: DataFrame, gridWidth: Int = 8,
+                     batchSize: Int = 64): Dataset[MediaRecord] = {
+    require(gridWidth > 0, "gridWidth must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = math.max(1, (bytes.length + gridWidth - 1) / gridWidth)
+          val rgb = new Array[Byte](gridWidth * h * 3)
+          var i = 0
+          while (i < bytes.length) {
+            rgb(3 * i) = bytes(i); rgb(3 * i + 1) = bytes(i)
+            rgb(3 * i + 2) = bytes(i)
+            i += 1
+          }
+          MediaRecord(id, "image", encodePng(gridWidth, h, rgb), "png",
+            gridWidth, h, 1)
+      }))
+  }
+
   /** Feature extraction, batched per partition (the Scala analogue of a
     * Pandas UDF over mapInPandas: fixed-size batches amortize
     * decoder/model-session setup, which dominates real decode workloads). */

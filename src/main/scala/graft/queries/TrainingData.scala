@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Dedup, EmbeddingSim, Packing, Retrieval, Sampling, TextStats}
+import graft.ops.{Curation, Dedup, EmbeddingSim, Multimodal, Packing, Retrieval, Sampling, TextStats}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (the beyond-reference capability set: dedup family, similarity search,
@@ -1242,6 +1242,57 @@ object TrainingData {
         Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
           .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Perceptual IMAGE near-dup pairs: each doc's text bytes become an
+    // 8-wide gray grid encoded through the REAL PNG writer, decoded back
+    // through ImageIO, dHashed (9×8 nearest-neighbor grid, row-gradient
+    // bits — brightness- and rescale-invariant), then banded + hamming-
+    // verified through the same machinery as text simhash. The oracle
+    // recomputes the full chain from the text bytes: pixel (x,y) = byte
+    // y·8+x (0-padded), gray = byte (R=G=B), integer sample positions
+    // c·8//9 and r·h//8, four 16-bit chunks summed bitwise — so a wrong
+    // raster order, padding, sampling floor, or chunk packing anywhere in
+    // encode→decode→hash breaks the hash-compare.
+    QuerySpec.sql("dd_image_phash",
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |                  octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |px AS (SELECT doc_id,
+        |         list((strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |              + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1
+        |              ORDER BY i) AS u
+        |       FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)
+        |       GROUP BY doc_id),
+        |g AS (SELECT b.doc_id, coalesce(px.u, CAST([] AS BIGINT[])) AS u,
+        |             greatest((b.n + 7) // 8, 1) AS h
+        |      FROM b LEFT JOIN px USING (doc_id)),
+        |bits AS (SELECT doc_id, i,
+        |           CASE WHEN coalesce(u[CAST(((i // 8) * h // 8) * 8 + (((i % 8) + 1) * 8 // 9) + 1 AS INT)], 0)
+        |                   > coalesce(u[CAST(((i // 8) * h // 8) * 8 + ((i % 8) * 8 // 9) + 1 AS INT)], 0)
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM g CROSS JOIN range(64) r(i)),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c0,
+        |          CAST(sum(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c1,
+        |          CAST(sum(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c2,
+        |          CAST(sum(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c3
+        |        FROM bits GROUP BY doc_id)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+        |          + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND
+        |     (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3)
+        |WHERE bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+        |    + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) <= 3
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) => {
+        val sig = Multimodal.imageDHash(
+          Multimodal.asImageGridPng(Tables.documents(s, dir))).toDF()
+        Dedup.imageHashPairs(sig, maxHamming = 3, bands = 4)
+          .select(col("doc_a"), col("doc_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
     },
 
     // Cluster resolution: simhash near-dup pairs → transitive closure →

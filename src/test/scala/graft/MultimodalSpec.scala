@@ -277,6 +277,87 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(fe.n_bytes === 3L && fe.sum_bytes === 0L)
   }
 
+  test("dHashChunks: monotone gradients set/clear all row-gradient bits") {
+    val (w, h) = (9, 8)
+    // pixel gray = 20·x: every right neighbor brighter → all 64 bits set
+    val inc = Array.tabulate(w * h * 3)(i => (((i / 3) % w) * 20).toByte)
+    assert(Multimodal.dHashChunks(w, h, 3, inc).toSeq ===
+      Seq(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL))
+    // reversed ramp → strictly darker rightwards → all bits clear
+    val dec = Array.tabulate(w * h * 3)(i => ((8 - (i / 3) % w) * 20).toByte)
+    assert(Multimodal.dHashChunks(w, h, 3, dec).toSeq === Seq(0L, 0L, 0L, 0L))
+    // single-channel raster: same semantics without the RGB average
+    val g = Array.tabulate(w * h)(i => ((i % w) * 20).toByte)
+    assert(Multimodal.dHashChunks(w, h, 1, g).toSeq ===
+      Seq(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL))
+  }
+
+  test("imageDHash: re-encode/upscale/brightness collide, distinct images differ") {
+    def raster(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => f((i / 3) % w, i / 3 / w).toByte)
+    def bmpOf(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) |
+          (rgb(s + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+      bos.toByteArray
+    }
+    val base = (x: Int, y: Int) => (x * 31 + y * 17) % 200
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image",
+        Multimodal.encodePng(16, 12, raster(16, 12, base)), "png", 16, 12, 1),
+      // lossless re-encode (different container, same raster)
+      Multimodal.MediaRecord(2L, "image",
+        bmpOf(16, 12, raster(16, 12, base)), "bmp", 16, 12, 1),
+      // 2× nearest-neighbor upscale: floor-stable sampling ⇒ same hash
+      Multimodal.MediaRecord(3L, "image",
+        Multimodal.encodePng(32, 24, raster(32, 24, (x, y) => base(x / 2, y / 2))),
+        "png", 32, 24, 1),
+      // uniform brightness shift: every gradient sign unchanged
+      Multimodal.MediaRecord(4L, "image",
+        Multimodal.encodePng(16, 12, raster(16, 12, (x, y) => base(x, y) + 10)),
+        "png", 16, 12, 1),
+      // inverted gradients: a genuinely different image
+      Multimodal.MediaRecord(5L, "image",
+        Multimodal.encodePng(16, 12, raster(16, 12, (x, y) => 199 - base(x, y))),
+        "png", 16, 12, 1)
+    ).toDS()
+    val sig = Multimodal.imageDHash(media).collect()
+      .map(s => s.doc_id -> Seq(s.c0, s.c1, s.c2, s.c3)).toMap
+    assert(sig(1L) === sig(2L), "lossless re-encode must not move the hash")
+    assert(sig(1L) === sig(3L), "2x nearest-neighbor upscale must not move the hash")
+    assert(sig(1L) === sig(4L), "brightness shift must not move the hash")
+    val hamming = sig(1L).zip(sig(5L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming > 3, s"distinct image too close: hamming $hamming")
+    // the banded pair join pairs exactly the perceptual group {1,2,3,4}
+    val pairs = graft.ops.Dedup.imageHashPairs(
+        Multimodal.imageDHash(media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("asImageGridPng wraps text bytes into an 8-wide zero-padded grid") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val recs = Multimodal.asImageGridPng(docs).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(recs(1L).width === 8 && recs(1L).height === 2)
+    val (w, h, px) = Multimodal.decodeImage(recs(1L).payload)
+    assert(w === 8 && h === 2)
+    val bytes = "abcdefghij".getBytes("UTF-8")
+    for (i <- 0 until 16; c <- 0 until 3)
+      assert((px(i * 3 + c) & 0xff) === (if (i < 10) bytes(i) & 0xff else 0),
+        s"pixel $i channel $c")
+    assert(recs(2L).width === 8 && recs(2L).height === 1,
+      "empty text becomes one black row")
+    assert(Multimodal.decodeImage(recs(2L).payload)._3.forall(_ === 0))
+  }
+
   test("frameSample takes every stride-th fixed-size block") {
     val frames = Multimodal.frameSample(Multimodal.asMedia(docs),
       frameBytes = 16, stride = 2).collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)
