@@ -99,6 +99,77 @@ object StreamOps {
       }
   }
 
+  /** One funnel input event. */
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts: java.sql.Timestamp)
+
+  /** Per-user funnel state: the earliest-chain times (epoch µs) of the
+    * steps reached so far — a strict prefix of the step list, ≤ |steps|
+    * longs per user. */
+  case class FunnelProgress(times: Seq[Long])
+
+  /** One append-only step-completion record: `user_id` reached `step`
+    * (1-based) at `t_us`, `lag_us` after its previous step (0 for step 1).
+    * Aggregating hits per step (count, sum lag) reproduces the batch
+    * [[graft.ops.EventAnalytics.funnel]] output rows. */
+  case class FunnelHit(user_id: Long, step: Long, t_us: Long, lag_us: Long)
+
+  /** Streaming strictly-ordered funnel — the INCREMENTAL form of
+    * [[graft.ops.EventAnalytics.funnel]] (the batch operator re-scans all
+    * events per refresh; the operational deployment wants per-user step
+    * state that advances as events arrive — the [[latestChanges]]
+    * precedent applied to the event-analytics wave).
+    *
+    * State per user is one `FunnelProgress` — the earliest-chain prefix
+    * times, bounded by |steps| longs — never an event buffer. Each
+    * micro-batch processes the user's funnel-relevant events in
+    * (event-time, step) order: an event for the NEXT unreached step
+    * strictly after the previous step's chain time advances the chain and
+    * emits a [[FunnelHit]]; events for already-reached steps, for steps
+    * further ahead (no skipping), or at/before the previous chain time are
+    * ignored — exactly the batch semantics, where the in-time-order greedy
+    * chain equals the batch operator's per-step min-over-qualifying fold.
+    *
+    * Equality contract (spec-pinned): as long as each user's events arrive
+    * in event-time order ACROSS micro-batches (within a batch any order is
+    * fine — the batch is sorted here), the emitted hits aggregate to the
+    * batch funnel's exact (n_users, total_lag_us) per step. A LATE
+    * cross-batch event that would have improved an already-emitted chain
+    * is ignored, not retracted — append mode has no retractions; the
+    * monotone-advance policy is the same one [[latestChanges]] documents.
+    * Hits for equal-timestamp events process lower step first, which the
+    * strict `>` then rejects — matching the batch operator's strict
+    * ordering. */
+  def funnelStream(stream: Dataset[FunnelEvent],
+                   steps: Seq[String]): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty)
+          val hits = Vector.newBuilder[FunnelHit]
+          val evs = rows
+            .flatMap(e => stepIdx.get(e.event_type).map(i => (micros(e.ts), i)))
+            .toVector.sorted
+          evs.foreach { case (t, i) =>
+            if (i == times.length && (i == 0 || t > times.last)) {
+              hits += FunnelHit(uid, i + 1L, t, if (i == 0) 0L else t - times.last)
+              times = times :+ t
+            }
+          }
+          val out = hits.result()
+          if (out.nonEmpty) state.update(FunnelProgress(times))
+          out.iterator
+      }
+  }
+
   /** Streaming EXACT dedup on the content fingerprint — the streaming twin
     * of [[graft.ops.Dedup.exact]], completing the incremental-dedup story
     * next to [[screenStreamNearDups]] (minhash screen): the first arrival

@@ -199,6 +199,60 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming funnel advances per-user step state and matches the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.FunnelEvent
+    val steps = Seq("view", "cart", "buy")
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamOps.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+
+    // batch 1: u1's cart arrives BEFORE its view in the batch (sorted
+    // internally); u2 carts before ever viewing (must not count — strict
+    // ordering is the whole point of a funnel); u3 views.
+    input.addData(
+      FunnelEvent(1L, "cart", ts(10, 10)),
+      FunnelEvent(1L, "view", ts(10, 0)),
+      FunnelEvent(2L, "cart", ts(10, 5)),
+      FunnelEvent(3L, "view", ts(10, 2)))
+    query.processAllAvailable()
+    // batch 2: u1 buys; u2 finally views (its earlier cart stays rejected
+    // in BOTH engines — it precedes the view); u3 carts at the SAME
+    // timestamp as its view (strict > rejects).
+    input.addData(
+      FunnelEvent(1L, "buy", ts(11, 0)),
+      FunnelEvent(2L, "view", ts(10, 30)),
+      FunnelEvent(3L, "cart", ts(10, 2)))
+    query.processAllAvailable()
+    // batch 3: u2 and u3 cart strictly after their views.
+    input.addData(
+      FunnelEvent(2L, "cart", ts(10, 40)),
+      FunnelEvent(3L, "cart", ts(10, 20)))
+    query.processAllAvailable()
+
+    val hits = spark.table("funnel_stream").as[StreamOps.FunnelHit].collect()
+    assert(hits.map(h => (h.user_id, h.step, h.lag_us)).toSet === Set(
+      (1L, 1L, 0L), (1L, 2L, 600000000L), (1L, 3L, 3000000000L),
+      (2L, 1L, 0L), (2L, 2L, 600000000L),
+      (3L, 1L, 0L), (3L, 2L, 1080000000L)))
+
+    // the emitted hits aggregate EXACTLY to the batch funnel on all rows
+    val allRows = Seq(
+      (1L, "view", ts(10, 0)), (1L, "cart", ts(10, 10)), (1L, "buy", ts(11, 0)),
+      (2L, "cart", ts(10, 5)), (2L, "view", ts(10, 30)), (2L, "cart", ts(10, 40)),
+      (3L, "view", ts(10, 2)), (3L, "cart", ts(10, 2)), (3L, "cart", ts(10, 20))
+    ).toDF("user_id", "event_type", "ts")
+    val batch = graft.ops.EventAnalytics.funnel(allRows, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val streamedAgg = hits.groupBy(_.step).map { case (s, hs) =>
+      (s, hs.length.toLong, hs.map(_.lag_us).sum)
+    }.toSet
+    assert(streamedAgg === batch)
+    query.stop()
+  }
+
   test("streaming incremental dedup screens each micro-batch against the static signature store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
