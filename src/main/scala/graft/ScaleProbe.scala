@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Checkpoints, Curation, Dedup, EmbeddingSim, Forecast, Latest, Packing, Rollup, Sampling, Sequences}
+import graft.ops.{AsofJoin, Checkpoints, Curation, Dedup, EmbeddingSim, Forecast, Latest, Multimodal, Packing, Rollup, Sampling, Sequences}
 import graft.ingest.Parse
 
 /** Empirical scale probe: replicates the sf0.1 corpus N× (fresh ids, jittered
@@ -328,6 +328,27 @@ object ScaleProbe {
         "winnow_pairs" -> (() =>
           time(s"$tag/winnow_pairs")(
             Dedup.winnowPairs(docs, maxDf = 64).count())),
+        // perceptual image hash: per-doc PNG encode+decode dominates (the
+        // mm_image_stats codec-envelope class, linear); the band join's
+        // OUTPUT is pair-bound — replica groups at N× share near-identical
+        // grids, the same listing-contract growth simhash_pairs has
+        "image_phash" -> (() =>
+          time(s"$tag/image_phash")(
+            Dedup.imageHashPairs(
+              Multimodal.imageDHash(Multimodal.asImageGridPng(docs)).toDF())
+              .count())),
+        // bigram LM: two corpus-shaped passes + vocabulary-shaped model
+        // joins (replication grows counts, vocab stays ~flat) — ~linear
+        "ngram_lm_ppx" -> (() =>
+          time(s"$tag/ngram_lm_ppx")(
+            graft.ops.TextStats.ngramLmPerplexity(docs)
+              .filter(col("ppx_keep") >= 0L).count())),
+        // markup strip: one narrow codegen regex/replace chain, no shuffle
+        // — the linearity floor every probe band is read against
+        "strip_markup" -> (() =>
+          time(s"$tag/strip_markup")(
+            Curation.stripMarkup(
+              docs.select(col("doc_id"), col("text").as("html"))).count())),
         // per-doc keyword argmax: token explode + two hash-aggs + a term
         // join — posting depth (replicated docs share their vocabulary)
         // lands in the df aggregate's combiner, never a per-doc window

@@ -170,6 +170,66 @@ object StreamOps {
       }
   }
 
+  /** Per-user retention state: the user's cohort day (epoch-day of first
+    * activity) and the set of whole-period offsets already credited —
+    * bounded by the corpus duration in periods, a few dozen longs at most
+    * (a year of weekly buckets = 53). */
+  case class RetentionState(cohort_dd: Long, offsets: Seq[Long])
+
+  /** One append-only retention credit: `user_id` (cohort `cohort_dd`) was
+    * active in period `offset_periods` for the first time. Counting hits
+    * per (cohort_dd, offset_periods) reproduces the batch
+    * [[graft.ops.EventAnalytics.retentionCohorts]] counts. */
+  case class RetentionHit(user_id: Long, cohort_dd: Long, offset_periods: Long)
+
+  /** Streaming cohort retention — the incremental form of
+    * [[graft.ops.EventAnalytics.retentionCohorts]], completing the
+    * event-analytics increment next to [[funnelStream]]: per-user state is
+    * (cohort day, credited offsets), and each micro-batch emits one hit
+    * per (user, period) seen for the first time.
+    *
+    * Same integer discipline as the batch operator (epoch-µs div —
+    * no calendar arithmetic) and the same monotone-advance caveat as
+    * [[funnelStream]]: the cohort anchors on the FIRST-SEEN activity day,
+    * so a late cross-batch event EARLIER than the user's known first day
+    * would re-anchor the cohort in the batch recompute but is credited
+    * against the existing anchor here (append mode cannot retract already-
+    * emitted offsets). With per-user event-time-ordered arrival the hit
+    * counts equal the batch operator exactly — spec-pinned. */
+  def retentionStream(stream: Dataset[FunnelEvent],
+                      bucketDays: Int = 7): Dataset[RetentionHit] = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val dayUs = 86400000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[RetentionState]) =>
+          val days = rows.map(e => micros(e.ts) / dayUs).toVector.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            val cohort = state.getOption.map(_.cohort_dd)
+              .getOrElse(days.head)
+            var seen = state.getOption.map(_.offsets.toSet).getOrElse(Set.empty)
+            val hits = Vector.newBuilder[RetentionHit]
+            days.foreach { dd =>
+              // a pre-cohort late event credits offset 0, not a re-anchor
+              val off = math.max(0L, (dd - cohort) / bucketDays)
+              if (!seen(off)) {
+                seen += off
+                hits += RetentionHit(uid, cohort, off)
+              }
+            }
+            state.update(RetentionState(cohort, seen.toSeq.sorted))
+            hits.result().iterator
+          }
+      }
+  }
+
   /** Streaming EXACT dedup on the content fingerprint — the streaming twin
     * of [[graft.ops.Dedup.exact]], completing the incremental-dedup story
     * next to [[screenStreamNearDups]] (minhash screen): the first arrival

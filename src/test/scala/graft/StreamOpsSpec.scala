@@ -253,6 +253,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming retention credits each (user, period) once and matches the batch cohorts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.FunnelEvent
+    def tsd(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamOps.retentionStream(input.toDS(), bucketDays = 7)
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("append").start()
+
+    // batch 1: u1 twice on day 0 (one credit), u2 on day 0
+    input.addData(
+      FunnelEvent(1L, "view", tsd(0, 9)), FunnelEvent(1L, "view", tsd(0, 17)),
+      FunnelEvent(2L, "view", tsd(0, 12)))
+    query.processAllAvailable()
+    // batch 2: u1 in period 1 (day 8); u2 on day 3 — same period 0, no hit
+    input.addData(
+      FunnelEvent(1L, "view", tsd(8, 9)), FunnelEvent(2L, "view", tsd(3, 9)))
+    query.processAllAvailable()
+    // batch 3: both active in period 2 (days 15/14); period 1 gaps stay gaps
+    input.addData(
+      FunnelEvent(1L, "view", tsd(15, 9)), FunnelEvent(2L, "view", tsd(14, 9)))
+    query.processAllAvailable()
+
+    val hits = spark.table("retention_stream").as[StreamOps.RetentionHit].collect()
+    val streamedAgg = hits.groupBy(h => (h.cohort_dd, h.offset_periods))
+      .map { case ((dd, off), hs) =>
+        (java.time.LocalDate.ofEpochDay(dd).toString, off, hs.length.toLong)
+      }.toSet
+    val allRows = Seq(
+      (1L, tsd(0, 9)), (1L, tsd(0, 17)), (2L, tsd(0, 12)),
+      (1L, tsd(8, 9)), (2L, tsd(3, 9)),
+      (1L, tsd(15, 9)), (2L, tsd(14, 9))
+    ).toDF("user_id", "ts")
+    val batch = graft.ops.EventAnalytics.retentionCohorts(allRows, bucketDays = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedAgg === batch)
+    assert(batch === Set(("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-01", 2L, 2L)))
+    query.stop()
+  }
+
   test("streaming incremental dedup screens each micro-batch against the static signature store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
