@@ -344,11 +344,17 @@ object ScaleProbe {
             graft.ops.TextStats.ngramLmPerplexity(docs)
               .filter(col("ppx_keep") >= 0L).count())),
         // markup strip: one narrow codegen regex/replace chain, no shuffle
-        // — the linearity floor every probe band is read against
+        // — the linearity floor every probe band is read against. The
+        // filter forces is_content (⇒ raw_len/text_len ⇒ the whole regex
+        // chain): a bare count() lets ColumnPruning delete the projection
+        // and times an empty scan (first probe run measured 0.2 s flat —
+        // bogus).
         "strip_markup" -> (() =>
           time(s"$tag/strip_markup")(
             Curation.stripMarkup(
-              docs.select(col("doc_id"), col("text").as("html"))).count())),
+              docs.select(col("doc_id"), col("text").as("html")))
+              .filter(col("is_content") >= 0L && length(col("text")) >= 0)
+              .count())),
         // per-doc keyword argmax: token explode + two hash-aggs + a term
         // join — posting depth (replicated docs share their vocabulary)
         // lands in the df aggregate's combiner, never a per-doc window

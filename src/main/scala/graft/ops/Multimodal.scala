@@ -481,6 +481,46 @@ object Multimodal {
       }))
   }
 
+  /** Perceptual AUDIO fingerprint — the acoustic sibling of [[imageDHash]]
+    * completing the third modality of the dedup family: decode PCM, bucket
+    * the |sample| energy into 65 windows (sample j of n lands in window
+    * (65·j) div n — the same closed-form assignment both engines compute),
+    * and emit bit i = 1 iff window i+1 carries more energy than window i.
+    * Envelope-gradient bits are invariant to exact amplitude scaling
+    * (k·a > k·b ⟺ a > b on integer sums), polarity inversion (|s|), and
+    * lossless re-encodes — the variations a re-mastered or re-encoded
+    * duplicate recording exhibits. All-integer; four 16-bit chunks, so
+    * `Dedup.imageHashPairs` (banding + hamming verify) applies unchanged.
+    * Same batched mapPartitions codec seam as [[extractAudioFeatures]]. */
+  def audioDHash(media: Dataset[MediaRecord],
+                 batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      require(r.format == "wav", s"not an audio payload (${r.format})")
+      val w = decodeWav(r.payload)
+      val v = new Array[Long](65)
+      val n =
+        if (w.bits_per_sample == 16) w.data.length / 2 else w.data.length
+      var j = 0
+      while (j < n) {
+        val s =
+          if (w.bits_per_sample == 16)
+            ((w.data(2 * j) & 0xff) | (w.data(2 * j + 1) << 8)).toShort.toLong
+          else (w.data(j) & 0xff).toLong - 128L
+        v(((65L * j) / n).toInt) += math.abs(s)
+        j += 1
+      }
+      val cs = new Array[Long](4)
+      var i = 0
+      while (i < 64) {
+        if (v(i + 1) > v(i)) cs(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      ImageHash(r.doc_id, cs(0), cs(1), cs(2), cs(3))
+    }))
+  }
+
   /** Feature extraction, batched per partition (the Scala analogue of a
     * Pandas UDF over mapInPandas: fixed-size batches amortize
     * decoder/model-session setup, which dominates real decode workloads). */

@@ -1295,6 +1295,60 @@ object TrainingData {
       }
     },
 
+    // Perceptual AUDIO near-dup pairs — the third dedup modality: text
+    // bytes become 16-bit PCM through the REAL wav encoder, decoded back
+    // through the RIFF walker, fingerprinted by the 65-window energy-
+    // envelope gradient (sample j of n lands in window (65·j) div n; bit =
+    // next window louder), then banded + hamming-verified through the same
+    // machinery as image dHash and text simhash. The oracle recomputes
+    // encode→decode→envelope→bands from the raw bytes — |(u−128)·256| per
+    // sample, identical integer window assignment and chunk packing.
+    QuerySpec.sql("dd_audio_fingerprint",
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |                  octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS j, n,
+        |        abs(((strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 - 128) * 256) AS a
+        |      FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i FROM b)),
+        |v AS (SELECT doc_id, (65 * j) // n AS w, CAST(sum(a) AS BIGINT) AS v
+        |      FROM s GROUP BY 1, 2),
+        |g AS (SELECT b.doc_id, r.i AS w, coalesce(v.v, 0) AS v
+        |      FROM b CROSS JOIN range(65) r(i)
+        |      LEFT JOIN v ON v.doc_id = b.doc_id AND v.w = r.i),
+        |bits AS (SELECT a.doc_id, a.w AS i,
+        |           CASE WHEN nx.v > a.v THEN 1 ELSE 0 END AS bit
+        |         FROM g a JOIN g nx ON nx.doc_id = a.doc_id AND nx.w = a.w + 1
+        |         WHERE a.w < 64),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c0,
+        |          CAST(sum(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c1,
+        |          CAST(sum(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c2,
+        |          CAST(sum(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS c3
+        |        FROM bits GROUP BY doc_id)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+        |          + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND
+        |     (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3)
+        |WHERE bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+        |    + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) <= 16
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) => {
+        val sig = Multimodal.audioDHash(
+          Multimodal.asAudio(Tables.documents(s, dir))).toDF()
+        // maxHamming 16, not 3: the acoustic channel is noisier than the
+        // pixel grid (one inserted byte shifts EVERY downstream envelope
+        // window), so near-dup recordings sit at larger distances. Above
+        // bands−1 the pigeonhole recall guarantee lapses — candidates are
+        // band-limited — but BOTH engines apply the identical banding, so
+        // the listing is still deterministic and hash-compared exactly.
+        Dedup.imageHashPairs(sig, maxHamming = 16, bands = 4)
+          .select(col("doc_a"), col("doc_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
+    },
+
     // Cluster resolution: simhash near-dup pairs → transitive closure →
     // one canonical doc per cluster, a keep/drop flag for every corpus row.
     // The oracle rebuilds the same pairs, then closes them with a recursive

@@ -342,6 +342,32 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("audioDHash: re-encode/amplitude/polarity collide, different envelope differs") {
+    val base = Array.tabulate(400)(j => (((j * 37) % 160 - 80) * 100).toShort)
+    def wav(samples: Array[Short], id: Long) =
+      Multimodal.MediaRecord(id, "audio", Multimodal.encodeWavPcm16(samples),
+        "wav", 0, 0, samples.length)
+    val media = Seq(
+      wav(base, 1L),
+      wav(base.clone(), 2L),                                // re-encode
+      wav(base.map(s => (s * 2).toShort), 3L),              // amplitude ×2
+      wav(base.map(s => (-s).toShort), 4L),                 // polarity inverted
+      wav(base.reverse, 5L)                                 // reversed envelope
+    ).toDS()
+    val sig = Multimodal.audioDHash(media).collect()
+      .map(s => s.doc_id -> Seq(s.c0, s.c1, s.c2, s.c3)).toMap
+    assert(sig(1L) === sig(2L), "re-encode must not move the fingerprint")
+    assert(sig(1L) === sig(3L), "exact amplitude scaling preserves gradients")
+    assert(sig(1L) === sig(4L), "polarity inversion preserves |energy|")
+    val hamming = sig(1L).zip(sig(5L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming > 3, s"reversed envelope too close: hamming $hamming")
+    val pairs = graft.ops.Dedup.imageHashPairs(
+        Multimodal.audioDHash(media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("asImageGridPng wraps text bytes into an 8-wide zero-padded grid") {
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val recs = Multimodal.asImageGridPng(docs).collect()
