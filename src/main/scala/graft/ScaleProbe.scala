@@ -337,6 +337,14 @@ object ScaleProbe {
             Dedup.imageHashPairs(
               Multimodal.imageDHash(Multimodal.asImageGridPng(docs)).toDF())
               .count())),
+        // audio envelope fingerprint: per-doc wav encode+decode dominates
+        // (linear, the codec-envelope class); band-join output pair-bound
+        // like image_phash
+        "audio_fingerprint" -> (() =>
+          time(s"$tag/audio_fingerprint")(
+            Dedup.imageHashPairs(
+              Multimodal.audioDHash(Multimodal.asAudio(docs)).toDF(),
+              maxHamming = 16).count())),
         // bigram LM: two corpus-shaped passes + vocabulary-shaped model
         // joins (replication grows counts, vocab stays ~flat) — ~linear
         "ngram_lm_ppx" -> (() =>

@@ -197,6 +197,68 @@ object Packing {
         expr("(stratum_pos * CAST(1000000 AS BIGINT)) DIV __wppm").as("priority"))
   }
 
+  /** Padding-efficient length-bucketed batching — the inference/training
+    * batcher for UNPACKED variable-length sequences (the complement of
+    * [[packSequences]]' concat-and-chunk: embedding inference, reward
+    * scoring, and eval loops pad each batch to its longest member, so
+    * random batching wastes compute proportional to length variance;
+    * batching length-sorted neighbors is the standard fix). Every doc gets
+    * a dense global rank in (n_tokens, md5-hash, id) order — length-major,
+    * seeded-shuffle within a length — and `batch_id = rank div batchSize`,
+    * `batch_pos = rank mod batchSize`: consecutive ranks share a batch, so
+    * each batch spans the narrowest possible length band.
+    *
+    * Scale shape: the global rank is the [[epochOrder]] two-level pattern
+    * with `n_tokens` PREPENDED to every key — per-(length, bucket) counts,
+    * ONE exclusive-prefix window over the O(lengths·buckets) count
+    * relation (broadcast-sized; lengths ≤ max doc tokens), then
+    * per-(length, bucket) row_numbers + offsets. No single-partition
+    * window over the corpus, and hot lengths (every doc exactly 128
+    * tokens) split across hash buckets instead of landing on one task —
+    * the skew case a `Window.partitionBy(n_tokens)` rank would die on. */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = docs.select(col(idCol),
+      Sampling.hashKey(col(idCol)).as("__hk"),
+      size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bucketed = keyed
+      .withColumn("__bucket", expr(s"(__hk * $nBuckets) div 4294967296"))
+      .repartition(nBuckets, col("n_tokens"), col("__bucket"))
+    val offsets = bucketed.groupBy(col("n_tokens"), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__poff",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("n_tokens"), col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens"), col("__bucket"), col("__poff"))
+    val wIn = Window.partitionBy(col("n_tokens"), col("__bucket"))
+      .orderBy(col("__hk").asc, col(idCol).asc)
+    bucketed.join(broadcast(offsets), Seq("n_tokens", "__bucket"))
+      .withColumn("__rank", col("__poff") + row_number().over(wIn) - 1)
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__rank div ${batchSize.toLong}").as("batch_id"),
+        (col("__rank") % batchSize).as("batch_pos"))
+  }
+
+  /** Per-batch padding economics over [[lengthBucketBatches]]: document
+    * count, longest member, token sum, and the padding bill
+    * `n_docs·max − sum` (each member pads to the batch max). One
+    * map-side-combinable aggregate over the assignment — the number a
+    * batching strategy is judged by. */
+  def lengthBatchStats(docs: DataFrame, batchSize: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    lengthBucketBatches(docs, batchSize, idCol, textCol)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+
   /** The exact integer ppm rendering of a weight map (shared with oracle
     * generation so the two sides can never drift): floor(w/Σw · 10⁶),
     * clamped ≥ 1. */

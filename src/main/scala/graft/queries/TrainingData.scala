@@ -1958,6 +1958,28 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Padding-efficient length-bucketed batching: docs ranked in
+    // (n_tokens, md5-hash, id) order, consecutive ranks batched — each
+    // batch spans the narrowest possible length band, and the per-batch
+    // padding bill n_docs·max − sum is the number the strategy is judged
+    // by. The oracle IS the single global window the operator's two-level
+    // pattern avoids (the epoch_order convention); lexicographic order on
+    // the fixed-width hex prefix ≡ the operator's numeric hash order.
+    QuerySpec.sql("pack_length_batches",
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |             substr(md5(doc_id::VARCHAR), 1, 8) AS hk FROM documents),
+        |r AS (SELECT doc_id, n,
+        |        CAST(row_number() OVER (ORDER BY n, hk, doc_id) - 1 AS BIGINT) AS rk
+        |      FROM t)
+        |SELECT rk // 32 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens
+        |FROM r GROUP BY 1 ORDER BY 1""") {
+      (s, dir) =>
+        Packing.lengthBatchStats(Tables.documents(s, dir), batchSize = 32)
+          .orderBy(col("batch_id"))
+    },
+
     // Sliding-window chunking (64-token windows, stride 32): per-doc window
     // arithmetic mirrored exactly — chunk count, start indices, tail
     // truncation, and the reassembled chunk TEXT all hash-compared.

@@ -39,6 +39,38 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lengthBucketBatches groups length-neighbors; stats price the padding") {
+    // lengths 10..80, all distinct → rank order == length order
+    val docs = (1L to 8L)
+      .map(i => (i, Seq.fill(i.toInt * 10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.lengthBucketBatches(docs, batchSize = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert((1L to 8L).forall(i => out(i)._1 === i * 10), "token sizing")
+    assert((1L to 8L).forall(i => out(i)._2 === (i - 1) / 3), "length-major batches")
+    assert((1L to 8L).forall(i => out(i)._3 === (i - 1) % 3), "dense positions")
+    val stats = Packing.lengthBatchStats(docs, batchSize = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // batch 0: 10+20+30 pad to 30 → 90−60 = 30; batch 2 is terminal (2 docs)
+    assert(stats(0L) === ((3L, 30L, 60L, 30L)))
+    assert(stats(1L) === ((3L, 60L, 150L, 30L)))
+    assert(stats(2L) === ((2L, 80L, 150L, 10L)))
+    // assignment is partitioning-invariant (the two-level rank contract)
+    val re = Packing.lengthBucketBatches(docs.repartition(7), batchSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(re === out.map { case (id, (_, b, p)) => (id, b, p) }.toSet)
+  }
+
+  test("lengthBucketBatches: a single hot length splits across hash buckets, zero pad") {
+    val docs = (1L to 7L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val stats = Packing.lengthBatchStats(docs, batchSize = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // 7 equal-length docs → batches of 3,3,1 — all padding-free
+    assert(stats === Set((0L, 3L, 0L), (1L, 3L, 0L), (2L, 1L, 0L)))
+  }
+
   test("packSequences output is independent of input partitioning") {
     val one = packed(docs.repartition(1))
     val many = packed(docs.repartition(13))
