@@ -165,6 +165,20 @@ object ScaleProbe {
             Dedup.incrementalComponents(stored, cross.union(internal)).count()
           })
         }),
+        // bloom-prescreened exact screen: times the marginal batch screen
+        // like incremental_minhash — the store (and thus the bloom build
+        // input) grows with the corpus while the batch stays ~1%; the
+        // probe answers whether the one-row bloom aggregate over the
+        // growing store stays cheap relative to the precise join
+        "incremental_bloom" -> (() => {
+          val batch = docs.filter(col("doc_id") % 97 === 0)
+          val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          val store = Dedup.exact(corpus)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          store.count()
+          time(s"$tag/incremental_bloom")(
+            Dedup.exactAgainstBloom(batch, store).count())
+        }),
         "ngram_jaccard" -> (() =>
           time(s"$tag/ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "lang", 0.5).count())),
         // The df-capped 100-TB shape: replica groups here are 100 deep, so

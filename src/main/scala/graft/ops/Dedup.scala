@@ -287,6 +287,56 @@ object Dedup {
         col("canonical_id").isNull.cast("long").as("is_new"),
         col("canonical_id"))
 
+  /** Bloom-prescreened incremental EXACT dedup — [[exactAgainst]] with the
+    * store join gated by a Bloom filter, for the deployment regime where
+    * most batch content is NOVEL (the common case on a live crawl: the
+    * duplicate rate per batch is a few percent). Output is IDENTICAL to
+    * [[exactAgainst]] on every input: the Bloom can only err toward
+    * "might contain", and every might-contain row is confirmed by the
+    * exact store join — false positives fall out as `canonical_id IS
+    * NULL`, false negatives are impossible. That exactness is why the
+    * operator can share [[exactAgainst]]'s oracle bit-for-bit.
+    *
+    * Why it matters at 100 TB: [[exactAgainst]] probes the corpus-sized
+    * (fp, canonical_id) store with EVERY batch row — a shuffle or a
+    * store-sized broadcast either way. Here the store collapses once per
+    * batch into a `numBits/8`-byte filter (8 MiB at the default — a 1-row
+    * broadcast, built by a map-side-combining aggregate over the store),
+    * definitely-new rows exit through a NARROW filter without touching
+    * the join at all, and the store join is probed only by the
+    * might-contain sliver (true duplicates + ~fpp of the batch). The
+    * sketch is Spark's own `BloomFilterAggregate` via
+    * [[graft.functions.BloomSketch]] — deterministic bits, so the plan
+    * stays engine-honest even though only the OUTPUT is oracle-compared.
+    * Default sizing: 6.4 M expected items × 10 bits ≈ 1% fpp in 8 MiB;
+    * size `expectedItems` to the STORE's distinct-content count. */
+  def exactAgainstBloom(newDocs: DataFrame, corpusFps: DataFrame,
+                        textCol: String = "text",
+                        expectedItems: Long = 6400000L,
+                        numBits: Long = 64000000L): DataFrame = {
+    import graft.functions.BloomSketch
+    // `might_contain` requires its filter side to be a constant or scalar
+    // subquery (the same contract the runtime-filter rewrite satisfies):
+    // Dataset.scalar() embeds the 1-row bloom aggregate as exactly that —
+    // no crossJoin, no driver collect, the subquery executes once and its
+    // 8 MiB result broadcasts with the plan.
+    val bloom = corpusFps
+      .agg(BloomSketch.bloomAgg(col("fp"), expectedItems, numBits).as("__bloom"))
+      .scalar()
+    val probed = newDocs
+      .select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fp"))
+      .withColumn("__maybe", BloomSketch.mightContain(bloom, col("fp")))
+    val confirmed = probed.filter(col("__maybe"))
+      .join(corpusFps.select(col("fp"), col("canonical_id")), Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("canonical_id").isNull.cast("long").as("is_new"),
+        col("canonical_id"))
+    val definitelyNew = probed.filter(!col("__maybe"))
+      .select(col("doc_id"), lit(1L).as("is_new"),
+        lit(null).cast("long").as("canonical_id"))
+    confirmed.unionByName(definitelyNew)
+  }
+
   /** (doc_id, shingle) exploded view, distinct per doc. */
   private def shingleRows(docs: DataFrame, blockCol: Option[String],
                           textCol: String): DataFrame = {

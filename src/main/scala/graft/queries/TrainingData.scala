@@ -1206,6 +1206,32 @@ object TrainingData {
       }
     },
 
+    // The Bloom-prescreened form of the same screen — same batch split,
+    // SAME oracle SQL (exactness by construction: the Bloom only errs
+    // toward might-contain and the confirm join settles those rows, so
+    // the output equals the precise screen bit-for-bit while
+    // definitely-new rows never touch the store join). The sketch is
+    // Spark's own BloomFilterAggregate, exposed through
+    // functions.BloomSketch; see Dedup.exactAgainstBloom's scaladoc for
+    // the 100 TB economics (store collapses to one 8 MiB broadcast row).
+    QuerySpec.sql("dd_incremental_bloom",
+      """WITH store AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |                      min(doc_id) AS canonical_id
+        |               FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id, CAST(s.canonical_id IS NULL AS BIGINT) AS is_new,
+        |       s.canonical_id
+        |FROM b LEFT JOIN store s USING (fp) ORDER BY doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.exactAgainstBloom(
+            docs.filter(col("doc_id") % 10 === 0),
+            Dedup.exact(docs.filter(col("doc_id") % 10 =!= 0)))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     QuerySpec.sql("dd_simhash",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) || md5('#' || t) AS h FROM tok GROUP BY 1, 2),

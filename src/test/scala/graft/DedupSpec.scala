@@ -628,6 +628,49 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(11L) === ((1L, None)))
   }
 
+  test("exactAgainstBloom equals the precise screen on every row") {
+    // replayed + fresh + normalization-variant content: the Bloom can only
+    // err toward might-contain, and the confirm join settles those rows —
+    // so the two screens must agree bit-for-bit
+    val store = Dedup.exact(docs.filter(col("doc_id") < 4))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // replay
+      (11L, "THE  quick   brown fox jumps over the lazy dog"), // normalized replay
+      (12L, "entirely fresh content never seen before"),
+      (13L, "another novel document with its own words")
+    ).toDF("doc_id", "text")
+    def collectScreen(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("is_new"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val precise = collectScreen(Dedup.exactAgainst(batch, store))
+    val bloomed = collectScreen(Dedup.exactAgainstBloom(batch, store))
+    assert(bloomed === precise)
+    assert(precise.exists { case (id, n, c) => id == 11L && n == 0L && c.isDefined },
+      "normalization-variant replay must be caught through the bloom path too")
+  }
+
+  test("BoundedCollectLong: exact cap boundary, split-invariant merge, bounded buffers") {
+    val agg = graft.functions.BoundedCollectLong(3)
+    def run(splits: Seq[Seq[Long]]): Option[Seq[Long]] = {
+      val parts = splits.map(_.foldLeft(agg.zero)(agg.reduce))
+      Option(agg.finish(parts.reduce(agg.merge))).map(_.toSeq)
+    }
+    val atCap = Seq(5L, 1L, 3L)
+    val overCap = Seq(5L, 1L, 3L, 9L)
+    val splitsOf = (ids: Seq[Long]) => Seq(
+      Seq(ids.map(Seq(_)): _*),             // one element per partition
+      Seq(ids),                             // all in one partition
+      Seq(ids.take(2), ids.drop(2)))        // uneven split
+    // exactly at the cap → kept, sorted ascending, however the group split
+    splitsOf(atCap).foreach(s => assert(run(s) === Some(Seq(1L, 3L, 5L)), s"$s"))
+    // one over the cap → dropped (null), however the group split
+    splitsOf(overCap).foreach(s => assert(run(s) === None, s"$s"))
+    // buffers never exceed limit+1 ids even for a much hotter key
+    val hot = (1L to 100L).foldLeft(agg.zero)(agg.reduce)
+    assert(hot.n === 100L && hot.ids.length === 4)
+    assert(agg.merge(hot, hot).ids.length <= 4)
+  }
+
   test("spanCoverage counts positions whose span recurs in another doc") {
     val cov = Seq(
       (0L, "a b c d e"),       // spans: "a b c","b c d","c d e"
