@@ -1338,6 +1338,33 @@ object Dedup {
         (col(idCol) === col("keep_id")).cast("long").as("is_kept"))
   }
 
+  /** Centrality keep-policy: keep each cluster's highest-DEGREE member in
+    * the near-dup graph (ties → min id) — the no-quality-score fallback a
+    * production pipeline uses when nothing better than "most connected =
+    * most representative" is available (a hub that near-matches every
+    * cluster member is a safer canonical than an arbitrary min-id member
+    * that may sit at the cluster's edge).
+    *
+    * Degree semantics follow the PAIR relation the caller passes: the
+    * verified pair LISTING gives true near-dup degree; the contracted edge
+    * feed ([[simhashEdges]]/[[minhashLshEdges]]) gives the cheap proxy
+    * where a replica group's representative carries its star degree —
+    * choose per the same listing-vs-clustering contract those operators
+    * document. Scale shape: degree is one map-side-combinable count over
+    * the exploded edge endpoints, then exactly [[keepBest]]'s single
+    * `max_by` hash-aggregate + join-back — nothing scales with cluster
+    * depth. */
+  def keepCentral(docs: DataFrame, pairs: DataFrame, components: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__degree"))
+    val scored = docs.select(col(idCol))
+      .join(deg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__degree"), lit(0L)).as("__degree"))
+    keepBest(scored, components, "__degree", idCol)
+  }
+
   /** Sub-document (segment-level) exact dedup, the C4/CCNet "remove
     * duplicated lines/paragraphs across the corpus" pass: split each doc
     * into fixed non-overlapping `segTokens`-token segments

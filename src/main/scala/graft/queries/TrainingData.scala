@@ -1572,6 +1572,60 @@ object TrainingData {
       }
     },
 
+    // Centrality keep-policy over the same minhash near-dup graph: keep
+    // each cluster's highest-DEGREE member (ties → min id) — the
+    // no-quality-score canonical choice. Degree counts the VERIFIED pair
+    // listing; the oracle reuses dd_keep_best's closure CTEs with degree
+    // replacing n_chars as the argmax key.
+    QuerySpec.sql("dd_keep_central",
+      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |          WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v != r.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |deg AS (SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),
+        |lab AS (SELECT d.doc_id, coalesce(g.degree, 0) AS degree,
+        |               coalesce(c.component, d.doc_id) AS cluster
+        |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |        LEFT JOIN deg g ON g.doc_id = d.doc_id),
+        |keep AS (SELECT cluster, doc_id AS keep_id FROM (
+        |           SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+        |             ORDER BY degree DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1)
+        |SELECT l.doc_id, k.keep_id,
+        |       CAST(l.doc_id = k.keep_id AS BIGINT) AS is_kept
+        |FROM lab l JOIN keep k ON l.cluster = k.cluster
+        |ORDER BY l.doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.keepCentral(docs,
+            Dedup.minhashLshPairs(docs, threshold = 0.5)
+              .select(col("doc_a"), col("doc_b")),
+            Dedup.minhashLshComponents(docs, threshold = 0.5))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Sub-document exact dedup (the C4/CCNet "drop repeated lines across
     // the corpus" pass) at 10-token segment granularity: first global
     // occurrence of each distinct segment survives, docs reassemble in

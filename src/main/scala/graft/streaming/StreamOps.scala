@@ -230,6 +230,62 @@ object StreamOps {
       }
   }
 
+  /** One dimension-bearing event for [[scd2Stream]]. */
+  case class ScdEvent(user_id: Long, ts: java.sql.Timestamp,
+                      event_id: Long, value: Double)
+
+  /** Per-user open SCD2 row: the current value and when it took effect. */
+  case class ScdState(value: Double, valid_from_us: Long)
+
+  /** One CLOSED validity interval: `value` held on [valid_from_us,
+    * valid_to_us). The open (current) interval lives in state and is never
+    * emitted — append mode cannot retract it when it later closes. */
+  case class ScdSpan(user_id: Long, valid_from_us: Long,
+                     valid_to_us: Long, value: Double)
+
+  /** Streaming SCD2 / CDC-merge — the incremental twin of
+    * [[graft.ops.EventAnalytics.scd2]], completing the batch↔stream
+    * symmetry for the third event-analytics operator (funnel and
+    * retention have theirs above): per-user state is ONE open validity
+    * row; each micro-batch processes the user's events in
+    * (event-time, event_id) order, closes the open row when the metric
+    * changes (null-safe: re-assertions of the current value are not
+    * changes — the batch operator's exact rule) and emits the closed
+    * interval append-only.
+    *
+    * Equality contract (spec-pinned): with per-user event-time-ordered
+    * arrival across batches, the emitted spans equal the batch operator's
+    * `is_current = false` rows exactly; the batch open row corresponds to
+    * the state, observable on the NEXT change. Same monotone-advance
+    * caveat as [[funnelStream]] for cross-batch late events. */
+  def scd2Stream(stream: Dataset[ScdEvent]): Dataset[ScdSpan] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdSpan](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ScdEvent], state: GroupState[ScdState]) =>
+          val evs = rows.toVector.sortBy(e => (micros(e.ts), e.event_id))
+          var cur = state.getOption
+          val out = Vector.newBuilder[ScdSpan]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case None => cur = Some(ScdState(e.value, t))
+              case Some(s) if s.value != e.value =>
+                out += ScdSpan(uid, s.valid_from_us, t, s.value)
+                cur = Some(ScdState(e.value, t))
+              case _ => () // re-assertion of the current value: no change
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming EXACT dedup on the content fingerprint — the streaming twin
     * of [[graft.ops.Dedup.exact]], completing the incremental-dedup story
     * next to [[screenStreamNearDups]] (minhash screen): the first arrival

@@ -649,6 +649,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       "normalization-variant replay must be caught through the bloom path too")
   }
 
+  test("keepCentral keeps the highest-degree member, min id on ties, singletons themselves") {
+    import spark.implicits._
+    val ds = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    // path 1-2-3 plus edge 2-4: degrees 1,3,1,1 → hub 2 is the canonical;
+    // 9 has no edges → keeps itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "component")
+    val out = Dedup.keepCentral(ds, pairs, comps).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 === 2L), s"hub wins: $out")
+    assert(out(2L)._2 === 1L && out(1L)._2 === 0L)
+    assert(out(9L) === ((9L, 1L)), "edge-less singleton keeps itself")
+    // tie on degree (1-2 only): min id 1 wins
+    val tied = Dedup.keepCentral(
+        Seq(1L, 2L).toDF("doc_id"),
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"),
+        Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("BoundedCollectLong: exact cap boundary, split-invariant merge, bounded buffers") {
     val agg = graft.functions.BoundedCollectLong(3)
     def run(splits: Seq[Seq[Long]]): Option[Seq[Long]] = {

@@ -296,6 +296,46 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming SCD2 closes validity intervals exactly like the batch history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.ScdEvent
+    val input = MemoryStream[ScdEvent]
+    val query = StreamOps.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+
+    // batch 1: u1 opens at 1.0 (in-batch out of order), re-asserts 1.0
+    input.addData(
+      ScdEvent(1L, ts(10, 30), 2, 1.0), // re-assertion, later
+      ScdEvent(1L, ts(10, 0), 1, 1.0))
+    query.processAllAvailable()
+    // batch 2: u1 changes to 2.0 (closes [10:00, 11:00) @ 1.0); u2 opens
+    input.addData(
+      ScdEvent(1L, ts(11, 0), 3, 2.0), ScdEvent(2L, ts(11, 15), 4, 7.0))
+    query.processAllAvailable()
+    // batch 3: u1 changes again; u2 re-asserts (no change)
+    input.addData(
+      ScdEvent(1L, ts(12, 0), 5, 3.0), ScdEvent(2L, ts(12, 30), 6, 7.0))
+    query.processAllAvailable()
+
+    val streamed = spark.table("scd2_stream").as[StreamOps.ScdSpan].collect()
+      .map(s => (s.user_id, s.valid_from_us, s.valid_to_us, s.value)).toSet
+    val allRows = Seq(
+      (1L, ts(10, 0), 1L, 1.0), (1L, ts(10, 30), 2L, 1.0),
+      (1L, ts(11, 0), 3L, 2.0), (2L, ts(11, 15), 4L, 7.0),
+      (1L, ts(12, 0), 5L, 3.0), (2L, ts(12, 30), 6L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val batchClosed = graft.ops.EventAnalytics.scd2(allRows)
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batchClosed)
+    // exactly the two closed u1 intervals; open rows live only in state
+    assert(streamed.map(_._1) === Set(1L) && streamed.size === 2)
+    query.stop()
+  }
+
   test("streaming incremental dedup screens each micro-batch against the static signature store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
