@@ -1618,10 +1618,13 @@ object TrainingData {
         |ORDER BY l.doc_id""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.keepCentral(docs,
-            Dedup.minhashLshPairs(docs, threshold = 0.5)
-              .select(col("doc_a"), col("doc_b")),
-            Dedup.minhashLshComponents(docs, threshold = 0.5))
+        // ONE signature build: the pair LISTING (needed for true degree
+        // anyway) also feeds the closure — connectedComponents over the
+        // all-pairs graph has the identical closure the contracted-feed
+        // components would give, without a second minhash derivation.
+        val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.keepCentral(docs, pairs, Dedup.connectedComponents(pairs))
           .orderBy(col("doc_id"))
       }
     },
