@@ -1365,6 +1365,51 @@ object Dedup {
     keepBest(scored, components, "__degree", idCol)
   }
 
+  /** PageRank-lite centrality over the (undirected) near-dup graph —
+    * `iters` fixed rounds of r'(v) = 150000 + (850000·Σ_{u∼v} ⌊r(u)/deg(u)⌋)
+    * div 10⁶ in integer parts-per-million (damping 0.85, uniform start
+    * 10⁶ ppm per node) — the graded refinement of [[keepCentral]]'s raw
+    * degree: a member connected to other WELL-CONNECTED members outranks
+    * one with the same degree hanging off the cluster edge. Every
+    * division is integer `div`, so the trajectory is bit-identical in any
+    * engine (an unrolled-rounds oracle, the kmeans/BPE convention; the
+    * per-step ⌊·⌋ mass loss is deterministic and shared).
+    *
+    * Scale shape: degrees once (map-side count), then per round ONE
+    * node-keyed join (ranks ⋈ degrees → contributions) + ONE edge-keyed
+    * join + aggregate — all relations node- or edge-sized, loop-carried
+    * ranks go through [[Checkpoints.materialized]] like the CC fixpoint
+    * so plan statistics never compound. Rounds are a fixed parameter
+    * (centrality ranking stabilizes in a few rounds on cluster-sized
+    * components; this is a diagnostics operator, not a web-graph solver).
+    * Int64 headroom: Σ ranks per receiving node is bounded by the graph's
+    * total mass ≈ |nodes|·10⁶, so 850000·Σ stays inside int64 up to
+    * ~10⁷-node graphs — the post-contraction dedup graphs this targets,
+    * not raw web graphs. Emits (doc_id, rank_ppm) for every node WITH an
+    * edge; an edge-less doc is rank 150000 by the same formula (callers
+    * coalesce). */
+  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("u").as("doc_id"), lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(deg, ranks("doc_id") === deg("u"))
+        .select(col("u"), expr("rank_ppm div d").as("c"))
+      ranks = Checkpoints.materialized(
+        e.join(contrib, "u")
+          .groupBy(col("v"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("v").as("doc_id"),
+            (lit(150000L) + expr("850000 * s div 1000000")).as("rank_ppm")))
+    }
+    ranks
+  }
+
   /** Sub-document (segment-level) exact dedup, the C4/CCNet "remove
     * duplicated lines/paragraphs across the corpus" pass: split each doc
     * into fixed non-overlapping `segTokens`-token segments

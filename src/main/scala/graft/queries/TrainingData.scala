@@ -1629,6 +1629,60 @@ object TrainingData {
       }
     },
 
+    // PageRank-lite centrality over the same minhash near-dup graph —
+    // the graded refinement of raw degree (well-connected neighbors count
+    // more). Three fixed rounds in integer ppm arithmetic; the oracle
+    // unrolls the identical rounds (the kmeans/BPE convention), and an
+    // edge-less doc is rank 150000 by the same formula on both sides.
+    QuerySpec.sql("dd_pagerank",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |          WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+        |r0 AS (SELECT u AS doc_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT r0.doc_id AS u, r0.r // d.d AS c FROM r0 JOIN deg d ON d.u = r0.doc_id),
+        |r1 AS (SELECT e.v AS doc_id, 150000 + (850000 * CAST(sum(c.c) AS BIGINT)) // 1000000 AS r
+        |       FROM e JOIN c1 c ON c.u = e.u GROUP BY e.v),
+        |c2 AS (SELECT r1.doc_id AS u, r1.r // d.d AS c FROM r1 JOIN deg d ON d.u = r1.doc_id),
+        |r2 AS (SELECT e.v AS doc_id, 150000 + (850000 * CAST(sum(c.c) AS BIGINT)) // 1000000 AS r
+        |       FROM e JOIN c2 c ON c.u = e.u GROUP BY e.v),
+        |c3 AS (SELECT r2.doc_id AS u, r2.r // d.d AS c FROM r2 JOIN deg d ON d.u = r2.doc_id),
+        |r3 AS (SELECT e.v AS doc_id, 150000 + (850000 * CAST(sum(c.c) AS BIGINT)) // 1000000 AS r
+        |       FROM e JOIN c3 c ON c.u = e.u GROUP BY e.v)
+        |SELECT d.doc_id, coalesce(r3.r, 150000) AS rank_ppm
+        |FROM documents d LEFT JOIN r3 ON r3.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pr = Dedup.pageRank(
+          Dedup.minhashLshPairs(docs, threshold = 0.5)
+            .select(col("doc_a"), col("doc_b")), iters = 3)
+        docs.select(col("doc_id")).join(pr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rank_ppm"), lit(150000L)).as("rank_ppm"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Sub-document exact dedup (the C4/CCNet "drop repeated lines across
     // the corpus" pass) at 10-token segment granularity: first global
     // occurrence of each distinct segment survives, docs reassemble in

@@ -671,6 +671,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(tied === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("pageRank: hand-traced integer ppm trajectory on a path graph") {
+    import spark.implicits._
+    // path 1-2-3, hand-unrolled (deg 1,2,1; damping 850000 ppm):
+    //  r1: leaves 575000, hub 1850000
+    //  r2: leaves 936250, hub 1127500
+    //  r3: leaves 629187 (floor of .5), hub 1741625
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r3 = Dedup.pageRank(pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+    // one round reproduces the first hand step too
+    val r1 = Dedup.pageRank(pairs, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    // centrality grades within equal degree: in a star+tail the hub
+    // outranks everyone and the tail leaf underranks the spokes
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val rs = Dedup.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs(10L) > rs(13L) && rs(13L) > rs(14L), s"grading: $rs")
+  }
+
   test("BoundedCollectLong: exact cap boundary, split-invariant merge, bounded buffers") {
     val agg = graft.functions.BoundedCollectLong(3)
     def run(splits: Seq[Seq[Long]]): Option[Seq[Long]] = {
