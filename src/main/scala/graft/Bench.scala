@@ -61,6 +61,12 @@ object Bench {
     // from a plan or harness regression (run time up). See BenchMetrics.
     val metrics = new BenchMetrics
     spark.sparkContext.addSparkListener(metrics)
+    // Anchor for per-query start offsets: the round-12 band analysis showed
+    // ambient load RISING through a run, so each query's position in run
+    // time is part of its attribution — a start timestamp per query turns
+    // "suspect within-run drift" into arithmetic (correlate start_s against
+    // the task_run inflation across the registry).
+    val runT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -68,6 +74,7 @@ object Bench {
       metrics.reset()
       val gc0 = BenchMetrics.jvmGcMillis()
       val t0 = System.nanoTime()
+      val startS = (t0 - runT0) / 1e9
       // noop sink materializes every output column (count() would let
       // Catalyst prune whole subtrees, e.g. windows under a bare count).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -96,7 +103,7 @@ object Bench {
       val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
       System.err.println(
         f"[bench-gap] $name%-28s ${elapsed}%8.3f s; jobs $jobs%3d stages $stages%4d tasks $tasks%5d; task run ${runMs / 1e3}%8.2f s gc ${gcMs / 1e3}%6.2f s sched ${schedMs / 1e3}%6.2f s; jvm gc $jvmGc%5.2f s; dropped $dropped%3d broadcasts; storage ${storageUsed / 1048576.0}%7.2f MiB")
-      (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc)
+      (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc, startS)
     }
     val total = results.map(_._2).sum
     // Locale.ROOT: the f""/format interpolators honor the JVM default
@@ -111,12 +118,14 @@ object Bench {
     // envelope) from "a plan or the harness regressed" (task run time
     // itself grew) — the round-11 verdict had to take that split on faith
     // because only the last [bench-gap] stderr line survived into the
-    // BENCH artifact. attr packs [task_run_s, task_gc_s, sched_s,
-    // jvm_gc_s] per query (jvm_gc covers the whole driver JVM for the
-    // interval — a superset of task_gc that also counts planning-time GC).
-    val attrCols = """"attr_cols":["task_run_s","task_gc_s","sched_s","jvm_gc_s"]"""
-    def attrEntry(r: (String, Double, Double, Double, Double, Double)) =
-      "\"" + r._1 + "\":[" + fmt2(r._3) + "," + fmt2(r._4) + "," +
+    // BENCH artifact. attr packs [start_s, task_run_s, task_gc_s, sched_s,
+    // jvm_gc_s] per query (start_s = offset of the query's timed start from
+    // the run's first timed query, for correlating within-run ambient
+    // drift; jvm_gc covers the whole driver JVM for the interval — a
+    // superset of task_gc that also counts planning-time GC).
+    val attrCols = """"attr_cols":["start_s","task_run_s","task_gc_s","sched_s","jvm_gc_s"]"""
+    def attrEntry(r: (String, Double, Double, Double, Double, Double, Double)) =
+      "\"" + r._1 + "\":[" + fmt2(r._7) + "," + fmt2(r._3) + "," + fmt2(r._4) + "," +
         fmt2(r._5) + "," + fmt2(r._6) + "]"
     val totals = s""""totals":{"task_run_s":${fmt(results.map(_._3).sum)},""" +
       s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +

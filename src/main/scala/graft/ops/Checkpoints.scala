@@ -1,9 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Iteration-safe materialization for DataFrame fixpoint loops. */
 object Checkpoints {
+
+  /** `spark.sql.shuffle.partitions` as an Int, tolerant of the non-numeric
+    * values the conf legitimately takes on some deployments ("auto" under
+    * externally-managed AQE) — falls back to the cluster's default
+    * parallelism instead of throwing NumberFormatException. Operators that
+    * size their deterministic hash-bucket fan-out from this conf
+    * (Packing, Sampling) must not crash on a valid session. */
+  def shufflePartitions(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
 
   /** Eagerly materialize `df` AND reset its statistics.
     *

@@ -323,9 +323,15 @@ object Dedup {
     val bloom = corpusFps
       .agg(BloomSketch.bloomAgg(col("fp"), expectedItems, numBits).as("__bloom"))
       .scalar()
+    // BloomFilterAggregate evaluates to NULL over an EMPTY store (zero rows
+    // inserted), and might_contain null-propagates — without the coalesce
+    // BOTH branches below would reject every batch row on the bootstrap
+    // (first-batch) corpus. A NULL bloom means nothing was ever inserted,
+    // so every probe is definitely new.
     val probed = newDocs
       .select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fp"))
-      .withColumn("__maybe", BloomSketch.mightContain(bloom, col("fp")))
+      .withColumn("__maybe",
+        coalesce(BloomSketch.mightContain(bloom, col("fp")), lit(false)))
     val confirmed = probed.filter(col("__maybe"))
       .join(corpusFps.select(col("fp"), col("canonical_id")), Seq("fp"), "left")
       .select(col("doc_id"),
@@ -604,11 +610,16 @@ object Dedup {
                                        textCol: String = "text"): DataFrame = {
     // candidates = raw LSH band collisions (threshold 0: the cosine stage
     // IS the verifier; an est-filter here would just shadow it)
+    // DISK_ONLY, not MEMORY_AND_DISK: both are re-read by ≥2 branches but
+    // neither belongs in the MemoryStore — the round-12 driver bench put
+    // this plan 3.5× over its quiet envelope under ambient memory
+    // pressure, the same signature the round-11 winnow/ngram rebuilds
+    // fixed by evicting corpus-shaped persists from memory.
     val cand = minhashLshPairs(docs, threshold = 0.0, textCol = textCol)
       .select(col("doc_a"), col("doc_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val feats = hashedTfFeatures(docs, dims, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val norms = feats.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
     // Join order is load-bearing: candidates must attach BEFORE the two
     // feature relations meet, or the optimizer can reorder to
@@ -686,16 +697,23 @@ object Dedup {
                           dims: Int = 64, textCol: String = "text"): DataFrame = {
     require(threshold <= 1.0,
       "identical-content expansion assumes cosine-1.0 pairs pass the filter")
-    // Persisted (cache-lifetime note on contractSignatures applies): the
-    // exact aggregate feeds the member map and the rep semi-join; the
-    // member map feeds three expansion branches.
-    val exactAgg = exact(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // The exact aggregate is NOT persisted: it is one md5 hash-aggregate
+    // over docs, consumed by exactly two branches (member map, rep
+    // semi-join) — recomputing it twice is two narrow scans, while a
+    // corpus-shaped MemoryStore resident was the round-12 driver bench's
+    // prime memory-bandwidth suspect on this plan (3.5× its quiet
+    // envelope under ambient load). The member map IS persisted (three
+    // expansion branches re-probe it, and it embeds a shuffle join), but
+    // DISK_ONLY: the round-11/12 benches measured memory-resident persists
+    // degrading 2.1–2.5× under MemoryStore pressure, and a local-disk
+    // re-read of a 2-column long relation is cheap.
+    val exactAgg = exact(docs, textCol)
     val memberOf = docs
       .select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fp"))
       .join(exactAgg.select(col("fp"), col("canonical_id").as("rep"))
         .hint("shuffle_hash"), Seq("fp"))
       .select(col("rep"), col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val reps = docs.join(
       exactAgg.select(col("canonical_id").as("doc_id")).hint("shuffle_hash"),
       Seq("doc_id"), "left_semi")
@@ -1382,19 +1400,35 @@ object Dedup {
     * so plan statistics never compound. Rounds are a fixed parameter
     * (centrality ranking stabilizes in a few rounds on cluster-sized
     * components; this is a diagnostics operator, not a web-graph solver).
+    * The loop-invariant edge/degree relations persist DISK_ONLY, not
+    * MEMORY_AND_DISK — the round-11 bench measured memory-resident
+    * persists degrading 2.1–2.5× under ambient MemoryStore pressure
+    * (same rationale as the winnow/ngram rebuilds); they are re-read
+    * each round but small, so local-disk reads are the cheap direction.
     * Int64 headroom: Σ ranks per receiving node is bounded by the graph's
     * total mass ≈ |nodes|·10⁶, so 850000·Σ stays inside int64 up to
     * ~10⁷-node graphs — the post-contraction dedup graphs this targets,
-    * not raw web graphs. Emits (doc_id, rank_ppm) for every node WITH an
+    * not raw web graphs. Past that bound the operator FAILS LOUDLY
+    * ([[segmentDedup]]'s per-row `raise_error` discipline) at the first
+    * node whose 850000·Σ would overflow, instead of silently wrapping
+    * rank sums. Emits (doc_id, rank_ppm) for every node WITH an
     * edge; an edge-less doc is rank 150000 by the same formula (callers
     * coalesce). */
   def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
+    // 850000·s must stay inside int64: s ≤ ⌊Long.MaxValue / 850000⌋.
+    val sBound = Long.MaxValue / 850000L
+    val newRank = when(col("s") <= lit(sBound),
+        expr("150000 + 850000 * s div 1000000"))
+      .otherwise(raise_error(format_string(
+        "pageRank: incoming rank mass %d at node %d exceeds the int64 " +
+          "headroom of the integer-ppm formulation (~1e7-node bound)",
+        col("s"), col("v"))).cast("long"))
     var ranks = deg.select(col("u").as("doc_id"), lit(1000000L).as("rank_ppm"))
     for (_ <- 1 to iters) {
       val contrib = ranks
@@ -1404,8 +1438,7 @@ object Dedup {
         e.join(contrib, "u")
           .groupBy(col("v"))
           .agg(sum(col("c")).as("s"))
-          .select(col("v").as("doc_id"),
-            (lit(150000L) + expr("850000 * s div 1000000")).as("rank_ppm")))
+          .select(col("v").as("doc_id"), newRank.as("rank_ppm")))
     }
     ranks
   }

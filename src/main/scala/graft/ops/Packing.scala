@@ -40,7 +40,7 @@ object Packing {
   def packSequences(docs: DataFrame, budget: Long,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nBuckets = Checkpoints.shufflePartitions(docs.sparkSession)
     val sized = docs.select(col(idCol),
       Sampling.hashKey(col(idCol)).as("__hk"),
       size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
@@ -124,7 +124,7 @@ object Packing {
     * under the (negligible) chance of an md5 collision. */
   def epochOrder(docs: DataFrame, epoch: Int,
                  idCol: String = "doc_id"): DataFrame = {
-    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nBuckets = Checkpoints.shufflePartitions(docs.sparkSession)
     val keyed = docs.select(col(idCol),
       md5(concat(lit(s"e$epoch:"), col(idCol).cast("string"))).as("__ek"))
     val bucketed = keyed
@@ -167,7 +167,7 @@ object Packing {
   def curriculumInterleave(docs: DataFrame, weights: Map[String, Double],
                            epoch: Int = 1, stratumCol: String = "lang",
                            idCol: String = "doc_id"): DataFrame = {
-    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nBuckets = Checkpoints.shufflePartitions(docs.sparkSession)
     val ppm = weightPpm(weights)
     val wppm = ppm.foldLeft(lit(1L)) { case (acc, (s, p)) =>
       when(col("stratum") === s, lit(p)).otherwise(acc)
@@ -220,7 +220,7 @@ object Packing {
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(batchSize >= 1, "batchSize must be positive")
-    val nBuckets = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nBuckets = Checkpoints.shufflePartitions(docs.sparkSession)
     val keyed = docs.select(col(idCol),
       Sampling.hashKey(col(idCol)).as("__hk"),
       size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))

@@ -102,7 +102,7 @@ object Sampling {
     // the code silently regresses to the single-task per-stratum sort this
     // rewrite eliminates (still correct, no longer parallel).
     val nBuckets =
-      math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 32)
+      math.max(Checkpoints.shufflePartitions(spark), 32)
     // Order-preserving range bucketing of the 32-bit hash key (same exact-
     // arithmetic form as Packing: hk·B ≤ 2³²·B fits a long). (hk, key) ties
     // land in one bucket by construction, so cross-bucket order is total.

@@ -275,7 +275,11 @@ object StreamOps {
             val t = micros(e.ts)
             cur match {
               case None => cur = Some(ScdState(e.value, t))
-              case Some(s) if s.value != e.value =>
+              // java.lang.Double.compare, not Scala !=: Spark SQL's <=> (the
+              // batch scd2's change test) treats NaN = NaN as TRUE, while
+              // Scala NaN != NaN is true — a re-asserted NaN metric must NOT
+              // open a new span, or streaming diverges from batch.
+              case Some(s) if java.lang.Double.compare(s.value, e.value) != 0 =>
                 out += ScdSpan(uid, s.valid_from_us, t, s.value)
                 cur = Some(ScdState(e.value, t))
               case _ => () // re-assertion of the current value: no change

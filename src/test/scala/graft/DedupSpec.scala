@@ -649,6 +649,42 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       "normalization-variant replay must be caught through the bloom path too")
   }
 
+  test("exactAgainstBloom on an EMPTY store passes the whole batch as new (bootstrap case)") {
+    // BloomFilterAggregate over zero rows evaluates to NULL and
+    // might_contain null-propagates — without the coalesce-to-false both
+    // output branches would reject every row and the first batch of a
+    // fresh deployment would silently vanish.
+    val store = Dedup.exact(docs.filter(col("doc_id") < 0)) // empty
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "entirely fresh content never seen before")
+    ).toDF("doc_id", "text")
+    def collectScreen(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("is_new"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val precise = collectScreen(Dedup.exactAgainst(batch, store))
+    val bloomed = collectScreen(Dedup.exactAgainstBloom(batch, store))
+    assert(bloomed === precise)
+    assert(bloomed === Set((10L, 1L, None), (11L, 1L, None)))
+  }
+
+  test("pageRank fails loudly past the int64 rank-mass bound instead of wrapping") {
+    import spark.implicits._
+    // A star wide enough that the hub's incoming mass Σ⌊r/d⌋ = n·10⁶
+    // exceeds ⌊Long.MaxValue / 850000⌋ ≈ 1.0852e13 in round 1.
+    val n = 10860000L
+    val star = spark.range(n).select((col("id") + 1).as("doc_a"),
+      lit(0L).as("doc_b"))
+    val e = intercept[Exception] {
+      Dedup.pageRank(star, iters = 1).write.format("noop")
+        .mode("overwrite").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pageRank: incoming rank mass")),
+      s"expected the raise_error guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("keepCentral keeps the highest-degree member, min id on ties, singletons themselves") {
     import spark.implicits._
     val ds = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")

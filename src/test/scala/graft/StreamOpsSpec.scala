@@ -336,6 +336,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming SCD2 treats a re-asserted NaN metric as unchanged, like the batch <=> test") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.ScdEvent
+    val input = MemoryStream[ScdEvent]
+    val query = StreamOps.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_nan_stream")
+      .outputMode("append").start()
+    // NaN opens, NaN re-asserts (MUST NOT open a new span — Spark SQL's
+    // <=> says NaN = NaN, while Scala's != would say they differ), then a
+    // real change closes the one NaN span.
+    input.addData(ScdEvent(3L, ts(10, 0), 1, Double.NaN))
+    query.processAllAvailable()
+    input.addData(ScdEvent(3L, ts(11, 0), 2, Double.NaN))
+    query.processAllAvailable()
+    input.addData(ScdEvent(3L, ts(12, 0), 3, 5.0))
+    query.processAllAvailable()
+    val streamed = spark.table("scd2_nan_stream").as[StreamOps.ScdSpan].collect()
+      .map(s => (s.user_id, s.valid_from_us, s.valid_to_us,
+        java.lang.Double.doubleToLongBits(s.value))).toSet
+    val allRows = Seq(
+      (3L, ts(10, 0), 1L, Double.NaN), (3L, ts(11, 0), 2L, Double.NaN),
+      (3L, ts(12, 0), 3L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val batchClosed = graft.ops.EventAnalytics.scd2(allRows)
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(streamed === batchClosed)
+    assert(streamed.size === 1, s"exactly one closed NaN span: $streamed")
+    query.stop()
+  }
+
   test("streaming incremental dedup screens each micro-batch against the static signature store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
