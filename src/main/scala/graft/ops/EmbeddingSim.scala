@@ -314,6 +314,115 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Per-subspace product-quantization codebooks: the vector is split into
+    * `m` contiguous subspaces of dims/m components, and each subspace gets
+    * its own `codebookK`-entry codebook trained with [[kmeansCentroids]]
+    * over the sub-sliced corpus (`iters` deterministic Lloyd rounds from
+    * the lowest-id seeds — all-integer floor-mean updates, so DuckDB
+    * replays the trained books bit-for-bit with the unrolled-rounds
+    * convention). Emits (sub, code, cq: array<bigint> of dims/m, cn2);
+    * codes are the seed vec_ids (deterministic, not dense — consumers
+    * treat them as opaque). m·codebookK rows total — always broadcastable. */
+  def pqCodebooks(vectors: DataFrame, m: Int = 4, codebookK: Int = 4,
+                  iters: Int = 1, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, "m must divide the vector dimensionality")
+    val sub = dims / m
+    (0 until m).map { j =>
+      val sliced = vectors.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      kmeansCentroids(sliced, codebookK, iters)
+        .select(lit(j).as("sub"), col("cid").as("code"), col("cq"), col("cn2"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** (vec_id, sub, sq, sn2) — every vector exploded into its m quantized
+    * subspace slices with the slice norm precomputed. One narrow projection
+    * + explode; no shuffle. */
+  private def pqSubVectors(vectors: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    val slices = array((0 until m).map { j =>
+      struct(lit(j).as("sub"),
+        quantize(slice(col("embedding"), j * sub + 1, sub)).as("sq"))
+    }: _*)
+    vectors.select(col("vec_id"), explode(slices).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
+      .withColumn("sn2", qnorm2(col("sq")))
+  }
+
+  /** PQ-encode the corpus: each (vector, subspace) takes its nearest
+    * codebook entry (exact integer d², ties → min code). Emits
+    * (vec_id, sub, code) — m small integers per vector, the compressed
+    * corpus representation IVF-PQ stores instead of the float vectors.
+    * The codebook side is m·codebookK rows, broadcast; the corpus side
+    * collapses map-side via min_by before its one shuffle. */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int = 4,
+               dims: Int = 64): DataFrame =
+    pqSubVectors(vectors, m, dims)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2",
+        col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** IVF-PQ top-k with asymmetric-distance (ADC) scoring — the 100 TB ANN
+    * memory story: at 10⁹+ vectors the corpus cannot live as dims floats
+    * per row, so candidates are scored against their m-byte PQ codes
+    * instead. The IVF stage is [[ivfTopK]]'s cell/probe plan (broadcast-K
+    * assignment, nprobe-cell equi-join); the scoring stage never touches
+    * a corpus vector: each query precomputes an m·codebookK lookup table
+    * of integer subspace distances to every codebook entry (one broadcast
+    * join of the tiny query side against the tiny codebook side), and a
+    * candidate's distance is the SUM of m LUT lookups — an equi-join on
+    * (query_id, sub, code) against the broadcast LUT folded into one
+    * map-side-combinable hash aggregate. All arithmetic is exact integer
+    * (quantized components), so ranks are engine-portable bit-for-bit.
+    *
+    * ADC distances are approximations of the true d² (reconstruction
+    * error is the PQ trade); `AnnRecallSpec` pins the recall floor
+    * against brute force. Emits (query_id, neighbor_id, rank, adc_d2)
+    * with deterministic (adc_d2 asc, id asc) ties. */
+  def ivfPqTopK(vectors: DataFrame, queryPred: Column, k: Int,
+                numCentroids: Int = 8, nprobe: Int = 2,
+                m: Int = 4, codebookK: Int = 4, dims: Int = 64,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = prepared(vectors)
+    val cents = broadcast(centroids.getOrElse(
+      corpus.filter(col("vec_id") < numCentroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))))
+    val dists = corpus.crossJoin(cents)
+      .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .select(col("vec_id"), col("cid"), col("d2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val ranked = dists.withColumn("__rk", row_number().over(wAssign))
+    val cells = ranked.filter(col("__rk") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(queryPred && col("__rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val books = broadcast(codebooks.getOrElse(
+      pqCodebooks(vectors, m, codebookK, iters = 1, dims = dims)))
+    val codes = pqEncode(vectors, books, m, dims)
+    val lut = broadcast(
+      pqSubVectors(vectors.filter(queryPred), m, dims)
+        .join(books, Seq("sub"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+          (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
+            .as("term")))
+    val cand = probes.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("term")).as("adc_d2"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("adc_d2"))
+  }
+
   /** Blocking width as a function of corpus size: enough hyperplanes that
     * the expected bucket population is ~`targetPerBucket`, so candidate
     * pairs stay ≈ n·targetPerBucket/2 instead of n²/2^planes with a FIXED
@@ -392,6 +501,80 @@ object EmbeddingSim {
       .distinct()
     cells
       .join(drops.withColumn("__dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("__dropped").isNull.cast("long").as("is_kept"))
+  }
+
+  /** The STORE a deployment materializes between [[semanticDedupAgainst]]
+    * batches: [[semanticDedup]]'s surviving vectors with their cell, the
+    * quantized vector, and its squared norm — everything the incremental
+    * screen needs, nothing else (the dropped members never dominate
+    * anything again, so they are not stored; SemDeDup keeps one member
+    * per ε-ball and this IS that member set). Takes the trained centroids
+    * explicitly so store and screen provably share one cell geometry.
+    * Emits (vec_id, cid, q, n2). */
+  def semanticSurvivors(vectors: DataFrame, centroids: DataFrame,
+                        threshold: Double = 0.45): DataFrame = {
+    val corpus = prepared(vectors)
+    val cents = broadcast(centroids)
+    val mc = corpus.crossJoin(cents)
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        min_by(col("q"), struct(col("d2"), col("cid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("cid"))).as("n2"))
+    val drops = mc.as("a")
+      .join(mc.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(qcosine(qdot(col("a.q"), col("b.q")),
+        col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    mc.join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /** Incremental semantic dedup — the embedding-space member of the
+    * incremental family ([[graft.ops.Dedup.exactAgainst]] /
+    * [[graft.ops.Dedup.minhashLshPairsAgainst]] / the CC `*Against` form):
+    * screen an arriving batch of vectors against a STORED SemDeDup state
+    * (trained centroids + [[semanticSurvivors]]) without touching the
+    * corpus again. Each batch vector is assigned to its nearest stored
+    * centroid (the same deterministic min_by as [[semanticDedup]]) and is
+    * dominated iff some stored SURVIVOR in that cell sits at cosine ≥
+    * `threshold` — stored survivors always dominate the batch (they are
+    * the ε-ball representatives already chosen), so no id comparison
+    * applies across the store boundary. Within-batch duplicates are NOT
+    * resolved here — that is one [[semanticDedup]] call over the kept
+    * sliver, exactly as the exact/minhash family splits the two concerns.
+    *
+    * Why it matters at 100 TB: the batch never joins the corpus — only
+    * the survivor store, which the ε-ball contraction keeps a fraction of
+    * corpus size; the join is an equi-join on cid, so the scored
+    * candidate set is batch·(store cell depth), not batch·store. The
+    * centroid side is a broadcast (k rows). Emits
+    * (vec_id, cid, is_kept) over the batch — [[semanticDedup]]'s exact
+    * output shape, so downstream keep/drop consumers are interchangeable. */
+  def semanticDedupAgainst(newVectors: DataFrame, centroids: DataFrame,
+                           survivors: DataFrame,
+                           threshold: Double = 0.45): DataFrame = {
+    val batch = prepared(newVectors)
+    val cents = broadcast(centroids)
+    val bm = batch.crossJoin(cents)
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        min_by(col("q"), struct(col("d2"), col("cid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("cid"))).as("n2"))
+    val dominated = bm.as("b")
+      .join(survivors.as("s"), col("s.cid") === col("b.cid"))
+      .filter(qcosine(qdot(col("s.q"), col("b.q")),
+        col("s.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    bm.select(col("vec_id"), col("cid"))
+      .join(dominated.withColumn("__dropped", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         col("__dropped").isNull.cast("long").as("is_kept"))
   }

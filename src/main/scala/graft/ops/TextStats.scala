@@ -545,6 +545,62 @@ object TextStats {
         (coalesce(col("raw_score"), lit(0L)) >= 0L).cast("long").as("is_keep"))
   }
 
+  /** Distributed trainer for [[qualityModelScore]]'s linear model — `iters`
+    * fixed rounds of the BATCH perceptron over hashing-trick features, all
+    * integer arithmetic so the weight trajectory is bit-identical in any
+    * engine (the kmeans/BPE unrolled-rounds oracle convention; the
+    * reference trains its model outside the engine in
+    * `prediction/train.py` — here the data-side training loop IS engine
+    * operators). Input is a labeled corpus (doc_id, text, `labelCol` ∈
+    * {+1, −1}); round r computes every doc's integer margin y·⟨w, x⟩,
+    * takes the subgradient Σ_{y·m ≤ 0} y·x over the misclassified set
+    * (unit learning rate keeps weights integral), and adds it to w.
+    * Weights start at zero, so round 1's update is the class-difference
+    * vector Σ y·x — already a usable centroid classifier; later rounds
+    * sharpen the boundary.
+    *
+    * Scale shape: the feature relation (doc_id, idx, v) is the only
+    * corpus-shaped thing and it is persisted once (DISK_ONLY — re-read
+    * twice per round, and the round-11/12 benches showed corpus-shaped
+    * MemoryStore residents degrade under ambient pressure). Per round:
+    * margins = feats ⋈ broadcast(w) (dims rows) → one map-side-combinable
+    * hash-aggregate keyed on doc_id; gradient = feats ⋈ misclassified →
+    * one hash-aggregate keyed on idx (dims groups). The loop-carried
+    * weight relation is dims rows through [[graft.ops.Checkpoints
+    * .materialized]], so plan statistics never compound. Nothing wider
+    * than (long, long, long) ever shuffles; no collect — weights stay a
+    * DataFrame end to end. Emits (idx, weight), dims rows. */
+  def qualityModelTrain(labeled: DataFrame, dims: Int = 64, iters: Int = 3,
+                        textCol: String = "text",
+                        labelCol: String = "y"): DataFrame = {
+    require(iters >= 1, "at least one training round")
+    val spark = labeled.sparkSession
+    val feats = graft.ops.Dedup.hashedTfFeatures(labeled, dims, textCol)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val ys = labeled.select(col("doc_id"),
+      col(labelCol).cast("long").as("__y"))
+    var w = spark.range(dims).select(col("id").as("idx"),
+      lit(0L).as("weight"))
+    for (_ <- 0 until iters) {
+      val margins = feats.join(broadcast(w), Seq("idx"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("v") * col("weight")).as("__m"))
+      val mis = ys.join(margins, Seq("doc_id"))
+        .filter(col("__y") * col("__m") <= 0)
+        .select(col("doc_id"), col("__y"))
+      val grad = feats.join(mis, Seq("doc_id"))
+        .groupBy(col("idx"))
+        .agg(sum(col("__y") * col("v")).as("__g"))
+      w = Checkpoints.materialized(
+        w.join(grad, Seq("idx"), "left")
+          .select(col("idx"),
+            (col("weight") + coalesce(col("__g"), lit(0L))).as("weight")))
+    }
+    feats.unpersist()
+    w
+  }
+
   /** Corpus-relative quality gate: keep documents whose [[qualityScore]]
     * is at or above the `pct`-th percentile of the whole corpus — "drop the
     * worst X%" without hand-tuning an absolute threshold per corpus.

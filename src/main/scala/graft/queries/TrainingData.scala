@@ -859,6 +859,62 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Distributed training of the quality model's weights: 3 unrolled
+    // batch-perceptron rounds over the hashed-TF features, labels derived
+    // deterministically from lexical diversity (2·distinct ≥ total → +1).
+    // All-integer updates (unit learning rate), so the oracle replays the
+    // identical rounds as CTEs — the kmeans/BPE convention.
+    QuerySpec.sql("t_quality_model_trained",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |fx AS (SELECT doc_id,
+        |         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64 AS idx,
+        |         CASE WHEN substr(md5(t), 3, 1) >= '8' THEN cnt ELSE -cnt END AS sv
+        |       FROM tf),
+        |feat AS (SELECT doc_id, idx, CAST(sum(sv) AS BIGINT) AS v FROM fx GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |          CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+        |                    >= len(string_split(text, ' '))
+        |               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        |        FROM documents),
+        |w0 AS (SELECT i AS idx, CAST(0 AS BIGINT) AS w FROM range(64) r(i)),
+        |m1 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
+        |       FROM feat f JOIN w0 w USING (idx) GROUP BY 1),
+        |g1 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
+        |       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
+        |         JOIN m1 USING (doc_id) WHERE l.y * m1.m <= 0) l USING (doc_id)
+        |       GROUP BY 1),
+        |w1 AS (SELECT w0.idx, w0.w + coalesce(g1.g, 0) AS w
+        |       FROM w0 LEFT JOIN g1 USING (idx)),
+        |m2 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
+        |       FROM feat f JOIN w1 w USING (idx) GROUP BY 1),
+        |g2 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
+        |       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
+        |         JOIN m2 USING (doc_id) WHERE l.y * m2.m <= 0) l USING (doc_id)
+        |       GROUP BY 1),
+        |w2 AS (SELECT w1.idx, w1.w + coalesce(g2.g, 0) AS w
+        |       FROM w1 LEFT JOIN g2 USING (idx)),
+        |m3 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
+        |       FROM feat f JOIN w2 w USING (idx) GROUP BY 1),
+        |g3 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
+        |       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
+        |         JOIN m3 USING (doc_id) WHERE l.y * m3.m <= 0) l USING (doc_id)
+        |       GROUP BY 1),
+        |w3 AS (SELECT w2.idx, w2.w + coalesce(g3.g, 0) AS w
+        |       FROM w2 LEFT JOIN g3 USING (idx))
+        |SELECT idx, CAST(w AS BIGINT) AS weight FROM w3 ORDER BY idx""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val t = TextStats.tokens(col("text"))
+        val labeled = docs.select(col("doc_id"), col("text"),
+          when(size(array_distinct(t)) * 2 >= size(t), 1L)
+            .otherwise(-1L).as("y"))
+        TextStats.qualityModelTrain(labeled, dims = 64, iters = 3)
+          .orderBy(col("idx"))
+      }
+    },
+
     // The removal step over the same verdicts: corpus anti-join flagged
     // docs — the full detect-then-drop decontamination pipeline in one
     // query, the way dd_pipeline_canonical pins dedup end-to-end.
@@ -2200,6 +2256,59 @@ object TrainingData {
           .orderBy(col("vec_id"))
     },
 
+    // Incremental SemDeDup — the embedding-space member of the incremental
+    // family (same % 10 batch split as dd_incremental_exact/minhash): the
+    // store is the trained centroids + the surviving ε-ball representatives
+    // of the store corpus; the batch assigns to stored cells and is
+    // dominated by in-cell stored survivors only. Oracle = the batch
+    // operator's CTEs restricted to the store, plus the batch-side
+    // assignment and dominance against survivors.
+    QuerySpec.sql("dd_incremental_semantic",
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |ma AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |m AS (SELECT * FROM ma WHERE vec_id % 10 <> 0),
+        |mb AS (SELECT * FROM ma WHERE vec_id % 10 = 0),
+        |c0 AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m ORDER BY vec_id LIMIT 8),
+        |${kmeansRoundSql(1, "c0")},
+        |${kmeansRoundSql(2, "c1")},
+        |d AS (SELECT m.vec_id, c.cid,
+        |        m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |      FROM m CROSS JOIN c2 c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |mc AS (SELECT m.vec_id, m.qv, m.n2, cells.cid FROM m JOIN cells USING (vec_id)),
+        |drops AS (SELECT DISTINCT b.vec_id
+        |          FROM mc a JOIN mc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |          WHERE list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |                / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) >= 0.45),
+        |surv AS (SELECT mc.* FROM mc LEFT JOIN drops ON drops.vec_id = mc.vec_id
+        |         WHERE drops.vec_id IS NULL),
+        |db AS (SELECT mb.vec_id, c.cid,
+        |        mb.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> mb.qv[i] * c.cq[i])) AS d2
+        |      FROM mb CROSS JOIN c2 c),
+        |bcells AS (SELECT vec_id, cid FROM db
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |bm AS (SELECT mb.vec_id, mb.qv, mb.n2, bcells.cid FROM mb JOIN bcells USING (vec_id)),
+        |bdrops AS (SELECT DISTINCT b.vec_id
+        |           FROM surv a JOIN bm b ON a.cid = b.cid
+        |           WHERE list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |                 / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) >= 0.45)
+        |SELECT bm.vec_id, bm.cid, CAST(bdrops.vec_id IS NULL AS BIGINT) AS is_kept
+        |FROM bm LEFT JOIN bdrops ON bdrops.vec_id = bm.vec_id
+        |ORDER BY bm.vec_id""") {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val store = emb.filter(col("vec_id") % 10 =!= 0)
+        val cents = EmbeddingSim.kmeansCentroids(store, 8, 2)
+        val surv = EmbeddingSim.semanticSurvivors(store, cents, threshold = 0.45)
+        EmbeddingSim.semanticDedupAgainst(
+            emb.filter(col("vec_id") % 10 === 0), cents, surv,
+            threshold = 0.45)
+          .orderBy(col("vec_id"))
+      }
+    },
+
     // Hierarchical-assignment SemDeDup: same trained centroids, but every
     // vector pays coarseK + k/coarseK distance evals instead of k — the
     // n·√k scale path when k grows with the corpus. The oracle replays
@@ -2437,6 +2546,69 @@ object TrainingData {
             col("rank").cast("long").as("rank"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       }
+    },
+
+    // IVF-PQ with asymmetric-distance scoring — the memory story at 10⁹+
+    // vectors: candidates are scored against m=4 per-subspace codes (one
+    // trained Lloyd round per 16-dim subspace, floor-mean integer updates)
+    // via a per-query lookup table, never touching a corpus vector. The
+    // oracle replays the codebook round, the encoding, the LUT, and the
+    // ADC sum — all integer-exact.
+    QuerySpec.sql("ann_ivfpq_topk",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |d AS (SELECT m.vec_id, cid,
+        |        n2 + cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id % 100 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |sv AS (SELECT vec_id, r.sub, list_slice(qv, r.sub * 16 + 1, r.sub * 16 + 16) AS sq
+        |       FROM m CROSS JOIN range(4) r(sub)),
+        |sv2 AS (SELECT vec_id, sub, sq, list_sum(list_transform(sq, x -> x * x)) AS sn2 FROM sv),
+        |b0 AS (SELECT sub, vec_id AS code, sq AS cq, sn2 AS cn2 FROM sv2 WHERE vec_id < 4),
+        |pa1 AS (SELECT vec_id, sub, code FROM (
+        |          SELECT s.vec_id, s.sub, b.code,
+        |                 s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |          FROM sv2 s JOIN b0 b ON s.sub = b.sub)
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |b1 AS (SELECT sub, code, cq, list_sum(list_transform(cq, x -> x * x)) AS cn2 FROM (
+        |          SELECT sub, code, list(v ORDER BY dd) AS cq FROM (
+        |            SELECT pa1.sub, pa1.code, r.dd,
+        |                   CAST(floor(sum(s.sq[dd]) * 1.0 / count(*)) AS BIGINT) AS v
+        |            FROM pa1 JOIN sv2 s ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+        |            CROSS JOIN range(1, 17) r(dd)
+        |            GROUP BY 1, 2, 3)
+        |          GROUP BY 1, 2)),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |            SELECT s.vec_id, s.sub, b.code,
+        |                   s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |            FROM sv2 s JOIN b1 b ON s.sub = b.sub)
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |lut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
+        |               s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS term
+        |        FROM sv2 s JOIN b1 b ON s.sub = b.sub WHERE s.vec_id % 100 = 0),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |adc AS (SELECT cand.query_id, cand.vec_id, CAST(sum(lut.term) AS BIGINT) AS adc_d2
+        |        FROM cand JOIN codes USING (vec_id)
+        |        JOIN lut ON lut.query_id = cand.query_id
+        |               AND lut.sub = codes.sub AND lut.code = codes.code
+        |        GROUP BY 1, 2)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank,
+        |       adc_d2
+        |FROM adc
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.ivfPqTopK(Tables.embeddings(s, dir),
+            col("vec_id") % 100 === 0, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("adc_d2"))
+          .orderBy(col("query_id"), col("rank"))
     },
 
     QuerySpec.sql("ann_lsh_topk",

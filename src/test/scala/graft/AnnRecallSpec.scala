@@ -161,6 +161,21 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       "training must not materially lose recall vs the seed")
   }
 
+  test("IVF-PQ ADC top-k: recall floor vs brute force, richer codebooks do not lose recall") {
+    // ADC reorders the SAME candidate set ivfTopK scores, by PQ-
+    // reconstructed L2 instead of exact cosine — recall can only be ≤ the
+    // exact-scored IVF run; the floor pins the reconstruction quality.
+    val pq = recallOf(EmbeddingSim.ivfPqTopK(vectors, queryPred, 10))
+    val ivf = recallOf(EmbeddingSim.ivfTopK(vectors, queryPred, 10))
+    val rich = recallOf(EmbeddingSim.ivfPqTopK(vectors, queryPred, 10,
+      m = 8, codebookK = 8))
+    info(f"ivfpq recall@10: m=4/k=4 $pq%.2f, m=8/k=8 $rich%.2f, exact-ivf $ivf%.2f")
+    assert(pq <= ivf + 1e-9, "ADC cannot beat exact scoring of the same candidates")
+    assert(pq >= 0.05, f"ivfpq recall collapsed: $pq%.2f")
+    assert(rich >= pq - 0.05,
+      "finer quantization (more subspaces, bigger books) must not materially lose recall")
+  }
+
   test("semantic dedup keeps exactly the min-id member of each identical group") {
     // Four groups of three IDENTICAL vectors on disjoint dimension blocks
     // (cross-group cosine 0): identical vectors always share a cell
@@ -210,5 +225,64 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(keptH === Set(0L, 3L, 6L, 9L),
       s"hier assignment must keep the same min-id survivors, got $keptH")
+  }
+
+  test("incremental semantic screen: replayed survivors drop, novel vectors keep, batch equals direct dominance") {
+    // Store: the identical-group corpus from the batch test — four groups
+    // of three identical vectors, survivors = min id per group.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def df(rows: Seq[(Long, Array[Float])]) = spark.createDataFrame(
+      rows.map { case (id, e) => org.apache.spark.sql.Row(id, e.toSeq) }.asJava,
+      schema)
+    def block(g: Int) = Array.tabulate(64)(d => if (d / 16 == g) 1.0f else 0.0f)
+    val store = df((0 until 12).map(id => (id.toLong, block(id / 3))))
+    val cents = EmbeddingSim.kmeansCentroids(store, k = 2, iters = 2)
+    val surv = EmbeddingSim.semanticSurvivors(store, cents, threshold = 0.9)
+    val survIds = surv.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survIds === Set(0L, 3L, 6L, 9L),
+      s"store survivors must equal the batch operator's kept set: $survIds")
+    // Batch: replays of every store group (survivor content AND
+    // dropped-member content — both identical to a stored survivor, so
+    // both must drop) plus one genuinely novel direction.
+    val novel = Array.tabulate(64)(d =>
+      if (d % 16 == 15) (if (d / 16 % 2 == 0) 1.0f else -1.0f) else 0.0f)
+    val batch = df(Seq(
+      (100L, block(0)), (101L, block(1)), (102L, block(2)), (103L, block(3)),
+      (104L, novel)))
+    val out = EmbeddingSim.semanticDedupAgainst(batch, cents, surv,
+        threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("is_kept")).toMap
+    assert(out.size === 5, "one verdict per batch vector")
+    assert(Seq(100L, 101L, 102L, 103L).forall(out(_) === 0L),
+      s"every replayed ε-ball content must be dominated by its stored survivor: $out")
+    assert(out(104L) === 1L, s"the novel direction must survive: $out")
+    // Incremental output must equal the DIRECT dominance test between the
+    // batch and the store survivors under the same cell assignment — the
+    // 'batch operator restricted to the store' contract the oracle pins.
+    val direct = {
+      val bm = EmbeddingSim.semanticDedupAgainst(batch, cents,
+        surv.limit(0), threshold = 0.9) // assignment only: empty store keeps all
+      val assigned = bm.select("vec_id", "cid")
+      val sv = surv.select(org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("q").as("sq"),
+        org.apache.spark.sql.functions.col("n2").as("sn2"))
+      val prepared = EmbeddingSim.prepared(batch).join(assigned, "vec_id")
+      val dom = prepared.join(sv, "cid")
+        .filter(EmbeddingSim.qcosine(
+          EmbeddingSim.qdot(org.apache.spark.sql.functions.col("q"),
+            org.apache.spark.sql.functions.col("sq")),
+          org.apache.spark.sql.functions.col("n2"),
+          org.apache.spark.sql.functions.col("sn2")) >= 0.9)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      prepared.select("vec_id").collect().map(_.getLong(0))
+        .map(id => id -> (if (dom(id)) 0L else 1L)).toMap
+    }
+    assert(out === direct,
+      "incremental screen must equal direct batch-vs-survivor dominance")
   }
 }

@@ -263,4 +263,65 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(zero.forall(r => r.getAs[Long]("raw_score") == 0L
       && r.getAs[Long]("is_keep") == 1L))
   }
+
+  test("qualityModelTrain: round-1 update is the exact integer class-difference vector") {
+    import org.apache.spark.sql.functions.{col, when}
+    // weights start at zero → every doc's margin is 0 ≤ 0 → the first
+    // update is Σ y·x over ALL docs with features; verified cell-by-cell
+    // against the feature relation itself.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta iota"),
+      (2L, "alpha alpha kappa"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val y = Map(0L -> 1L, 1L -> -1L, 2L -> 1L, 3L -> -1L)
+    val labeled = docs.withColumn("y",
+      when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val w1 = graft.ops.TextStats.qualityModelTrain(labeled, iters = 1)
+      .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Long]("weight")).toMap
+    assert(w1.size === 64)
+    val expected = graft.ops.Dedup.hashedTfFeatures(docs).collect()
+      .groupBy(_.getAs[Int]("idx"))
+      .view.mapValues(_.map(r =>
+        y(r.getAs[Long]("doc_id")) * r.getAs[Long]("v")).sum).toMap
+    (0 until 64).foreach { i =>
+      assert(w1(i.toLong) === expected.getOrElse(i, 0L), s"weight at idx $i")
+    }
+  }
+
+  test("qualityModelTrain recovers a hand-planted linear labeling") {
+    import org.apache.spark.sql.functions.{col, when}
+    // Labels planted BY a known weight vector (the scoring fixture): the
+    // training set is linearly separable in the feature space by
+    // construction, so a few batch-perceptron rounds must find weights
+    // that reproduce every planted keep/drop verdict.
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zeta eta theta iota kappa"),
+      (2L, "the quick brown fox jumps over lazy dogs"),
+      (3L, "spark engines shuffle partitions across executors"),
+      (4L, "alpha alpha alpha beta beta solo"),
+      (5L, "weather stations report hourly temperature readings"),
+      (6L, "lambda mu nu xi omicron pi rho"),
+      (7L, "documents deduplicate near duplicates with minhash bands")
+    ).toDF("doc_id", "text")
+    val planted = graft.ops.TextStats.qualityModelScore(corpus)
+      .select(col("doc_id"),
+        when(col("raw_score") >= 0, 1L).otherwise(-1L).as("y"))
+    assert(planted.select("y").distinct().count() === 2,
+      "fixture must plant both classes or the test is vacuous")
+    val labeled = corpus.join(planted, "doc_id")
+    val trained = graft.ops.TextStats.qualityModelTrain(labeled, iters = 8)
+      .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Long]("weight")).toMap
+    val wArr = Array.tabulate(64)(i => trained(i.toLong))
+    val reproduced = graft.ops.TextStats
+      .qualityModelScore(corpus, weights = Some(wArr))
+      .select(col("doc_id"),
+        when(col("raw_score") >= 0, 1L).otherwise(-1L).as("y_hat"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = planted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reproduced === truth,
+      s"trained weights must reproduce the planted labels: $trained")
+  }
 }
