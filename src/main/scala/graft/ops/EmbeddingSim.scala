@@ -200,16 +200,27 @@ object EmbeddingSim {
               centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
+    // k LOWEST ids via TakeOrdered, not `vec_id < k` — the same dense-id
+    // pitfall kmeansCentroids documents; identical seeds on dense-id
+    // corpora, so the unrolled oracles are unaffected.
     val cents = broadcast(centroids.getOrElse(
-      corpus.filter(col("vec_id") < numCentroids)
+      corpus.orderBy(col("vec_id").asc).limit(numCentroids)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))))
     val dists = corpus.crossJoin(cents)
       .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
       .select(col("vec_id"), col("cid"), col("d2"))
+    // corpus-side cell assignment is a min_by hash-aggregate (argmin with
+    // the (d2, cid) tie-break — identical to rank-1 of a (d2 asc, cid asc)
+    // window), NOT a row_number window: partial aggregation collapses the
+    // corpus×K candidate rows map-side, where a window would sort-exchange
+    // all n·K rows. Only the queryPred-filtered probe side — tiny — needs
+    // top-nprobe ranks, so the window runs there alone.
+    val cells = dists.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-    val ranked = dists.withColumn("__rk", row_number().over(wAssign))
-    val cells = ranked.filter(col("__rk") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(queryPred && col("__rk") <= nprobe)
+    val probes = dists.filter(queryPred)
+      .withColumn("__rk", row_number().over(wAssign))
+      .filter(col("__rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val queries = broadcast(corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
@@ -380,7 +391,16 @@ object EmbeddingSim {
     * ADC distances are approximations of the true d² (reconstruction
     * error is the PQ trade); `AnnRecallSpec` pins the recall floor
     * against brute force. Emits (query_id, neighbor_id, rank, adc_d2)
-    * with deterministic (adc_d2 asc, id asc) ties. */
+    * with deterministic (adc_d2 asc, id asc) ties.
+    *
+    * Query-cardinality bound: the broadcast LUT is |queries|·m·codebookK
+    * rows (and its build join explodes |queries|·m subspace slices), so
+    * "tiny query side" is a CONTRACT, not a property of the plan — a
+    * query batch in the 10⁵+ range can exceed the broadcast threshold or
+    * driver heap. For bulk scoring (every-vector-vs-index), drop the
+    * `broadcast` hint on `lut`: the LUT join key (query_id, sub, code) is
+    * already an equi-join, so Spark falls back to a shuffled hash join
+    * whose sides both partition by the key. */
   def ivfPqTopK(vectors: DataFrame, queryPred: Column, k: Int,
                 numCentroids: Int = 8, nprobe: Int = 2,
                 m: Int = 4, codebookK: Int = 4, dims: Int = 64,
@@ -388,16 +408,21 @@ object EmbeddingSim {
                 codebooks: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
+    // TakeOrdered seed + min_by cell assignment: same rationale (and same
+    // oracle-neutrality) as [[ivfTopK]] — the corpus side never pays a
+    // sort-exchange window; only the filtered probe side ranks nprobe cells.
     val cents = broadcast(centroids.getOrElse(
-      corpus.filter(col("vec_id") < numCentroids)
+      corpus.orderBy(col("vec_id").asc).limit(numCentroids)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))))
     val dists = corpus.crossJoin(cents)
       .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
       .select(col("vec_id"), col("cid"), col("d2"))
+    val cells = dists.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-    val ranked = dists.withColumn("__rk", row_number().over(wAssign))
-    val cells = ranked.filter(col("__rk") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(queryPred && col("__rk") <= nprobe)
+    val probes = dists.filter(queryPred)
+      .withColumn("__rk", row_number().over(wAssign))
+      .filter(col("__rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val books = broadcast(codebooks.getOrElse(
       pqCodebooks(vectors, m, codebookK, iters = 1, dims = dims)))

@@ -275,11 +275,14 @@ object StreamOps {
             val t = micros(e.ts)
             cur match {
               case None => cur = Some(ScdState(e.value, t))
-              // java.lang.Double.compare, not Scala !=: Spark SQL's <=> (the
-              // batch scd2's change test) treats NaN = NaN as TRUE, while
-              // Scala NaN != NaN is true — a re-asserted NaN metric must NOT
-              // open a new span, or streaming diverges from batch.
-              case Some(s) if java.lang.Double.compare(s.value, e.value) != 0 =>
+              // The batch scd2's change test is Spark SQL's <=>, whose
+              // equality is "primitive == OR both NaN": NaN = NaN is TRUE
+              // (a re-asserted NaN must not open a new span) AND -0.0 = 0.0
+              // is TRUE (SQLOrderingUtil semantics — a 0.0 re-assertion
+              // after -0.0 is not a change). java.lang.Double.compare gets
+              // NaN right but splits ±0.0, so it is NOT equivalent here.
+              case Some(s) if !(s.value == e.value ||
+                  (s.value.isNaN && e.value.isNaN)) =>
                 out += ScdSpan(uid, s.valid_from_us, t, s.value)
                 cur = Some(ScdState(e.value, t))
               case _ => () // re-assertion of the current value: no change

@@ -369,6 +369,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming SCD2 treats a 0.0 re-assertion after -0.0 as unchanged, like the batch <=> test") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.ScdEvent
+    val input = MemoryStream[ScdEvent]
+    val query = StreamOps.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_zero_stream")
+      .outputMode("append").start()
+    // -0.0 opens, 0.0 re-asserts (MUST NOT open a new span — Spark SQL's
+    // <=> / genEqual says -0.0 = 0.0, while Double.compare splits them),
+    // then a real change closes the one span.
+    input.addData(ScdEvent(4L, ts(10, 0), 1, -0.0))
+    query.processAllAvailable()
+    input.addData(ScdEvent(4L, ts(11, 0), 2, 0.0))
+    query.processAllAvailable()
+    input.addData(ScdEvent(4L, ts(12, 0), 3, 5.0))
+    query.processAllAvailable()
+    val streamed = spark.table("scd2_zero_stream").as[StreamOps.ScdSpan].collect()
+      .map(s => (s.user_id, s.valid_from_us, s.valid_to_us, s.value)).toSet
+    val allRows = Seq(
+      (4L, ts(10, 0), 1L, -0.0), (4L, ts(11, 0), 2L, 0.0),
+      (4L, ts(12, 0), 3L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val batchClosed = graft.ops.EventAnalytics.scd2(allRows)
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batchClosed)
+    assert(streamed.size === 1, s"exactly one closed span across the ±0.0 run: $streamed")
+    query.stop()
+  }
+
   test("streaming incremental dedup screens each micro-batch against the static signature store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
