@@ -1329,6 +1329,36 @@ object Dedup {
       .withColumn("is_canonical",
         (col("doc_id") === col("canonical_id")).cast("long"))
 
+  /** Cluster-size histogram over a component assignment — the dedup
+    * diagnostic read before choosing thresholds: (cluster_size,
+    * n_clusters, n_docs), one row per distinct size.
+    *
+    * Runs its downstream ([[canonicalizeFrom]]'s left join + two
+    * count-aggregates) as ONE non-adaptive job, eagerly materialized:
+    * under AQE every exchange of the chain is scheduled as its own job
+    * plus a replan pass (4–5 jobs for this shape), and on a loaded
+    * driver box each job boundary bills ambient wait separately — the
+    * same per-job tax the CC fixpoint's regime exists to avoid
+    * (BENCH_r13 billed dd_cluster_sizes ×2.6 its quiet point with task
+    * time only ×1.16: pure job-gap). AQE has nothing to offer here —
+    * both aggregates collapse to a handful of rows, and the join picks
+    * the same shuffled plan either way (the component side's stats are
+    * reset by the loop's checkpoints). Session confs are restored in the
+    * finally; the histogram itself is a few-dozen-row leaf, so the eager
+    * materialization is free and downstream consumers replay no work. */
+  def clusterSizeHistogram(docs: DataFrame, components: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try Checkpoints.materialized(
+      canonicalizeFrom(docs, components)
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs")))
+    finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   /** Keep-POLICY selection over near-dup clusters: where
     * [[canonicalizeFrom]] keeps the min-id member (an arbitrary but stable
     * choice), production dedup usually keeps the BEST member — here the one

@@ -1541,12 +1541,8 @@ object TrainingData {
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.canonicalizeFrom(docs,
+        Dedup.clusterSizeHistogram(docs,
             Dedup.minhashLshComponents(docs, threshold = 0.5))
-          .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
-          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
-          .select(col("cluster_size"), col("n_clusters"),
-            (col("cluster_size") * col("n_clusters")).as("n_docs"))
           .orderBy(col("cluster_size"))
       }
     },
