@@ -191,6 +191,146 @@ object TextStats {
           .as("chars_per_token"))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer vocabulary trainer —
+    * Kudo 2018's seed-then-prune loop in its deterministic hard-EM form:
+    *
+    *  1. SEED: every substring of the (frequency-weighted) word table up
+    *     to `maxPieceLen` chars, counted by occurrence position; all
+    *     single characters are kept unconditionally (they guarantee every
+    *     word stays segmentable), longer pieces keep the top `seedMax` by
+    *     (count desc, piece asc) among those with count ≥ `minSeedFreq`.
+    *  2. EM-PRUNE rounds (one per `keepSchedule` entry): the E-step
+    *     Viterbi-segments every word with the current vocabulary — best
+    *     segmentation = fewest pieces, ties broken by larger piece-count
+    *     sum then lexicographically smaller piece sequence (min #pieces IS
+    *     the max-likelihood rule under a uniform piece prior; the count
+    *     tie-break injects the frequency signal — the standard hard-EM /
+    *     Viterbi-EM approximation of SentencePiece's lattice EM, chosen
+    *     here because it is exactly reproducible in integer arithmetic).
+    *     The M-step recounts each piece's usage over the best paths and
+    *     PRUNES: all single chars survive; longer pieces keep the top
+    *     `keepSchedule(r)` by (usage desc, piece asc).
+    *  3. A final E-step with the pruned vocabulary yields the reported
+    *     frequencies and integer-ppm probabilities:
+    *     prob_ppm = usage · 10⁶ div total_usage (integer div — exact and
+    *     engine-portable; no float in the whole pipeline).
+    *
+    * Emits (piece, piece_len, freq, prob_ppm), one row per surviving
+    * vocabulary piece.
+    *
+    * The Viterbi DP runs as |maxWordLen| Bellman-Ford sweeps over a
+    * (word, pos) state relation: states extend along a precomputed edge
+    * relation (every (start, piece-length) window of every word
+    * equi-joined against the current vocabulary), and each sweep keeps
+    * the per-(word, pos) argmin via a partial-aggregating `min(struct)` —
+    * the same map-side-combinable argmin convention as the IVF cell
+    * assignment. Words longer than `maxWordLen` are excluded from
+    * training (the standard trainer practice; at the tail they contribute
+    * one path each and no vocabulary signal).
+    *
+    * Scale shape (100 TB): the corpus-sized pass happens ONCE — the
+    * distinct-word frequency aggregation (Heaps' law keeps the word table
+    * ≪ corpus, exactly as [[bpeTrain]] argues); every DP sweep and prune
+    * round then runs on O(words × maxWordLen) rows under the same
+    * non-adaptive measured-size regime as [[bpeLoop]], with
+    * [[Checkpoints.materialized]] cutting plan growth per sweep. Nothing
+    * corpus-derived reaches the driver. */
+  def unigramLmVocab(docs: DataFrame,
+                     keepSchedule: Seq[Int] = Seq(60, 40),
+                     maxPieceLen: Int = 4, maxWordLen: Int = 10,
+                     minSeedFreq: Long = 2L, seedMax: Int = 150,
+                     textCol: String = "text"): DataFrame = {
+    val sess = docs.sparkSession
+    // the one corpus pass: frequency-weighted word table
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // every (start, plen) window of a word, as one codegen'd nested
+    // transform (windowCooc's no-self-join convention)
+    def windows(c: Column): Column = flatten(transform(
+      sequence(lit(0), length(c) - 1),
+      s => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(c) - s)),
+        l => struct(s.as("start"), l.as("plen")))))
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val w0 = words.localCheckpoint()
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions",
+        math.max(w0.rdd.getNumPartitions, 2).toString)
+      val cand = w0
+        .select(col("w"), col("cnt"), explode(windows(col("w"))).as("sp"))
+        .select(col("w").substr(col("sp.start") + 1, col("sp.plen")).as("piece"),
+          col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      val seed = Checkpoints.materialized(
+        cand.filter(length(col("piece")) === 1).unionByName(
+          cand.filter(length(col("piece")) >= 2 && col("cnt") >= minSeedFreq)
+            .orderBy(col("cnt").desc, col("piece").asc).limit(seedMax)))
+
+      // E-step: Viterbi over maxWordLen sweeps; returns per-piece usage
+      def usageOf(vocab: DataFrame): DataFrame = {
+        val edges = w0
+          .select(col("w").as("ew"), explode(windows(col("w"))).as("sp"))
+          .select(col("ew"), col("sp.start").as("start"),
+            (col("sp.start") + col("sp.plen")).as("endp"),
+            col("ew").substr(col("sp.start") + 1, col("sp.plen")).as("piece"))
+          .join(vocab, "piece")
+          .select(col("ew"), col("start"), col("endp"), col("piece"),
+            col("cnt").as("pcnt"))
+          .localCheckpoint()
+        var states = w0
+          .select(col("w"), lit(0).as("pos"), lit(0L).as("np"),
+            lit(0L).as("ns"), lit("").as("path"))
+          .localCheckpoint()
+        for (_ <- 1 to maxWordLen) {
+          val ext = states.join(edges,
+              states("w") === edges("ew") && states("pos") === edges("start"))
+            .select(col("w"), col("endp").as("pos"), (col("np") + 1L).as("np"),
+              (col("ns") - col("pcnt")).as("ns"),
+              concat(col("path"), lit(" "), col("piece")).as("path"))
+          states = Checkpoints.materialized(
+            states.unionByName(ext)
+              .groupBy(col("w"), col("pos"))
+              .agg(min(struct(col("np"), col("ns"), col("path"))).as("s"))
+              .select(col("w"), col("pos"), col("s.np").as("np"),
+                col("s.ns").as("ns"), col("s.path").as("path")))
+        }
+        states.filter(col("pos") === length(col("w")))
+          .join(w0, "w")
+          .select(explode(split(ltrim(col("path")), " ")).as("piece"), col("cnt"))
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("u"))
+      }
+      // M-step prune: chars always survive; longer pieces keep top keepK
+      def prune(vocab: DataFrame, usage: DataFrame, keepK: Int): DataFrame = {
+        val scored = vocab.select(col("piece"))
+          .join(usage, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("u"), lit(0L)).as("cnt"))
+        Checkpoints.materialized(
+          scored.filter(length(col("piece")) === 1).unionByName(
+            scored.filter(length(col("piece")) >= 2)
+              .orderBy(col("cnt").desc, col("piece").asc).limit(keepK)))
+      }
+      var vocab = seed
+      for (keepK <- keepSchedule)
+        vocab = prune(vocab, Checkpoints.materialized(usageOf(vocab)), keepK)
+      val finalUsage = Checkpoints.materialized(usageOf(vocab))
+      val tot = finalUsage.agg(sum(col("u")).as("tot"))
+      Checkpoints.materialized(
+        vocab.select(col("piece"))
+          .join(finalUsage, Seq("piece"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("freq", coalesce(col("u"), lit(0L)))
+          .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+            col("freq"), expr("freq * 1000000 div tot").as("prob_ppm")))
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   /** Windowed term co-occurrence counts — the word2vec/GloVe preprocessing
     * pass: every unordered token pair within `window` positions of each
     * other, counted corpus-wide, top `topK` by (count desc, w1 asc, w2 asc).

@@ -217,6 +217,59 @@ object TrainingData {
        |w$n AS (SELECT ${carry}replace(str, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS str, cnt
        |        FROM w${n - 1} CROSS JOIN t$n)""".stripMargin
 
+  /** Unigram-LM trainer oracle helpers (t_unigram_lm_vocab): mirror
+    * TextStats.unigramLmVocab exactly — seed substring counts, then per
+    * E-step a maxWordLen-sweep Bellman-Ford Viterbi DP as unrolled CTEs
+    * with the (np, ns, path) argmin realized as a rank-1 window (the
+    * window ORDER BY reproduces Spark's min(struct) lexicographic order
+    * bit-for-bit on ASCII), then the chars-always/top-K prune. */
+  private val UniMaxWordLen = 10
+  private val UniMaxPieceLen = 4
+
+  private def uniEdgesSql(r: Int): String =
+    s"""ue$r AS MATERIALIZED (SELECT ww.w, t.st, t.st + p.plen AS endp,
+       |         substr(ww.w, t.st + 1, p.plen) AS piece, v.cnt AS pcnt
+       |  FROM uwords ww
+       |  CROSS JOIN range(0, $UniMaxWordLen) t(st)
+       |  CROSS JOIN range(1, ${UniMaxPieceLen + 1}) p(plen)
+       |  JOIN uvocab${r - 1} v ON v.piece = substr(ww.w, t.st + 1, p.plen)
+       |  WHERE t.st + p.plen <= length(ww.w))""".stripMargin
+
+  private def uniSweepSql(r: Int, k: Int): String =
+    s"""us${r}_$k AS MATERIALIZED (SELECT w, pos, np, ns, path FROM (
+       |  SELECT w, pos, np, ns, path,
+       |         row_number() OVER (PARTITION BY w, pos ORDER BY np, ns, path) AS rk
+       |  FROM (SELECT w, pos, np, ns, path FROM us${r}_${k - 1}
+       |        UNION ALL
+       |        SELECT s.w, e.endp AS pos, s.np + 1 AS np, s.ns - e.pcnt AS ns,
+       |               s.path || ' ' || e.piece AS path
+       |        FROM us${r}_${k - 1} s JOIN ue$r e ON e.w = s.w AND e.st = s.pos))
+       |  WHERE rk = 1)""".stripMargin
+
+  private def uniEStepSql(r: Int): String = (
+    Seq(uniEdgesSql(r),
+      s"us${r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS np, " +
+        "CAST(0 AS BIGINT) AS ns, '' AS path FROM uwords)") ++
+    (1 to UniMaxWordLen).map(k => uniSweepSql(r, k)) ++
+    Seq(s"""uu$r AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
+       |  SELECT unnest(string_split(ltrim(s.path, ' '), ' ')) AS piece, ww.cnt
+       |  FROM us${r}_$UniMaxWordLen s JOIN uwords ww ON ww.w = s.w AND s.pos = length(s.w))
+       |GROUP BY piece)""".stripMargin)
+  ).mkString(",\n")
+
+  private def uniPruneSql(r: Int, keepK: Int): String =
+    s"""uvocab$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT v.piece, coalesce(u.u, CAST(0 AS BIGINT)) AS cnt
+       |    FROM uvocab${r - 1} v LEFT JOIN uu$r u ON u.piece = v.piece
+       |    WHERE length(v.piece) = 1)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT v.piece, coalesce(u.u, CAST(0 AS BIGINT)) AS cnt
+       |    FROM uvocab${r - 1} v LEFT JOIN uu$r u ON u.piece = v.piece
+       |    WHERE length(v.piece) >= 2
+       |    ORDER BY cnt DESC, v.piece ASC LIMIT $keepK))""".stripMargin
+
   private def markersSqlValues: String =
     LangMarkers.map { case (l, ms) =>
       s"('$l', [${ms.map(m => s"'$m'").mkString(", ")}])"
@@ -449,6 +502,47 @@ object TrainingData {
       (s, dir) =>
         TextStats.bpeEncode(Tables.documents(s, dir), numMerges = 8)
           .orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM (SentencePiece-style) tokenizer training: seed substring
+    // vocab -> two hard-EM prune rounds (Viterbi segmentation by fewest
+    // pieces / largest count sum / smallest piece sequence, then
+    // chars-always top-K prune) -> final segmentation with integer-ppm
+    // probabilities. The oracle unrolls the identical seed, all three
+    // 10-sweep Viterbi DPs, and both prune rounds as generated CTEs, so
+    // segmentations, tie-breaks, usage counts and ppm values hash-match.
+    QuerySpec.sql("t_unigram_lm_vocab",
+      s"""WITH uwords AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
+        |ucand AS MATERIALIZED (SELECT substr(ww.w, t.st + 1, p.plen) AS piece, CAST(sum(ww.cnt) AS BIGINT) AS cnt
+        |  FROM uwords ww
+        |  CROSS JOIN range(0, $UniMaxWordLen) t(st)
+        |  CROSS JOIN range(1, ${UniMaxPieceLen + 1}) p(plen)
+        |  WHERE t.st + p.plen <= length(ww.w) GROUP BY 1),
+        |uvocab0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM ucand WHERE length(piece) >= 2 AND cnt >= 2
+        |    ORDER BY cnt DESC, piece ASC LIMIT 150)),
+        |${uniEStepSql(1)},
+        |${uniPruneSql(1, 60)},
+        |${uniEStepSql(2)},
+        |${uniPruneSql(2, 40)},
+        |${uniEStepSql(3)}
+        |SELECT v.piece, CAST(length(v.piece) AS BIGINT) AS piece_len,
+        |       coalesce(u.u, CAST(0 AS BIGINT)) AS freq,
+        |       CAST(coalesce(u.u, 0) * 1000000 // t.tot AS BIGINT) AS prob_ppm
+        |FROM uvocab2 v
+        |LEFT JOIN uu3 u ON u.piece = v.piece
+        |CROSS JOIN (SELECT CAST(sum(u) AS BIGINT) AS tot FROM uu3) t
+        |ORDER BY v.piece""".stripMargin) {
+      (s, dir) =>
+        TextStats.unigramLmVocab(Tables.documents(s, dir),
+            keepSchedule = Seq(60, 40), maxPieceLen = UniMaxPieceLen,
+            maxWordLen = UniMaxWordLen, minSeedFreq = 2L, seedMax = 150)
+          .orderBy(col("piece"))
     },
 
     // Windowed co-occurrence (word2vec/GloVe preprocessing): unordered token

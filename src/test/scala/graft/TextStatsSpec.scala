@@ -324,4 +324,42 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(reproduced === truth,
       s"trained weights must reproduce the planted labels: $trained")
   }
+
+  test("unigramLmVocab: hand-traced seed, Viterbi segmentation and prune round") {
+    // corpus "ab ab b": words ab(2), b(1).
+    // seed occurrences: a=2, b=3 (2 from 'ab', 1 from 'b'), ab=2.
+    // E-step: 'ab' segments as [ab] (1 piece beats a+b's 2), 'b' as [b]
+    // -> usage ab=2, b=1. Prune keep-1 non-char keeps ab; chars always
+    // survive. Final segmentation unchanged: freq a=0, b=1, ab=2, total 3
+    // -> ppm 0 / 333333 / 666666 (integer div).
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.unigramLmVocab(docs,
+        keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+        minSeedFreq = 1L, seedMax = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      ("a", 1L, 0L, 0L),
+      ("ab", 2L, 2L, 666666L),
+      ("b", 1L, 1L, 333333L)))
+  }
+
+  test("unigramLmVocab: equal-piece-count segmentations break ties by larger count sum") {
+    // corpus "abc ab ab c c": seed counts a=3, b=3, c=3, ab=3, bc=1.
+    // 'abc' has two 2-piece segmentations: [ab, c] (sum 3+3=6) and
+    // [a, bc] (sum 3+1=4) -> the count tie-break picks [ab, c].
+    // usage ab=3 (abc + 2x ab), c=3 (abc + 2x c); bc unused -> pruned by
+    // keep-1; chars survive with zero usage. Total 6 -> ppm 500000 each.
+    val docs = Seq((1L, "abc ab ab c c")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.unigramLmVocab(docs,
+        keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+        minSeedFreq = 1L, seedMax = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      ("a", 1L, 0L, 0L),
+      ("ab", 2L, 3L, 500000L),
+      ("b", 1L, 0L, 0L),
+      ("c", 1L, 3L, 500000L)))
+  }
 }
