@@ -335,6 +335,46 @@ object StreamOps {
     * discipline — an unpersisted corpusSig would re-execute the full
     * corpus shingle+minhash lineage on EVERY micro-batch, unbounding
     * exactly the per-batch cost this operator exists to bound. */
+  /** Streaming incremental SEMANTIC dedup — the embedding-space twin of
+    * [[screenStreamNearDups]], completing the streaming screen family
+    * (exact fingerprint / minhash signature / SemDeDup survivor store):
+    * each arriving micro-batch of vectors is screened against the STATIC
+    * SemDeDup state ([[graft.ops.EmbeddingSim.kmeansCentroids]]-trained
+    * centroids + [[graft.ops.EmbeddingSim.semanticSurvivors]]) with
+    * [[graft.ops.EmbeddingSim.semanticDedupAgainst]] applied unchanged
+    * per batch — stream ≡ batch by construction, spec-pinned.
+    *
+    * foreachBatch for the same reason as the minhash screen: the batch
+    * side's cell assignment is an aggregation over the batch's centroid
+    * candidates, which as a streaming aggregation would accumulate
+    * per-vector state across batches (each vector arrives whole in one
+    * batch) and force update mode. Both static sides are persisted HERE
+    * (idempotent if the caller already cached them): an unpersisted
+    * survivor store would re-execute its full corpus lineage — training,
+    * assignment, the within-cell dominance join — on EVERY micro-batch,
+    * unbounding exactly the per-batch cost the store exists to bound.
+    * The per-batch cost stays batch·(store cell depth): the batch joins
+    * only the survivor store on cid, never a corpus. `onKept` receives
+    * ((vec_id, cid, is_kept), batchId) per batch. */
+  def screenStreamSemantic(vecStream: DataFrame, centroids: DataFrame,
+                           survivors: DataFrame,
+                           onKept: (DataFrame, Long) => Unit,
+                           threshold: Double = 0.45)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def pinned(df: DataFrame): DataFrame =
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    val cents = pinned(centroids)
+    val surv = pinned(survivors)
+    vecStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onKept(graft.ops.EmbeddingSim.semanticDedupAgainst(
+          batch, cents, surv, threshold), batchId)
+      }
+  }
+
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,
                            numHashes: Int = 16, bands: Int = 4,

@@ -442,6 +442,53 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(!perBatch.values.flatten.exists(_._1 == 2L))
   }
 
+  test("streaming semantic screen drops stored ε-ball replays per micro-batch, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.EmbeddingSim
+    // The AnnRecallSpec incremental fixture: four identical-vector groups,
+    // survivors = min id per group; one genuinely novel direction.
+    def block(g: Int) = Array.tabulate(64)(d => if (d / 16 == g) 1.0f else 0.0f)
+    val store = (0 until 12).map(id => (id.toLong, block(id / 3)))
+      .toDF("vec_id", "embedding")
+    val cents = EmbeddingSim.kmeansCentroids(store, 2, 2).cache()
+    val surv = EmbeddingSim.semanticSurvivors(store, cents, threshold = 0.9).cache()
+    val novel = Array.tabulate(64)(d =>
+      if (d % 16 == 15) (if (d / 16 % 2 == 0) 1.0f else -1.0f) else 0.0f)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val collected = scala.collection.mutable.Map[Long, Map[Long, Long]]()
+    val query = StreamOps.screenStreamSemantic(
+      input.toDF().toDF("vec_id", "embedding"), cents, surv,
+      (kept, batchId) => collected.synchronized {
+        collected(batchId) = kept.collect()
+          .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("is_kept")).toMap
+      }, threshold = 0.9).start()
+
+    val b1 = Seq((100L, block(0)), (101L, block(1)), (104L, novel))
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    val b2 = Seq((102L, block(2)), (103L, block(3)))
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def direct(rows: Seq[(Long, Array[Float])]): Map[Long, Long] =
+      EmbeddingSim.semanticDedupAgainst(
+          rows.toDF("vec_id", "embedding"), cents, surv, threshold = 0.9)
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("is_kept")).toMap
+    val perBatch = collected.synchronized(collected.toMap)
+    // stream ≡ batch: each micro-batch's verdicts equal the batch operator
+    // applied to exactly that batch's rows against the same static store
+    assert(perBatch(0L) === direct(b1), s"batch 0 diverged: $perBatch")
+    assert(perBatch(1L) === direct(b2), s"batch 1 diverged: $perBatch")
+    // and the semantics are the expected ones: replays of stored ε-ball
+    // content drop, the novel direction survives
+    assert(perBatch(0L) === Map(100L -> 0L, 101L -> 0L, 104L -> 1L))
+    assert(perBatch(1L) === Map(102L -> 0L, 103L -> 0L))
+  }
+
   test("streaming exact dedup drops fingerprint replays, keeps genuinely new docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
