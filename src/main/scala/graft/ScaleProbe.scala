@@ -300,6 +300,18 @@ object ScaleProbe {
               coarseK = math.max(4, math.sqrt(16.0 * f).toInt),
               pcoarse = 2, nprobe = 2).count())
         }),
+        // IVF-PQ with ADC scoring at the same production cell growth as
+        // ivf_topk_flat (numCentroids ∝ corpus, constant cell population):
+        // assignment is the min_by hash-aggregate path (no corpus-side
+        // window), candidates score as m LUT lookups against PQ codes —
+        // the probe answers whether ADC stays candidate-linear as cells
+        // and corpus grow together
+        "ivfpq_topk" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/ivfpq_topk")(
+            EmbeddingSim.ivfPqTopK(vecs, col("vec_id") % 100 === 0, 10,
+              numCentroids = 16 * f, nprobe = 2).count())
+        }),
         // the mm_image_stats hot path: per-doc PNG deflate (real ImageIO
         // writer) + inflate + RGB-normalized feature reduce — all narrow
         // per-row codec work in batched mapPartitions, expected ~linear
@@ -413,6 +425,42 @@ object ScaleProbe {
               threshold = 0.45, coarseK = math.max(2, math.sqrt(k.toDouble).toInt),
               trainSample = 0.1).count())
         }),
+        // incremental semantic screen: centroids (10% hash-sample training,
+        // the semantic_dedup_sampled configuration) + survivor store are
+        // materialized UNTIMED, as a deployment would (incremental_minhash's
+        // convention); the timed section is one ~1% batch's assignment +
+        // survivor-cell dominance join — the batch·cell-depth economics
+        // semanticDedupAgainst's scaladoc claims
+        "incremental_semantic" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          val batch = vecs.filter(col("vec_id") % 97 === 0)
+          val corpus = vecs.filter(col("vec_id") % 97 =!= 0)
+          val trainSet = corpus.filter(Sampling.hashKey(col("vec_id")) <
+            lit((0.1 * 4294967296.0).toLong))
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.kmeansCentroids(trainSet, 8 * f, iters = 2))
+          val surv = EmbeddingSim.semanticSurvivors(corpus, cents,
+              threshold = 0.45)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          surv.count()
+          time(s"$tag/incremental_semantic")(
+            EmbeddingSim.semanticDedupAgainst(batch, cents, surv,
+              threshold = 0.45).count())
+        }),
+        // integer-perceptron quality trainer: the feature relation is the
+        // one corpus-shaped input (persisted DISK_ONLY inside the trainer);
+        // each of the fixed rounds is two hash-aggregates over it plus a
+        // dims-row weight join — the probe answers whether per-round cost
+        // is feature-relation-linear with no per-round corpus re-derivation
+        "quality_model_trained" -> (() =>
+          time(s"$tag/quality_model_trained")({
+            val t = graft.ops.TextStats.tokens(col("text"))
+            val labeled = docs.select(col("doc_id"), col("text"),
+              when(size(array_distinct(t)) * 2 >= size(t), 1L)
+                .otherwise(-1L).as("y"))
+            graft.ops.TextStats.qualityModelTrain(labeled, dims = 64,
+              iters = 3).count()
+          })),
         // BPE train+encode: the corpus passes are the (doc, word) count and
         // the final word-key join; the merge fixpoint runs on the vocab
         // (replication grows word COUNTS, and the marker jitter adds only

@@ -68,6 +68,62 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Greedy k-center (Gonzalez 1985) coreset selection — the diversity-
+    * sampling pass a training-data pipeline runs to pick a maximally
+    * spread subset of an embedded corpus (the farthest-point heuristic is
+    * a 2-approximation of the optimal k-center cover, and the standard
+    * seed for diversity-aware data selection). Deterministic: the first
+    * center is the lowest vec_id; each round selects the vector FARTHEST
+    * from the chosen set (max min-d² over exact quantized integers), ties
+    * toward the smaller id; the selected row leaves the candidate pool.
+    *
+    * Emits (vec_id, rank, d2): d2 is the selection-time min distance² to
+    * the earlier centers (0 for the seed) — the coverage-radius sequence,
+    * monotone non-increasing, which reads as the marginal diversity gain
+    * of each added center (the practitioner's stopping diagnostic).
+    *
+    * Scale shape (100 TB): each round is ONE corpus pass — a 1-row
+    * broadcast crossJoin folding the new center's distance into the
+    * running min — plus a TakeOrdered(1) argmax (never a global sort);
+    * the loop-carried (vec_id, q, n2, md) relation is localCheckpointed
+    * per round (eager plan cut, partitioning preserved; its carried stats
+    * are round-constant, so no estimate compounding). No corpus shuffle
+    * anywhere; k passes total, exactly [[kmeansCentroids]]' cost class. */
+  def kCenterSelect(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "at least one center")
+    val corpus = prepared(vectors)
+    val c0 = Checkpoints.materialized(
+      corpus.orderBy(col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    val picks = scala.collection.mutable.Buffer(
+      c0.select(col("cid").as("vec_id"), lit(1L).as("rank"), lit(0L).as("d2")))
+    var minD = corpus.crossJoin(broadcast(c0))
+      .filter(col("vec_id") =!= col("cid"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        (col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq"))).as("md"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val cr = Checkpoints.materialized(
+        minD.orderBy(col("md").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2"), col("md").as("cmd")))
+      // an empty pool (k > |corpus|) simply stops early — ranks are dense
+      if (cr.head(1).isEmpty) {
+        return picks.reduce(_ unionByName _)
+      }
+      picks += cr.select(col("cid").as("vec_id"), lit(r.toLong).as("rank"),
+        col("cmd").as("d2"))
+      minD = minD.crossJoin(broadcast(cr))
+        .filter(col("vec_id") =!= col("cid"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          least(col("md"),
+            col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+            .as("md"))
+        .localCheckpoint()
+    }
+    picks.reduce(_ unionByName _)
+  }
+
   /** Random-hyperplane signature: bit h = sign of Σ_d w(h,d)·x_d where
     * w(h,d) = +1 iff the first hex nibble of md5(h":"d) ≥ 8 (deterministic,
     * engine-portable pseudo-randomness — the oracle recomputes the same md5

@@ -240,12 +240,69 @@ object TextStats {
                      maxPieceLen: Int = 4, maxWordLen: Int = 10,
                      minSeedFreq: Long = 2L, seedMax: Int = 150,
                      textCol: String = "text"): DataFrame = {
-    val sess = docs.sparkSession
     // the one corpus pass: frequency-weighted word table
     val words = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")).between(1, maxWordLen))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    uniTrain(words, keepSchedule, maxPieceLen, maxWordLen,
+      minSeedFreq, seedMax)._1
+  }
+
+  /** Unigram-LM tokenization of the corpus with a vocabulary trained on
+    * the corpus itself — [[unigramLmVocab]]'s train-then-encode shape,
+    * mirroring [[bpeEncode]]: per document, the Viterbi token count under
+    * the trained vocabulary, the character count, and the chars-per-token
+    * compression ratio.
+    *
+    * Words longer than `maxWordLen` are outside the trainer's contract
+    * (excluded from training, as in [[unigramLmVocab]]); they encode at
+    * one token per character — the byte/char-fallback rule production
+    * unigram tokenizers apply to out-of-model input, and a closed form
+    * (`length(w)`) both engines compute without a DP.
+    *
+    * Scale shape identical to [[bpeEncode]]: the corpus is touched
+    * exactly twice — the (doc, word) count shuffle (whose word-frequency
+    * aggregation feeds the trainer) and the final word-key equi-join
+    * against the O(vocab-words) per-word token-count relation. The
+    * training loop itself never sees a corpus-sized relation. */
+  def unigramEncode(docs: DataFrame,
+                    keepSchedule: Seq[Int] = Seq(60, 40),
+                    maxPieceLen: Int = 4, maxWordLen: Int = 10,
+                    minSeedFreq: Long = 2L, seedMax: Int = 150,
+                    textCol: String = "text",
+                    docIdCol: String = "doc_id"): DataFrame = {
+    val docWords = docs
+      .select(col(docIdCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(docIdCol), col("w")).agg(count(lit(1)).as("k"))
+    val words = docWords.filter(length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(sum(col("k")).as("cnt"))
+    val wordToks = uniTrain(words, keepSchedule, maxPieceLen, maxWordLen,
+      minSeedFreq, seedMax)._2
+    docWords.join(wordToks, Seq("w"), "left")
+      .withColumn("wtoks",
+        coalesce(col("wtoks"), length(col("w")).cast("long")))
+      .groupBy(col(docIdCol))
+      .agg(sum(col("k") * col("wtoks")).as("n_tokens"),
+        sum(col("k") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col(docIdCol), col("n_tokens"), col("n_chars"),
+        round(col("n_chars") * lit(1.0) / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
+  /** The seed → EM-prune → final-segment loop shared by [[unigramLmVocab]]
+    * and [[unigramEncode]]. Takes the (w, cnt) word-frequency table;
+    * returns BOTH trained artifacts as materialized leaves: the vocabulary
+    * report (piece, piece_len, freq, prob_ppm) and the per-word Viterbi
+    * token counts (w, wtoks) under the final vocabulary. Runs entirely
+    * under the bpeLoop non-adaptive regime; callers' downstream plans see
+    * only checkpoint leaves. */
+  private def uniTrain(words: DataFrame, keepSchedule: Seq[Int],
+                       maxPieceLen: Int, maxWordLen: Int,
+                       minSeedFreq: Long, seedMax: Int)
+      : (DataFrame, DataFrame) = {
+    val sess = words.sparkSession
     // every (start, plen) window of a word, as one codegen'd nested
     // transform (windowCooc's no-self-join convention)
     def windows(c: Column): Column = flatten(transform(
@@ -270,8 +327,9 @@ object TextStats {
           cand.filter(length(col("piece")) >= 2 && col("cnt") >= minSeedFreq)
             .orderBy(col("cnt").desc, col("piece").asc).limit(seedMax)))
 
-      // E-step: Viterbi over maxWordLen sweeps; returns per-piece usage
-      def usageOf(vocab: DataFrame): DataFrame = {
+      // E-step: Viterbi over maxWordLen sweeps; returns the complete-word
+      // best states (w, np, path)
+      def viterbiOf(vocab: DataFrame): DataFrame = {
         val edges = w0
           .select(col("w").as("ew"), explode(windows(col("w"))).as("sp"))
           .select(col("ew"), col("sp.start").as("start"),
@@ -299,10 +357,12 @@ object TextStats {
                 col("s.ns").as("ns"), col("s.path").as("path")))
         }
         states.filter(col("pos") === length(col("w")))
-          .join(w0, "w")
+          .select(col("w"), col("np"), col("path"))
+      }
+      def usageFrom(viterbi: DataFrame): DataFrame =
+        viterbi.join(w0, "w")
           .select(explode(split(ltrim(col("path")), " ")).as("piece"), col("cnt"))
           .groupBy(col("piece")).agg(sum(col("cnt")).as("u"))
-      }
       // M-step prune: chars always survive; longer pieces keep top keepK
       def prune(vocab: DataFrame, usage: DataFrame, keepK: Int): DataFrame = {
         val scored = vocab.select(col("piece"))
@@ -315,16 +375,21 @@ object TextStats {
       }
       var vocab = seed
       for (keepK <- keepSchedule)
-        vocab = prune(vocab, Checkpoints.materialized(usageOf(vocab)), keepK)
-      val finalUsage = Checkpoints.materialized(usageOf(vocab))
+        vocab = prune(vocab,
+          Checkpoints.materialized(usageFrom(viterbiOf(vocab))), keepK)
+      val finalViterbi = Checkpoints.materialized(viterbiOf(vocab))
+      val finalUsage = Checkpoints.materialized(usageFrom(finalViterbi))
       val tot = finalUsage.agg(sum(col("u")).as("tot"))
-      Checkpoints.materialized(
+      val vocabReport = Checkpoints.materialized(
         vocab.select(col("piece"))
           .join(finalUsage, Seq("piece"), "left")
           .crossJoin(broadcast(tot))
           .withColumn("freq", coalesce(col("u"), lit(0L)))
           .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
             col("freq"), expr("freq * 1000000 div tot").as("prob_ppm")))
+      val wordToks = Checkpoints.materialized(
+        finalViterbi.select(col("w"), col("np").as("wtoks")))
+      (vocabReport, wordToks)
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
       sess.conf.set("spark.sql.shuffle.partitions", prevParts)

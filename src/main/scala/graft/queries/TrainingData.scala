@@ -199,6 +199,21 @@ object TrainingData {
        |           GROUP BY a$round.cid, r.d)
        |         GROUP BY cid))""".stripMargin
 
+  /** One unrolled greedy k-center round for the sample_kcenter oracle:
+    * argmax of the running min-d² (ties toward the smaller id, exactly
+    * the operator's TakeOrdered ordering), then fold the new center's
+    * distance into every remaining candidate's min and drop the selected
+    * row from the pool. km CTEs are MATERIALIZED — each is referenced by
+    * both the next round's argmax and its pool update, and inlining
+    * doubles the scan tree per round. */
+  private def kcRoundSql(r: Int): String =
+    s"""kc$r AS MATERIALIZED (SELECT vec_id, qv, n2, md FROM km${r - 1}
+       |        ORDER BY md DESC, vec_id ASC LIMIT 1),
+       |km$r AS MATERIALIZED (SELECT m.vec_id, m.qv, m.n2,
+       |           least(m.md, m.n2 + c.n2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.qv[i]))) AS md
+       |         FROM km${r - 1} m CROSS JOIN kc$r c
+       |         WHERE m.vec_id <> c.vec_id)""".stripMargin
+
   /** One unrolled BPE training round for the t_bpe_merges oracle: count
     * adjacent symbol pairs (weighted by word frequency), take the
     * (count desc, l asc, r asc) argmax, apply the merge with the same
@@ -543,6 +558,51 @@ object TrainingData {
             keepSchedule = Seq(60, 40), maxPieceLen = UniMaxPieceLen,
             maxWordLen = UniMaxWordLen, minSeedFreq = 2L, seedMax = 150)
           .orderBy(col("piece"))
+    },
+
+    // Unigram-LM train-then-encode (the bpeEncode symmetry for the
+    // unigram family): every document's Viterbi token count under the
+    // corpus-trained vocabulary, with the char-fallback rule for words
+    // beyond the trainer's maxWordLen contract. The oracle re-trains the
+    // identical vocabulary (same generated CTE chain as
+    // t_unigram_lm_vocab) and reads per-word token counts off the final
+    // DP's complete-word states.
+    QuerySpec.sql("t_unigram_encode",
+      s"""WITH udw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY doc_id, w),
+        |uwords AS MATERIALIZED (SELECT w, CAST(sum(k) AS BIGINT) AS cnt
+        |  FROM udw WHERE length(w) <= $UniMaxWordLen GROUP BY w),
+        |ucand AS MATERIALIZED (SELECT substr(ww.w, t.st + 1, p.plen) AS piece, CAST(sum(ww.cnt) AS BIGINT) AS cnt
+        |  FROM uwords ww
+        |  CROSS JOIN range(0, $UniMaxWordLen) t(st)
+        |  CROSS JOIN range(1, ${UniMaxPieceLen + 1}) p(plen)
+        |  WHERE t.st + p.plen <= length(ww.w) GROUP BY 1),
+        |uvocab0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM ucand WHERE length(piece) >= 2 AND cnt >= 2
+        |    ORDER BY cnt DESC, piece ASC LIMIT 150)),
+        |${uniEStepSql(1)},
+        |${uniPruneSql(1, 60)},
+        |${uniEStepSql(2)},
+        |${uniPruneSql(2, 40)},
+        |${uniEStepSql(3)},
+        |uwt AS (SELECT s.w, s.np AS wtoks FROM us3_$UniMaxWordLen s
+        |        WHERE s.pos = length(s.w))
+        |SELECT d.doc_id,
+        |       CAST(sum(d.k * coalesce(t.wtoks, length(d.w))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(d.k * length(d.w)) AS BIGINT) AS n_chars,
+        |       round(sum(d.k * length(d.w)) * 1.0
+        |             / sum(d.k * coalesce(t.wtoks, length(d.w))), 4) AS chars_per_token
+        |FROM udw d LEFT JOIN uwt t ON t.w = d.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextStats.unigramEncode(Tables.documents(s, dir),
+            keepSchedule = Seq(60, 40), maxPieceLen = UniMaxPieceLen,
+            maxWordLen = UniMaxWordLen, minSeedFreq = 2L, seedMax = 150)
+          .orderBy(col("doc_id"))
     },
 
     // Windowed co-occurrence (word2vec/GloVe preprocessing): unordered token
@@ -2484,6 +2544,30 @@ object TrainingData {
             planes = planes, probeHamming1 = true)
           .orderBy(col("vec_a"), col("vec_b"))
       }
+    },
+
+    // Greedy k-center (Gonzalez) coreset selection over the embedding
+    // corpus: the diversity-sampling pass — 8 farthest-point rounds with
+    // exact-integer distances and min-id ties, emitting the coverage-
+    // radius sequence. The oracle unrolls the identical rounds
+    // (kcRoundSql); argmax, pool update and tie-breaks hash-match.
+    QuerySpec.sql("sample_kcenter",
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS MATERIALIZED (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |kc1 AS MATERIALIZED (SELECT vec_id, qv, n2 FROM m ORDER BY vec_id LIMIT 1),
+        |km1 AS MATERIALIZED (SELECT m.vec_id, m.qv, m.n2,
+        |          m.n2 + c.n2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.qv[i])) AS md
+        |        FROM m CROSS JOIN kc1 c WHERE m.vec_id <> c.vec_id),
+        |${(2 to 8).map(kcRoundSql).mkString(",\n")}
+        |SELECT vec_id, CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS d2 FROM kc1
+        |${(2 to 8).map(r =>
+          s"UNION ALL SELECT vec_id, CAST($r AS BIGINT) AS rank, CAST(md AS BIGINT) AS d2 FROM kc$r")
+          .mkString("\n")}
+        |ORDER BY rank""".stripMargin) {
+      (s, dir) =>
+        EmbeddingSim.kCenterSelect(Tables.embeddings(s, dir), k = 8)
+          .orderBy(col("rank"))
     },
 
     QuerySpec.sql("ann_brute_topk",

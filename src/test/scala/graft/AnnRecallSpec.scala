@@ -227,6 +227,31 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       s"hier assignment must keep the same min-id survivors, got $keptH")
   }
 
+  test("kCenterSelect: hand-traced farthest-point rounds, coverage radii, early stop") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def axis(x: Float) = Array.tabulate(64)(d => if (d == 0) x else 0.0f)
+    val vecs = spark.createDataFrame(Seq(
+      (0L, axis(0.0f)), (1L, axis(1.0f)), (2L, axis(3.0f)), (3L, axis(2.9f)))
+      .map { case (id, e) => org.apache.spark.sql.Row(id, e.toSeq) }.asJava, schema)
+    // Seed = min id (v0). Farthest from {v0} is v2 (d²=3000²); then v1
+    // (min stays 1000² — v2 is farther away than v0 is); then v3 (min
+    // becomes 100² once v2 is chosen). Exact quantized integers.
+    val out = EmbeddingSim.kCenterSelect(vecs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out === Seq(
+      (0L, 1L, 0L), (2L, 2L, 9000000L), (1L, 3L, 1000000L), (3L, 4L, 10000L)))
+    // k beyond the pool stops early with dense ranks — no duplicate picks
+    val short = EmbeddingSim.kCenterSelect(vecs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(short.map(_._2) === Seq(1L, 2L, 3L, 4L))
+    assert(short.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+  }
+
   test("incremental semantic screen: replayed survivors drop, novel vectors keep, batch equals direct dominance") {
     // Store: the identical-group corpus from the batch test — four groups
     // of three identical vectors, survivors = min id per group.

@@ -344,6 +344,23 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
       ("b", 1L, 1L, 333333L)))
   }
 
+  test("unigramEncode: per-doc Viterbi token counts, char fallback beyond maxWordLen") {
+    // Same trained vocab as the hand-traced corpus ('ab' survives keep-1):
+    // doc 1 "ab ab b" -> [ab][ab][b] = 3 tokens / 5 chars;
+    // doc 2 "abcde ab" -> 'abcde' (len 5 > maxWordLen 4) is outside the
+    // trainer contract and encodes at one token per char (5) + [ab]
+    // = 6 tokens / 7 chars.
+    val docs = Seq((1L, "ab ab b"), (2L, "abcde ab")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.unigramEncode(docs,
+        keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+        minSeedFreq = 1L, seedMax = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out === Seq(
+      (1L, 3L, 5L, 1.6667),
+      (2L, 6L, 7L, 1.1667)))
+  }
+
   test("unigramLmVocab: equal-piece-count segmentations break ties by larger count sum") {
     // corpus "abc ab ab c c": seed counts a=3, b=3, c=3, ab=3, bc=1.
     // 'abc' has two 2-piece segmentations: [ab, c] (sum 3+3=6) and
