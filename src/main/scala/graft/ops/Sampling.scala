@@ -252,4 +252,58 @@ object Sampling {
       .fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1))
     labeled.select(col(idCol), col("cluster_id"), caseCol.as("split"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document with the corpus-trained interpolated bigram LM
+    * ([[graft.ops.TextStats.ngramLmPerplexity]]'s integer centibit
+    * score), split each language's score distribution into head / middle
+    * / tail TERTILES (lower perplexity first — CCNet's proxy for
+    * Wikipedia-like quality), and gate each bucket at a per-bucket ppm
+    * keep rate through the [[hashKey]] Bernoulli gate (CCNet ships
+    * head+middle and drops tail; `keepPpm` defaults accordingly).
+    *
+    * Determinism: tertile boundaries are computed from a per-(lang,
+    * score) HISTOGRAM, and every document sharing a (lang, score) cell
+    * lands in the same bucket — a score value belongs to the earliest
+    * tertile its first document (in score order) falls into. Membership
+    * is a function of the corpus alone: no doc_id tie-break inside a
+    * score cell, no floats, no rand(); DuckDB reproduces the histogram,
+    * the cumulative rule and the md5 gate bit-for-bit.
+    *
+    * Scale design (100 TB): the corpus is scored in one
+    * ngramLmPerplexity pass (its model relation is vocabulary-shaped);
+    * the tertile derivation runs entirely on the (lang, score) histogram
+    * — at a centibit quantization that is ≤ |langs|·~thousands of rows,
+    * NOT corpus-shaped — so the only window sorts a histogram, never the
+    * corpus (the same histogram-not-window discipline as
+    * `stratifiedQuota`'s bucket classifier). Verdicts broadcast-join
+    * back on (lang, score); the keep gate is a narrow per-row filter. */
+  def ppxBuckets(docs: DataFrame,
+                 keepPpm: Seq[Long] = Seq(1000000L, 1000000L, 0L),
+                 langCol: String = "lang",
+                 textCol: String = "text"): DataFrame = {
+    require(keepPpm.length == 3 && keepPpm.forall(p => p >= 0 && p <= 1000000L),
+      "keepPpm must be three per-bucket rates in [0, 1e6]")
+    val scored = TextStats.ngramLmPerplexity(docs, textCol = textCol)
+      .select(col("doc_id"), col("avg_bits_x100"))
+      .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+    val hist = scored.groupBy(col(langCol), col("avg_bits_x100"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(langCol)).orderBy(col("avg_bits_x100"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(langCol))
+    val buckets = hist
+      .withColumn("__before", sum(col("__c")).over(wCum) - col("__c"))
+      .withColumn("__tot", sum(col("__c")).over(wTot))
+      .withColumn("bucket",
+        when(col("__before") * 3 < col("__tot"), lit(0L))
+          .when(col("__before") * 3 < col("__tot") * 2, lit(1L))
+          .otherwise(lit(2L)))
+      .select(col(langCol), col("avg_bits_x100"), col("bucket"))
+    val rate = element_at(
+      lit(keepPpm.toArray), col("bucket").cast("int") + 1)
+    scored.join(broadcast(buckets), Seq(langCol, "avg_bits_x100"))
+      .select(col("doc_id"), col(langCol), col("avg_bits_x100"), col("bucket"),
+        (hashKey(col("doc_id")) % 1000000L < rate).cast("long").as("is_keep"))
+  }
 }

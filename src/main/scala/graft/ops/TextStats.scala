@@ -930,4 +930,63 @@ object TextStats {
       .select(col("doc_id"), col("__k.term").as("term"),
         col("__k.tf").as("tf"), col("__k.df").as("df"))
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"), the hashed-n-gram form in the
+    * engine's exact-integer discipline: score every document by how much
+    * more likely its hashed unigram+bigram features are under the TARGET
+    * distribution (rows matching `targetPred` — e.g. a trusted source)
+    * than under the RAW corpus, then keep the `topK` highest-weight docs.
+    *
+    * Model: features hash into `buckets` cells via the portable md5
+    * [[graft.ops.Sampling.hashKey]] (mod buckets); per-cell add-1-
+    * smoothed ppm probabilities for target and raw; the per-cell
+    * log-ratio is quantized with the engine's floor-log₂ convention
+    * (`length(bin(p³))-1`, third-bit resolution — the collocations /
+    * ngramLmPerplexity discipline), so the importance weight
+    * `dsir_q3 = Σ_features (q3(p_T) − q3(p_R))` is an exact integer and
+    * DuckDB reproduces every rank bit-for-bit. Paper-faithful shape:
+    * DSIR's bag-of-hashed-n-grams likelihood ratio, with resampling's
+    * Gumbel noise replaced by deterministic top-k (the zero-rand
+    * registry convention; ties break on doc_id).
+    *
+    * Scale design (100 TB): the feature relation is a narrow codegen
+    * explode (no persist — recomputing it twice beats spilling a
+    * corpus-sized relation, the winnow lesson); the model is ONE
+    * map-side-combined hash-aggregate down to `buckets` rows with
+    * conditional sums for the two corpora (never two corpus passes);
+    * scoring joins the corpus-shaped features against the broadcast
+    * `buckets`-row verdict and reduces per doc in one combinable
+    * aggregate. Selection is TakeOrderedAndProject — no global sort, no
+    * single-partition window. */
+  def dsirWeights(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+                  topK: Int = 100, textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && topK > 0, "buckets and topK must be positive")
+    val t = col("__t")
+    val toks = docs.select(col("doc_id"), targetPred.as("__is_t"),
+      tokens(col(textCol)).as("__t"))
+    val uni = toks.select(col("doc_id"), col("__is_t"),
+      explode(t).as("f"))
+    val bi = toks.filter(size(t) >= 2)
+      .select(col("doc_id"), col("__is_t"), explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("f"))
+    val feats = uni.unionAll(bi)
+      .select(col("doc_id"), col("__is_t"),
+        (Sampling.hashKey(col("f")) % buckets).as("b"))
+    val model = feats.groupBy(col("b")).agg(
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val q3 = (p: Column) => (length(bin(p * p * p)) - 1).cast("long")
+    val verdict = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (q3(expr(s"1000000 * (ct + 1) div (tt + $buckets)")) -
+          q3(expr(s"1000000 * (cr + 1) div (tr + $buckets)"))).as("d"))
+    feats.join(broadcast(verdict), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("d")).as("dsir_q3"))
+      .orderBy(col("dsir_q3").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

@@ -290,6 +290,40 @@ object TrainingData {
       s"('$l', [${ms.map(m => s"'$m'").mkString(", ")}])"
     }.mkString(", ")
 
+  /** The interpolated-bigram-LM scoring CTE chain (the t_ngram_lm_ppx
+    * oracle), shared with sample_ppx_buckets: `sc` ends as (doc_id,
+    * n_trans, sum_q3) — per-doc third-bit-quantized surprisal sums under
+    * p(w2|w1) = 3/4·C12/C1 + 1/4·C2/T in integer ppm. */
+  private val PpxScoreCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |u AS (SELECT unnest(t) AS w FROM tk),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |             FROM tk WHERE len(t) >= 2)),
+      |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      |       FROM bg GROUP BY 1, 2, 3),
+      |model AS (SELECT w1, w2,
+      |            (750000 * c12) // u1.c + (250000 * u2.c) // t.t_total AS p_ppm
+      |          FROM (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+      |                FROM db GROUP BY 1, 2) bi
+      |          JOIN uni u1 ON bi.w1 = u1.w
+      |          JOIN uni u2 ON bi.w2 = u2.w
+      |          CROSS JOIN tot t),
+      |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trans,
+      |         CAST(sum(k * (60 - (length(bin(
+      |           greatest(p_ppm, 1) * greatest(p_ppm, 1) * greatest(p_ppm, 1)
+      |         )) - 1))) AS BIGINT) AS sum_q3
+      |       FROM db JOIN model USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
+  /** The md5-derived 32-bit doc_id sample key (Sampling.hashKey) in
+    * DuckDB terms — identical to the inline form the sampling oracles
+    * already use. */
+  private val DocHashKeySql: String =
+    """list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+      |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- Text analysis -------------------------------------------------
@@ -803,27 +837,7 @@ object TrainingData {
     // integer div) so the oracle reproduces the scores bit-for-bit —
     // see TextStats.ngramLmPerplexity's scaladoc for the quantization.
     QuerySpec.sql("t_ngram_lm_ppx",
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |u AS (SELECT unnest(t) AS w FROM tk),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
-        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |             FROM tk WHERE len(t) >= 2)),
-        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
-        |       FROM bg GROUP BY 1, 2, 3),
-        |model AS (SELECT w1, w2,
-        |            (750000 * c12) // u1.c + (250000 * u2.c) // t.t_total AS p_ppm
-        |          FROM (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
-        |                FROM db GROUP BY 1, 2) bi
-        |          JOIN uni u1 ON bi.w1 = u1.w
-        |          JOIN uni u2 ON bi.w2 = u2.w
-        |          CROSS JOIN tot t),
-        |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trans,
-        |         CAST(sum(k * (60 - (length(bin(
-        |           greatest(p_ppm, 1) * greatest(p_ppm, 1) * greatest(p_ppm, 1)
-        |         )) - 1))) AS BIGINT) AS sum_q3
-        |       FROM db JOIN model USING (w1, w2) GROUP BY doc_id)
+      s"""WITH $PpxScoreCtes
         |SELECT d.doc_id,
         |       coalesce(sc.n_trans, 0) AS n_trans,
         |       coalesce(sc.sum_q3, 0) AS sum_q3,
@@ -2182,6 +2196,79 @@ object TrainingData {
       (s, dir) =>
         Sampling.mixTemperature(Tables.documents(s, dir), "lang", tau = 0.5)
           .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
+    // CCNet perplexity buckets (Wenzek et al. 2020): per-language
+    // head/middle/tail tertiles of the bigram-LM centibit score (the
+    // t_ngram_lm_ppx chain, shared CTEs), boundaries derived from the
+    // (lang, score) histogram — every doc sharing a score cell gets one
+    // bucket, so membership needs no doc_id tie-break. Gate: head keeps
+    // all, middle keeps at 500000 ppm through the md5 key, tail drops.
+    QuerySpec.sql("sample_ppx_buckets",
+      s"""WITH $PpxScoreCtes,
+        |score AS (SELECT d.doc_id, d.lang,
+        |            coalesce((100 * sc.sum_q3) // (3 * sc.n_trans), 0) AS avg_bits_x100
+        |          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |hist AS (SELECT lang, avg_bits_x100, CAST(count(*) AS BIGINT) AS c
+        |         FROM score GROUP BY 1, 2),
+        |bk AS (SELECT lang, avg_bits_x100,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY avg_bits_x100
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS bef,
+        |         sum(c) OVER (PARTITION BY lang) AS tot
+        |       FROM hist),
+        |bb AS (SELECT lang, avg_bits_x100,
+        |         CAST(CASE WHEN bef * 3 < tot THEN 0
+        |                   WHEN bef * 3 < tot * 2 THEN 1 ELSE 2 END AS BIGINT) AS bucket
+        |       FROM bk),
+        |g AS (SELECT doc_id, $DocHashKeySql % 1000000 AS gk FROM documents)
+        |SELECT s.doc_id, s.lang, s.avg_bits_x100, bb.bucket,
+        |       CAST(CASE WHEN gk < (CASE bb.bucket WHEN 0 THEN 1000000
+        |                                           WHEN 1 THEN 500000 ELSE 0 END)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_keep
+        |FROM score s JOIN bb USING (lang, avg_bits_x100) JOIN g USING (doc_id)
+        |ORDER BY s.doc_id""") {
+      (s, dir) =>
+        Sampling.ppxBuckets(Tables.documents(s, dir),
+            keepPpm = Seq(1000000L, 500000L, 0L))
+          .orderBy(col("doc_id"))
+    },
+
+    // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
+    // bag features (md5 key mod 256), add-1-smoothed ppm probabilities
+    // for target (source = 'src0') vs the raw corpus, per-bucket
+    // log-ratio in the floor-log2 third-bit quantization, per-doc summed
+    // weight, deterministic top-100 (weight desc, doc_id asc).
+    QuerySpec.sql("sample_dsir",
+      """WITH tk AS (SELECT doc_id, source = 'src0' AS is_t,
+        |             string_split(text, ' ') AS t FROM documents),
+        |uf AS (SELECT doc_id, is_t, unnest(t) AS f FROM tk),
+        |bf AS (SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS f
+        |       FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t))) AS i
+        |             FROM tk WHERE len(t) >= 2)),
+        |fb AS (SELECT doc_id, is_t,
+        |         list_reduce(list_transform(string_split(substr(md5(f), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 256 AS b
+        |       FROM (SELECT doc_id, is_t, f FROM uf
+        |             UNION ALL SELECT doc_id, is_t, f FROM bf)),
+        |m AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |        CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+        |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM m),
+        |v AS (SELECT b,
+        |        CAST((length(bin(pt * pt * pt)) - 1)
+        |           - (length(bin(pr * pr * pr)) - 1) AS BIGINT) AS d
+        |      FROM (SELECT b, (1000000 * (ct + 1)) // (tt + 256) AS pt,
+        |                   (1000000 * (cr + 1)) // (tr + 256) AS pr
+        |            FROM m CROSS JOIN tt)),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |         CAST(sum(d) AS BIGINT) AS dsir_q3
+        |       FROM fb JOIN v USING (b) GROUP BY doc_id),
+        |top AS (SELECT doc_id, n_feats, dsir_q3 FROM sc
+        |        ORDER BY dsir_q3 DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, n_feats, dsir_q3 FROM top ORDER BY doc_id""") {
+      (s, dir) =>
+        TextStats.dsirWeights(Tables.documents(s, dir),
+            col("source") === "src0", buckets = 256, topK = 100)
           .orderBy(col("doc_id"))
     },
 

@@ -146,4 +146,44 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     val counts = out.values.groupBy(_._2).view.mapValues(_.size).toMap
     assert(counts.getOrElse("train", 0) > 140)
   }
+
+  test("ppxBuckets assigns per-language score tertiles with histogram boundaries") {
+    // Varied repetition/vocabulary gives a spread of bigram-LM scores in
+    // each language; the reference below re-derives the tertile rule
+    // independently from the emitted scores (a score cell belongs to the
+    // earliest tertile its first doc falls into), so the test holds for
+    // WHATEVER scores the LM produces — it pins the bucketing, not the LM.
+    val docs = Seq(
+      (0L, "en", "a a a a a"), (1L, "en", "a a b a"), (2L, "en", "b c d e"),
+      (3L, "en", "a b a b"), (4L, "en", "c c c c"), (5L, "en", "d d a c"),
+      (6L, "en", "e e e a"), (7L, "en", "b b a a"), (8L, "en", "a c a c"),
+      (9L, "de", "x y x y"), (10L, "de", "x x x"), (11L, "de", "y z y")
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.ppxBuckets(docs, keepPpm = Seq(1000000L, 1000000L, 0L))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("avg_bits_x100"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("is_keep")))
+    assert(out.length === 12)                         // every doc, exactly once
+    for ((_, rows) <- out.groupBy(_._2)) {
+      val n = rows.length
+      val cells = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      var before = 0L
+      val expect = cells.keys.toSeq.sorted.map { s =>
+        val b = if (before * 3 < n) 0L
+                else if (before * 3 < 2L * n) 1L else 2L
+        before += cells(s); s -> b
+      }.toMap
+      rows.foreach { case (_, _, s, b, k) =>
+        assert(b === expect(s))                       // histogram tertile rule
+        assert(k === (if (b == 2L) 0L else 1L))       // (1e6, 1e6, 0) gate
+      }
+      // with ≥ 3 distinct score cells every tertile is inhabited
+      if (cells.size >= 3) assert(rows.map(_._4).distinct.sorted === Seq(0L, 1L, 2L))
+    }
+    // deterministic across runs
+    val again = Sampling.ppxBuckets(docs, keepPpm = Seq(1000000L, 1000000L, 0L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"))).toMap
+    assert(out.map(r => r._1 -> r._4).toMap === again)
+  }
 }

@@ -379,4 +379,44 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
       ("b", 1L, 0L, 0L),
       ("c", 1L, 3L, 500000L)))
   }
+
+  test("dsirWeights matches an independent integer reference and ranks target-like docs first") {
+    import org.apache.spark.sql.functions.col
+    val fixture = Seq(
+      (0L, "src0", "alpha beta alpha"),
+      (1L, "src0", "alpha beta"),
+      (2L, "srcX", "gamma delta gamma delta"),
+      (3L, "srcX", "alpha beta alpha beta"),
+      (4L, "srcX", "gamma gamma gamma"))
+    val docs = fixture.toDF("doc_id", "source", "text")
+    val buckets = 16
+    val out = TextStats.dsirWeights(docs, col("source") === "src0",
+        buckets = buckets, topK = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_feats"),
+        r.getAs[Long]("dsir_q3"))).sortBy(_._1)
+
+    // Independent reference: JDK md5 (not Spark's), same integer chain.
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def feats(text: String): Seq[Long] = {
+      val w = text.split(" ").toSeq
+      (w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }).map(hk(_) % buckets)
+    }
+    val all = fixture.map { case (id, src, t) => (id, src == "src0", feats(t)) }
+    val ct = all.filter(_._2).flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = all.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def q3(p: Long): Long = { val v = p * p * p; if (v == 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(v) }
+    def d(b: Long): Long =
+      q3(1000000L * (ct.getOrElse(b, 0L) + 1) / (tt + buckets)) -
+        q3(1000000L * (cr.getOrElse(b, 0L) + 1) / (tr + buckets))
+    val scored = all.map { case (id, _, fs) => (id, fs.size.toLong, fs.map(d).sum) }
+    val expect = scored.sortBy { case (id, _, w) => (-w, id) }.take(3).sortBy(_._1)
+    assert(out.toSeq === expect)
+    // the alpha-beta target vocabulary outranks the gamma-delta rest
+    assert(out.map(_._1).toSet === Set(0L, 1L, 3L))
+  }
 }
