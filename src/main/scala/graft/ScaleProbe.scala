@@ -373,10 +373,16 @@ object ScaleProbe {
               maxHamming = 16).count())),
         // bigram LM: two corpus-shaped passes + vocabulary-shaped model
         // joins (replication grows counts, vocab stays ~flat) — ~linear
+        // forcing note (round-14 correction): `ppx_keep >= 0` was the
+        // strip_markup trap in a second costume — ppx_keep is cast(boolean
+        // as long), so Catalyst folds the predicate to TRUE, and the
+        // then-unreferenced unique-key left join is ELIMINATED outright:
+        // the r12 "0.9 s flat" row timed a bare doc count. `% 2` on the
+        // integer score is not foldable and keeps the join live
         "ngram_lm_ppx" -> (() =>
           time(s"$tag/ngram_lm_ppx")(
             graft.ops.TextStats.ngramLmPerplexity(docs)
-              .filter(col("ppx_keep") >= 0L).count())),
+              .filter(col("avg_bits_x100") % 2 === 0L).count())),
         // markup strip: one narrow codegen regex/replace chain, no shuffle
         // — the linearity floor every probe band is read against. The
         // filter forces is_content (⇒ raw_len/text_len ⇒ the whole regex
@@ -461,6 +467,47 @@ object ScaleProbe {
             graft.ops.TextStats.qualityModelTrain(labeled, dims = 64,
               iters = 3).count()
           })),
+        // CCNet ppx-buckets: the LM model relation is vocabulary-shaped and
+        // the tertile derivation runs on the (lang, score) histogram — the
+        // probe answers whether the corpus-shaped cost is just the two LM
+        // passes (per-doc flat) with no corpus-sized sort at any factor;
+        // counting the kept rows forces the gate, the bucket join and the
+        // full scoring chain (the strip_markup pruning lesson)
+        "ppx_buckets" -> (() =>
+          time(s"$tag/ppx_buckets")(
+            Sampling.ppxBuckets(docs, keepPpm = Seq(1000000L, 500000L, 0L))
+              .filter(col("is_keep") === 1L).count())),
+        // DSIR: model = ONE conditional-sum hash-aggregate down to 256
+        // rows; scoring = feature explode + broadcast verdict join + one
+        // combinable per-doc aggregate; selection = TakeOrdered. Counting
+        // the top-k still forces the whole weight computation
+        "dsir" -> (() =>
+          time(s"$tag/dsir")(
+            graft.ops.TextStats.dsirWeights(docs, col("source") === "src0",
+              buckets = 256, topK = 100).count())),
+        // Unigram-LM trainer: ONE corpus pass (distinct-word frequencies),
+        // then Bellman-Ford sweeps over the O(words × maxWordLen) state
+        // relation — replication grows word counts, not the distinct-word
+        // table (the bpe_encode flat-vocab argument), so the probe answers
+        // whether the sweeps stay corpus-independent
+        "unigram_vocab" -> (() =>
+          time(s"$tag/unigram_vocab")(
+            graft.ops.TextStats.unigramLmVocab(docs,
+              keepSchedule = Seq(60, 40), maxPieceLen = 4, maxWordLen = 10,
+              minSeedFreq = 2L, seedMax = 150).count())),
+        // Unigram encode: the train loop above plus the two corpus-shaped
+        // legs — the (doc, word) count shuffle and the final word-key join
+        "unigram_encode" -> (() =>
+          time(s"$tag/unigram_encode")(
+            graft.ops.TextStats.unigramEncode(docs,
+              keepSchedule = Seq(60, 40), maxPieceLen = 4, maxWordLen = 10,
+              minSeedFreq = 2L, seedMax = 150).count())),
+        // Greedy k-center: k rounds × (one corpus pass folding the new
+        // center into the running min-d² + a TakeOrdered(1) argmax) —
+        // expected ~linear in corpus with flat round count
+        "kcenter" -> (() =>
+          time(s"$tag/kcenter")(
+            EmbeddingSim.kCenterSelect(vecs, k = 8).count())),
         // BPE train+encode: the corpus passes are the (doc, word) count and
         // the final word-key join; the merge fixpoint runs on the vocab
         // (replication grows word COUNTS, and the marker jitter adds only
@@ -471,10 +518,14 @@ object ScaleProbe {
               .filter(col("n_tokens") >= 0).count())),
         // hashed-feature linear quality model: explode + two hash-aggs + a
         // broadcast-sized weight join — should be ~linear
+        // forcing note (round-14 correction): raw_score is coalesce(...) ⇒
+        // non-nullable ⇒ `isNotNull` folds to TRUE ⇒ the unique-key left
+        // join is eliminated and the old row timed a doc count. `% 2` keeps
+        // the scoring join live
         "quality_model" -> (() =>
           time(s"$tag/quality_model")(
             graft.ops.TextStats.qualityModelScore(docs)
-              .filter(col("raw_score").isNotNull).count())),
+              .filter(col("raw_score") % 2 === 0L).count())),
         // decontamination against a doc_id%97 benchmark sliver that
         // replicates WITH the corpus — both join sides grow N×, so work
         // grows ~N²: a stress shape, NOT the deployment shape

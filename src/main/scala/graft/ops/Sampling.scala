@@ -277,7 +277,11 @@ object Sampling {
     * NOT corpus-shaped — so the only window sorts a histogram, never the
     * corpus (the same histogram-not-window discipline as
     * `stratifiedQuota`'s bucket classifier). Verdicts broadcast-join
-    * back on (lang, score); the keep gate is a narrow per-row filter. */
+    * back on (lang, score); the keep gate is a narrow per-row filter.
+    * The scored relation feeds BOTH the histogram and the final join, so
+    * it is pinned DISK_ONLY (3 narrow columns per doc) — without it the
+    * whole LM chain recomputes under each consumer, which the 100× solo
+    * probe priced at ~2× the honest single-pass cost. */
   def ppxBuckets(docs: DataFrame,
                  keepPpm: Seq[Long] = Seq(1000000L, 1000000L, 0L),
                  langCol: String = "lang",
@@ -287,6 +291,7 @@ object Sampling {
     val scored = TextStats.ngramLmPerplexity(docs, textCol = textCol)
       .select(col("doc_id"), col("avg_bits_x100"))
       .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val hist = scored.groupBy(col(langCol), col("avg_bits_x100"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(langCol)).orderBy(col("avg_bits_x100"))

@@ -579,13 +579,25 @@ object TextStats {
     * corpus-shaped) and built with two vocab joins + a 1-row broadcast
     * total; the only corpus-shaped join keys per-doc bigram rows to the
     * model on the bigram — an equi-join AQE can skew-split. No windows,
-    * no driver collect, nothing quadratic. */
+    * no driver collect, nothing quadratic.
+    *
+    * "Touched twice" is enforced with persists (round 14): `uni` feeds
+    * three model legs (w1, w2, total) and `db` two (model build +
+    * scoring), so without pinning, lineage recompute runs the corpus
+    * explode FIVE times — the honest 100× solo probe measured 52.8 s
+    * where the shared-scan form costs ~17 s. `uni` is vocabulary-shaped
+    * (MEMORY_AND_DISK); `db` is corpus-shaped and narrow, pinned
+    * DISK_ONLY per the hashed-TF lesson (memory-resident corpus persists
+    * degrade 2×+ under ambient pressure). Lifetime is owned by the
+    * caller's action, the registry convention for lazily-returned
+    * operators (Bench drops operator persists between queries). */
   def ngramLmPerplexity(docs: DataFrame, maxAvgBitsX100: Int = 1200,
                         textCol: String = "text"): DataFrame = {
     val t = col("__t")
     val toks = docs.select(col("doc_id"), tokens(col(textCol)).as("__t"))
     val uni = toks.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = uni.agg(sum(col("c")).as("t_total"))
     val db = toks.filter(size(t) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -595,6 +607,7 @@ object TextStats {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val model = db.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
