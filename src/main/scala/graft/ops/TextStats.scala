@@ -631,6 +631,86 @@ object TextStats {
         (col("avg_bits_x100") <= maxAvgBitsX100).cast("long"))
   }
 
+  /** Frozen bigram-LM model relation — the deployment half of
+    * [[ngramLmPerplexity]]'s semantics: CCNet scores candidate text with
+    * an LM trained ONCE on a curated seed corpus (Wikipedia in the
+    * paper), not with a self-trained model, so at 100 TB the model is
+    * trained on the small trusted slice and everything else is scored
+    * against it ([[ngramPerplexityAgainst]], or per micro-batch via
+    * `StreamOps.screenStreamPpx`). Identical integer arithmetic to the
+    * self-trained form: p(w₂|w₁) = ¾·C₁₂/C₁ + ¼·C₂/T in exact ppm.
+    * Output (w1, w2, p_ppm) — DISTINCT-bigram-bounded
+    * (vocabulary-shaped); one corpus pass builds both count relations
+    * (`uni` pinned MEMORY_AND_DISK across its three legs). */
+  def ngramLmModel(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col("__t")
+    val toks = docs.select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = uni.agg(sum(col("c")).as("t_total"))
+    toks.filter(size(t) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        (expr("750000 * c12 div c1") + expr("250000 * c2 div t_total"))
+          .as("p_ppm"))
+  }
+
+  /** Score a batch against a FROZEN [[ngramLmModel]] relation. Unlike the
+    * self-trained [[ngramLmPerplexity]], scored text can contain
+    * transitions the model never saw: those drop out of the inner model
+    * join and the centibit average runs over the SCORED transitions only,
+    * with `n_trans` (all transitions) and `n_scored` (model-known) both
+    * emitted so a caller can gate on OOV mass separately — the
+    * deterministic-integer alternative to an unseen-transition penalty
+    * (which would need a smoothing constant the oracle must mirror
+    * anyway; a composition with the vocab-coverage gate covers it).
+    *
+    * Scale shape: the batch is touched twice (the per-doc bigram count
+    * and a narrow size() projection for n_trans — no shared relation, so
+    * nothing to pin); the model joins on the bigram, vocabulary-shaped.
+    * Output (doc_id, n_trans, n_scored, sum_q3, avg_bits_x100,
+    * ppx_keep). */
+  def ngramPerplexityAgainst(batch: DataFrame, model: DataFrame,
+                             maxAvgBitsX100: Int = 1200,
+                             textCol: String = "text"): DataFrame = {
+    val t = col("__t")
+    val toks = batch.select(col("doc_id"), tokens(col(textCol)).as("__t"))
+    val db = toks.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val scored = db.join(model, Seq("w1", "w2"))
+      .withColumn("__p", greatest(col("p_ppm"), lit(1L)))
+      .withColumn("__q3", lit(60L) -
+        (length(bin(col("__p") * col("__p") * col("__p"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_scored"), sum(col("k") * col("__q3")).as("sum_q3"))
+    toks
+      .select(col("doc_id"),
+        greatest(size(t) - 1, lit(0)).cast("long").as("n_trans"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_trans"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("sum_q3"), lit(0L)).as("sum_q3"),
+        coalesce(expr("100 * sum_q3 div (3 * n_scored)"), lit(0L))
+          .as("avg_bits_x100"))
+      .withColumn("ppx_keep",
+        (col("avg_bits_x100") <= maxAvgBitsX100).cast("long"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021, App. A1.1 adapted):
     * per-document pass/fail flags for the published heuristic gates —
     * word-count bounds, mean-word-length bounds, symbol-to-word ratio,

@@ -852,6 +852,57 @@ object TrainingData {
           .orderBy(col("doc_id"))
     },
 
+    // Frozen-model perplexity scoring (the CCNet deployment shape): the
+    // bigram LM trains on the doc_id % 7 != 0 slice, the held-out slice
+    // scores against it. Model-unseen transitions drop from the inner
+    // join; the centibit average runs over scored transitions with both
+    // n_trans and n_scored emitted (OOV gating composes separately).
+    QuerySpec.sql("t_ppx_against",
+      """WITH tr AS (SELECT string_split(text, ' ') AS t FROM documents
+        |            WHERE doc_id % 7 <> 0),
+        |u AS (SELECT unnest(t) AS w FROM tr),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+        |tbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |              FROM tr WHERE len(t) >= 2)),
+        |model AS (SELECT w1, w2,
+        |            (750000 * c12) // u1.c + (250000 * u2.c) // t.t_total AS p_ppm
+        |          FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |                FROM tbg GROUP BY 1, 2) bi
+        |          JOIN uni u1 ON bi.w1 = u1.w
+        |          JOIN uni u2 ON bi.w2 = u2.w
+        |          CROSS JOIN tot t),
+        |hd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE doc_id % 7 = 0),
+        |db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS k
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM hd WHERE len(t) >= 2) GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
+        |         CAST(sum(k * (60 - (length(bin(
+        |           greatest(p_ppm, 1) * greatest(p_ppm, 1) * greatest(p_ppm, 1)
+        |         )) - 1))) AS BIGINT) AS sum_q3
+        |       FROM db JOIN model USING (w1, w2) GROUP BY doc_id)
+        |SELECT h.doc_id,
+        |       CAST(greatest(len(h.t) - 1, 0) AS BIGINT) AS n_trans,
+        |       coalesce(sc.n_scored, 0) AS n_scored,
+        |       coalesce(sc.sum_q3, 0) AS sum_q3,
+        |       coalesce((100 * sc.sum_q3) // (3 * sc.n_scored), 0) AS avg_bits_x100,
+        |       CAST(CASE WHEN coalesce((100 * sc.sum_q3) // (3 * sc.n_scored), 0) <= 1200
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS ppx_keep
+        |FROM hd h LEFT JOIN sc ON sc.doc_id = h.doc_id
+        |ORDER BY h.doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextStats.ngramPerplexityAgainst(
+            docs.filter(col("doc_id") % 7 === 0),
+            TextStats.ngramLmModel(docs.filter(col("doc_id") % 7 =!= 0)),
+            maxAvgBitsX100 = 1200)
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Gopher rule battery: the published heuristic gates as per-doc flags,
     // every ratio test integer cross-multiplied (no float divisions).
     QuerySpec.sql("t_gopher_rules",

@@ -375,6 +375,30 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.TextStats.ngramPerplexityAgainst]] —
+    * the quality-gate member of the incremental screen family (exact
+    * fingerprints, minhash bands, semantic survivors, and now the CCNet
+    * LM gate): a frozen [[graft.ops.TextStats.ngramLmModel]] relation is
+    * pinned once and every micro-batch scores against it unchanged, so
+    * stream ≡ batch per micro-batch BY CONSTRUCTION and no micro-batch
+    * replays the model's training lineage. Per-batch cost is
+    * batch-bigrams ⋈ vocabulary-shaped model. */
+  def screenStreamPpx(docsStream: DataFrame, model: DataFrame,
+                      onScored: (DataFrame, Long) => Unit,
+                      maxAvgBitsX100: Int = 1200)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val m =
+      if (model.storageLevel == StorageLevel.NONE)
+        model.persist(StorageLevel.MEMORY_AND_DISK)
+      else model
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScored(graft.ops.TextStats.ngramPerplexityAgainst(
+          batch, m, maxAvgBitsX100), batchId)
+      }
+  }
+
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,
                            numHashes: Int = 16, bands: Int = 4,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -517,5 +518,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(kept === Seq(1L, 2L, 5L))
     query.stop()
+  }
+
+  test("streaming ppx screen scores each micro-batch against the frozen LM, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.TextStats
+    // seed corpus: "a b" transitions dominate, "z" never appears
+    val model = TextStats.ngramLmModel(Seq(
+      (1L, "a b a b a b"), (2L, "a b c"), (3L, "c a b")
+    ).toDF("doc_id", "text"))
+    val collected = scala.collection.mutable.Map[Long, Map[Long, Row]]()
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.screenStreamPpx(
+      input.toDF().toDF("doc_id", "text"), model,
+      (scored, batchId) => collected.synchronized {
+        collected(batchId) = scored.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      }, maxAvgBitsX100 = 1200).start()
+
+    val b1 = Seq((10L, "a b a b"), (11L, "z z z"))
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    val b2 = Seq((12L, "a b z c"), (13L, "q"))
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def direct(rows: Seq[(Long, String)]): Map[Long, Row] =
+      TextStats.ngramPerplexityAgainst(rows.toDF("doc_id", "text"), model,
+          maxAvgBitsX100 = 1200)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val perBatch = collected.synchronized(collected.toMap)
+    for ((bid, rows) <- Seq(0L -> b1, 1L -> b2)) {
+      val d = direct(rows)
+      assert(perBatch(bid).keySet === d.keySet)
+      for ((id, r) <- perBatch(bid))
+        assert(r.toSeq === d(id).toSeq, s"batch $bid doc $id diverged")
+    }
+    // semantics: the in-model doc scores on all transitions and keeps;
+    // the all-OOV doc scores nothing (n_scored 0, avg 0 → trivially kept
+    // — OOV gating is the vocab-coverage operator's job); the mixed doc
+    // scores only its model-known transitions
+    val s10 = perBatch(0L)(10L)
+    assert(s10.getAs[Long]("n_trans") === 3L && s10.getAs[Long]("n_scored") === 3L)
+    val s11 = perBatch(0L)(11L)
+    assert(s11.getAs[Long]("n_trans") === 2L && s11.getAs[Long]("n_scored") === 0L)
+    val s12 = perBatch(1L)(12L)
+    assert(s12.getAs[Long]("n_trans") === 3L && s12.getAs[Long]("n_scored") === 1L)
+    assert(perBatch(1L)(13L).getAs[Long]("n_trans") === 0L)
   }
 }
