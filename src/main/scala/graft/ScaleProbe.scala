@@ -477,6 +477,24 @@ object ScaleProbe {
           time(s"$tag/ppx_buckets")(
             Sampling.ppxBuckets(docs, keepPpm = Seq(1000000L, 500000L, 0L))
               .filter(col("is_keep") === 1L).count())),
+        // Frozen-model scoring (the CCNet deployment shape): the LM trains
+        // UNTIMED on the fixed 1× sliver (ids < docBase — the curated seed
+        // stays the same size while the scored corpus grows) and persists
+        // like a deployed artifact; the timed section scores the FULL
+        // scaled corpus against it — per-doc bigram count + ONE
+        // vocabulary-shaped model join, so the probe answers whether the
+        // scoring leg is corpus-linear with a flat model. The % 2 forcing
+        // on the integer score keeps the model join live (the ngram_lm_ppx
+        // join-elimination lesson)
+        "ppx_against" -> (() => {
+          val model = graft.ops.TextStats.ngramLmModel(
+              docs.filter(col("doc_id") < docBase))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          model.count()
+          time(s"$tag/ppx_against")(
+            graft.ops.TextStats.ngramPerplexityAgainst(docs, model)
+              .filter(col("avg_bits_x100") % 2 === 0L).count())
+        }),
         // DSIR: model = ONE conditional-sum hash-aggregate down to 256
         // rows; scoring = feature explode + broadcast verdict join + one
         // combinable per-doc aggregate; selection = TakeOrdered. Counting
@@ -567,6 +585,19 @@ object ScaleProbe {
               (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
               (3L, Seq("stream", "window")), (4L, Seq("dup"))), k = 10)
               .count())),
+        // hybrid recall-then-rerank: stage 1 is bm25's posting-pruned
+        // corpus pass; stage 2 joins the |q|·recallN candidate broadcast
+        // against the embedding corpus — the probe answers whether the
+        // dense stage stays candidate-shaped while BOTH corpora grow
+        // (vec ids top out below doc ids at N×, so high-id candidates
+        // drop through the inner join — the partially-embedded-corpus
+        // path — while the timed plan shape is unchanged)
+        "hybrid_retrieval" -> (() =>
+          time(s"$tag/hybrid_retrieval")(
+            graft.ops.Retrieval.hybridRetrieval(docs, vecs, Seq(
+              (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
+              (3L, Seq("stream", "window")), (4L, Seq("dup"))),
+              recallN = 25, k = 10).count())),
         // phrase search: corpus × |phrases| narrow scan, no index join
         "phrase_search" -> (() =>
           time(s"$tag/phrase_search")(

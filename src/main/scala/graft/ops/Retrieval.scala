@@ -151,4 +151,52 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Two-stage hybrid retrieval: BM25 lexical recall re-ranked by exact
+    * embedding cosine — the production RAG/data-curation shape (recall
+    * cheap and wide over the inverted index, precision from the dense
+    * space). Each query is (query_id, terms) with query_id doubling as
+    * the ANCHOR vector id ("documents like this one, among those matching
+    * the terms"); stage 1 takes the BM25 top-`recallN` per query
+    * ([[bm25Retrieval]]'s exact integer scoring), stage 2 re-ranks those
+    * candidates by [[EmbeddingSim.qcosine]] against the anchor embedding,
+    * ties toward the smaller doc id, anchor excluded from its own results.
+    * Candidates without an embedding row drop out (inner join) — re-rank
+    * what the dense space covers, exactly what a production two-tower
+    * deployment does with partially-embedded corpora.
+    *
+    * Scale shape (100 TB): stage 1 is bm25Retrieval's posting-pruned plan;
+    * its output is |queries|·recallN rows — broadcast to BOTH stage-2
+    * joins, so the embedding corpus is scanned once, semi-join-pruned by
+    * the broadcast candidate set, and never shuffled; anchors ride the
+    * same broadcast relation. The rank window partitions by query over
+    * ≤ recallN rows. The dense side pays NO distance evaluation outside
+    * the candidate set — the whole point of recall-then-rerank. */
+  def hybridRetrieval(docs: DataFrame, embeddings: DataFrame,
+                      queries: Seq[(Long, Seq[String])],
+                      recallN: Int = 25, k: Int = 10,
+                      textCol: String = "text"): DataFrame = {
+    val cand = bm25Retrieval(docs, queries, k = recallN, textCol)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("score").as("bm25_score"))
+    val corpus = EmbeddingSim.prepared(embeddings)
+    val anchors = corpus
+      .filter(col("vec_id").isin(queries.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("q").as("aq"),
+        col("n2").as("an2"))
+    val scored = corpus
+      .join(broadcast(cand), col("vec_id") === col("doc_id"))
+      .join(broadcast(anchors), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("bm25_score"),
+        EmbeddingSim.qcosine(EmbeddingSim.qdot(col("aq"), col("q")),
+          col("an2"), col("n2")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25_score"),
+        round(col("cos"), 4).as("cosine"))
+  }
 }

@@ -745,6 +745,55 @@ object TrainingData {
           .orderBy(col("query_id"), col("rank"))
     },
 
+    // Hybrid two-stage retrieval (the RAG/curation production shape):
+    // BM25 top-25 lexical recall per query, re-ranked by exact quantized
+    // cosine against the anchor embedding (query_id doubles as anchor
+    // vec_id), anchor self-hit excluded, ties toward the smaller doc id.
+    // The oracle replays the full BM25 chain to the recall cut, then the
+    // same quantize/dot/cosine chain the ANN oracles use.
+    QuerySpec.sql("t_hybrid_retrieval",
+      s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+        |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |       GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+        |       FROM dl),
+        |p AS (SELECT query_id, term, doc_id, tf FROM tf JOIN qt USING (term)),
+        |dft AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+        |        FROM p GROUP BY 1, 2),
+        |sc AS (SELECT p.query_id, p.doc_id,
+        |         CAST(sum(least(((st.n_docs - dft.df) * 1000000) // dft.df, 20000000) *
+        |                  ((22000 * p.tf * st.avgdl) //
+        |                   (10 * p.tf * st.avgdl + 3 * st.avgdl + 9 * dl.dl))) AS BIGINT) AS score
+        |       FROM p JOIN dft USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN st
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT query_id, doc_id, score AS bm25_score
+        |         FROM sc
+        |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 25),
+        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |      FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |rr AS (SELECT c.query_id, c.doc_id, c.bm25_score,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |       FROM cand c JOIN m a ON a.vec_id = c.query_id
+        |                   JOIN m b ON b.vec_id = c.doc_id
+        |       WHERE c.doc_id <> c.query_id)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, bm25_score, round(cos, 4) AS cosine
+        |FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        Retrieval.hybridRetrieval(Tables.documents(s, dir),
+            Tables.embeddings(s, dir), RetrievalQueries, recallN = 25, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+    },
+
     // Exact-phrase top-k: consecutive token-run matches counted per doc by
     // one nested array expression (no positional-index self-join); the
     // vocabulary-miss phrase (query 4) must contribute zero rows.

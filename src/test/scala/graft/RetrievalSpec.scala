@@ -100,4 +100,45 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     val cut = runPhrase(Seq((3L, Seq("a", "b"))), k = 1)
     assert(cut === Map((3L, 1L) -> (0L, 2L)))   // doc 1 cut by k=1
   }
+
+  // hybrid fixtures: anchor = vec 0 along the x axis; doc 1 orthogonal
+  // (cos 0), doc 2 diagonal (cos .7071), docs 3/4 colinear (cos 1.0, doc 4
+  // at twice the magnitude — same direction, ties by id)
+  private def hybridRun(docs: Seq[(Long, String)],
+                        embs: Seq[(Long, Seq[Float])],
+                        recallN: Int, k: Int = 10) =
+    Retrieval.hybridRetrieval(
+        docs.toDF("doc_id", "text"),
+        embs.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding"),
+        Seq((0L, Seq("x"))), recallN = recallN, k = k)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+
+  test("hybridRetrieval re-ranks BM25 recall by cosine, excludes the anchor, drops unembedded candidates") {
+    val out = hybridRun(
+      docs = Seq((0L, "x"), (1L, "x x x"), (2L, "x x"), (5L, "x x x x")),
+      embs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f))),
+      recallN = 10)
+    // BM25 order was 5, 1, 2, 0: anchor 0 excluded, doc 5 has no embedding
+    // row, and the dense stage flips 1 and 2
+    assert(out === Map(1L -> (2L, 0.7071), 2L -> (1L, 0.0)))
+  }
+
+  test("hybridRetrieval: the recall cut is lexical — a cosine-perfect doc outside the BM25 top-N never surfaces") {
+    val docs = Seq((0L, "x"), (1L, "x x x"), (2L, "x x"), (3L, "x"), (4L, "x"))
+    val embs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)),
+      (3L, Seq(1f, 0f)), (4L, Seq(2f, 0f)))
+    // recallN=3 → BM25 top-3 = {1 (tf 3), 2 (tf 2), 0 (tf-1 tie → lowest
+    // id)}; docs 3 and 4 are cosine-perfect but lexically below the cut
+    assert(hybridRun(docs, embs, recallN = 3) ===
+      Map(1L -> (2L, 0.7071), 2L -> (1L, 0.0)))
+    // recallN=5 admits them: equal-cosine 3 and 4 tie by id, then 2, then 1
+    assert(hybridRun(docs, embs, recallN = 5) ===
+      Map(1L -> (3L, 1.0), 2L -> (4L, 1.0), 3L -> (2L, 0.7071),
+        4L -> (1L, 0.0)))
+    // k truncates the re-ranked list, not the recall set
+    assert(hybridRun(docs, embs, recallN = 5, k = 2) ===
+      Map(1L -> (3L, 1.0), 2L -> (4L, 1.0)))
+  }
 }
