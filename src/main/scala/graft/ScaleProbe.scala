@@ -598,6 +598,16 @@ object ScaleProbe {
               (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
               (3L, Seq("stream", "window")), (4L, Seq("dup"))),
               recallN = 25, k = 10).count())),
+        // RRF: the fusion join is |q|·depth-bounded; the corpus-shaped
+        // work is the two independent retrievers (bm25 explode + the
+        // brute dense scan) — the probe answers whether fusion adds
+        // anything corpus-shaped on top of them
+        "rrf_fusion" -> (() =>
+          time(s"$tag/rrf_fusion")(
+            graft.ops.Retrieval.rrfFusion(docs, vecs, Seq(
+              (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
+              (3L, Seq("stream", "window")), (4L, Seq("dup"))),
+              k = 10, lexDepth = 25, denseDepth = 25).count())),
         // phrase search: corpus × |phrases| narrow scan, no index join
         "phrase_search" -> (() =>
           time(s"$tag/phrase_search")(

@@ -199,4 +199,53 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("bm25_score"),
         round(col("cos"), 4).as("cosine"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of the
+    * lexical and dense rankings — the OTHER production hybrid shape next
+    * to [[hybridRetrieval]]'s recall-then-rerank: both retrievers run
+    * independently and a rank-only score fuses them, so neither list's
+    * score scale matters (BM25 integers and cosine doubles never meet).
+    * Score is the exact-integer ppm form Σ 1000000 ∕∕ (rrfK + rank) over
+    * the lists that surfaced the doc; a doc on BOTH lists outranks
+    * one-list docs at similar depth — the signature RRF property. Ties
+    * toward the smaller doc id. `query_id` doubles as anchor vec_id for
+    * the dense list (the [[hybridRetrieval]] convention), and each list
+    * excludes the anchor itself.
+    *
+    * The dense list is pluggable (`denseList` — any (query_id,
+    * neighbor_id, rank) relation: [[EmbeddingSim.bruteForceTopK]] for
+    * oracle-exact fusion, `ivfTopK`/`ivfPqTopK` as the 100 TB path; the
+    * fusion is agnostic). Scale shape: both inputs are \|q\|·depth-bounded
+    * relations, so the fusion itself — one full-outer equi-join plus a
+    * per-query rank window — is candidate-shaped no matter the corpus;
+    * all corpus-shaped work lives inside the two retrievers. */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame,
+                queries: Seq[(Long, Seq[String])],
+                k: Int = 10, lexDepth: Int = 25, denseDepth: Int = 25,
+                rrfK: Int = 60, textCol: String = "text",
+                denseList: Option[DataFrame] = None): DataFrame = {
+    val lex = bm25Retrieval(docs, queries, k = lexDepth, textCol)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val anchorIds = queries.map(_._1)
+    val dense = denseList.getOrElse(
+        EmbeddingSim.bruteForceTopK(embeddings,
+          col("vec_id").isin(anchorIds: _*), denseDepth))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_dense"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($rrfK + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + rank_dense)"), lit(0L)))
+          .as("rrf_ppm"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf_ppm").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_ppm"),
+        col("rank_lex"), col("rank_dense"))
+  }
 }

@@ -42,6 +42,30 @@ object TrainingData {
     * single rare term exercises the selective-posting path, query 2's
     * 3-term AND the conjunctive filter). Rendered into the oracle VALUES
     * so the two sides can never drift. */
+  /** The BM25 scoring CTE chain (query terms -> postings -> df -> exact
+    * integer saturated-tf x capped-idf per-(query, doc) score `sc`),
+    * shared by every oracle that consumes BM25 rankings. Pre-stripped:
+    * interpolate after a `WITH q(query_id, terms) AS (VALUES
+    * $retrievalSqlValues),` header. Mirrors `Retrieval.bm25Retrieval`. */
+  private val Bm25ScoreCtes: String =
+    """qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+       FROM dl),
+p AS (SELECT query_id, term, doc_id, tf FROM tf JOIN qt USING (term)),
+dft AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+        FROM p GROUP BY 1, 2),
+sc AS (SELECT p.query_id, p.doc_id,
+         CAST(sum(least(((st.n_docs - dft.df) * 1000000) // dft.df, 20000000) *
+                  ((22000 * p.tf * st.avgdl) //
+                   (10 * p.tf * st.avgdl + 3 * st.avgdl + 9 * dl.dl))) AS BIGINT) AS score
+       FROM p JOIN dft USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY 1, 2)"""
+
   private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
     (1L, Seq("hash", "join")),
     (2L, Seq("sort", "merge", "join")),
@@ -716,23 +740,7 @@ object TrainingData {
     // boolean query, so the two ranking semantics are directly comparable.
     QuerySpec.sql("t_bm25_retrieval",
       s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
-        |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
-        |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |       GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |              CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
-        |       FROM dl),
-        |p AS (SELECT query_id, term, doc_id, tf FROM tf JOIN qt USING (term)),
-        |dft AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
-        |        FROM p GROUP BY 1, 2),
-        |sc AS (SELECT p.query_id, p.doc_id,
-        |         CAST(sum(least(((st.n_docs - dft.df) * 1000000) // dft.df, 20000000) *
-        |                  ((22000 * p.tf * st.avgdl) //
-        |                   (10 * p.tf * st.avgdl + 3 * st.avgdl + 9 * dl.dl))) AS BIGINT) AS score
-        |       FROM p JOIN dft USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN st
-        |       GROUP BY 1, 2)
+        |$Bm25ScoreCtes
         |SELECT query_id,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
         |       doc_id, score
@@ -753,23 +761,7 @@ object TrainingData {
     // same quantize/dot/cosine chain the ANN oracles use.
     QuerySpec.sql("t_hybrid_retrieval",
       s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
-        |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
-        |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |       GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |              CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
-        |       FROM dl),
-        |p AS (SELECT query_id, term, doc_id, tf FROM tf JOIN qt USING (term)),
-        |dft AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
-        |        FROM p GROUP BY 1, 2),
-        |sc AS (SELECT p.query_id, p.doc_id,
-        |         CAST(sum(least(((st.n_docs - dft.df) * 1000000) // dft.df, 20000000) *
-        |                  ((22000 * p.tf * st.avgdl) //
-        |                   (10 * p.tf * st.avgdl + 3 * st.avgdl + 9 * dl.dl))) AS BIGINT) AS score
-        |       FROM p JOIN dft USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN st
-        |       GROUP BY 1, 2),
+        |$Bm25ScoreCtes,
         |cand AS (SELECT query_id, doc_id, score AS bm25_score
         |         FROM sc
         |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 25),
@@ -791,6 +783,54 @@ object TrainingData {
       (s, dir) =>
         Retrieval.hybridRetrieval(Tables.documents(s, dir),
             Tables.embeddings(s, dir), RetrievalQueries, recallN = 25, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Reciprocal-rank fusion of the BM25 top-25 and the dense cosine
+    // top-25 (anchor = query_id, self excluded from both lists): score is
+    // the exact-integer Sum(1000000 // (60 + rank)) over the lists that
+    // surfaced the doc, ties toward the smaller doc id. rank_lex /
+    // rank_dense are 0 when a list missed the doc. The oracle replays
+    // both retrievers (shared Bm25ScoreCtes + the ANN cosine chain) and
+    // the full-outer fusion.
+    QuerySpec.sql("t_rrf_fusion",
+      s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
+        |$Bm25ScoreCtes,
+        |lex AS (SELECT query_id, doc_id, rank_lex FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        |          FROM sc)
+        |        WHERE rank_lex <= 25 AND doc_id <> query_id),
+        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |      FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |aq AS (SELECT vec_id AS query_id, qv AS aqv, n2 AS an2 FROM m
+        |       WHERE vec_id IN (1, 2, 3, 4)),
+        |den AS (SELECT query_id, vec_id AS doc_id,
+        |          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank_dense
+        |        FROM (SELECT query_id, vec_id,
+        |                list_sum(list_transform(range(1, 65), i -> aqv[i] * qv[i]))::DOUBLE
+        |                  / (sqrt(an2::DOUBLE) * sqrt(n2::DOUBLE)) AS cos
+        |              FROM m CROSS JOIN aq WHERE vec_id != query_id)
+        |        QUALIFY rank_dense <= 25),
+        |fu AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |              coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |              CAST(coalesce(1000000 // (60 + l.rank_lex), 0) +
+        |                   coalesce(1000000 // (60 + d.rank_dense), 0) AS BIGINT) AS rrf_ppm,
+        |              coalesce(l.rank_lex, 0) AS rank_lex,
+        |              coalesce(d.rank_dense, 0) AS rank_dense
+        |       FROM lex l FULL OUTER JOIN den d
+        |         ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, rrf_ppm, rank_lex, rank_dense
+        |FROM fu
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        Retrieval.rrfFusion(Tables.documents(s, dir),
+            Tables.embeddings(s, dir), RetrievalQueries,
+            k = 10, lexDepth = 25, denseDepth = 25)
           .orderBy(col("query_id"), col("rank"))
     },
 

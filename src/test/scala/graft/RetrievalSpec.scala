@@ -141,4 +141,27 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(hybridRun(docs, embs, recallN = 5, k = 2) ===
       Map(1L -> (3L, 1.0), 2L -> (4L, 1.0)))
   }
+
+  test("rrfFusion: both-lists docs dominate, one-list docs tie by id, anchor excluded, 0 marks a missed list") {
+    // lexical order 1 (tf 3), 2 (tf 2), 0, 3 — doc 9 carries no "x" so the
+    // term keeps nonzero idf (df = N would zero every BM25 score); dense
+    // order 3 (cos 1.0), 2 (.7071), 1 (0.0). At depth 2: lex = {1, 2},
+    // dense = {3, 2}
+    val out = Retrieval.rrfFusion(
+        Seq((0L, "x"), (1L, "x x x"), (2L, "x x"), (3L, "x"), (9L, "y"))
+          .toDF("doc_id", "text"),
+        Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)),
+          (3L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+        Seq((0L, Seq("x"))), k = 10, lexDepth = 2, denseDepth = 2)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // doc 2 on BOTH lists at rank 2: 2·(1000000 div 62) = 32258 beats the
+    // single rank-1 score 1000000 div 61 = 16393; docs 1 and 3 tie at
+    // 16393 -> id order; the anchor (doc 0, lexical rank 3) never appears
+    assert(out === Map(
+      1L -> (2L, 32258L, 2L, 2L),
+      2L -> (1L, 16393L, 1L, 0L),
+      3L -> (3L, 16393L, 0L, 1L)))
+  }
 }
