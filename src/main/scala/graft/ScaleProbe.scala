@@ -503,6 +503,20 @@ object ScaleProbe {
           time(s"$tag/dsir")(
             graft.ops.TextStats.dsirWeights(docs, col("source") === "src0",
               buckets = 256, topK = 100).count())),
+        // Frozen-tokenizer encode (the ppx_against convention: the model
+        // trains UNTIMED on the fixed 1× sliver; the timed section
+        // encodes the FULL scaled corpus against it — one (doc, word)
+        // shuffle + a distinct-batch-words Viterbi, no trainer lineage).
+        // Summing n_tokens forces the Viterbi join-back per doc
+        "unigram_encode_against" -> (() => {
+          val model = graft.ops.TextStats.unigramVocabModel(
+              docs.filter(col("doc_id") < docBase))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          model.count()
+          time(s"$tag/unigram_encode_against")(
+            graft.ops.TextStats.unigramEncodeAgainst(docs, model)
+              .filter(col("n_tokens") % 2 === 0L).count())
+        }),
         // Unigram-LM trainer: ONE corpus pass (distinct-word frequencies),
         // then Bellman-Ford sweeps over the O(words × maxWordLen) state
         // relation — replication grows word counts, not the distinct-word

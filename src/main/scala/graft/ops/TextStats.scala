@@ -291,6 +291,80 @@ object TextStats {
           .as("chars_per_token"))
   }
 
+  /** The frozen unigram-LM tokenizer artifact — the deployment half of
+    * [[unigramEncode]]'s semantics, mirroring [[ngramLmModel]]: a
+    * production tokenizer trains ONCE on a curated seed corpus and then
+    * encodes everything against the frozen vocabulary, so at 100 TB the
+    * trainer touches only the trusted slice and the corpus pays exactly
+    * one encode pass ([[unigramEncodeAgainst]]). Returns the final
+    * pruned scoring relation (piece, cnt) — the very vocabulary the
+    * trainer's own final E-step segments under, so
+    * `unigramEncodeAgainst(seed, unigramVocabModel(seed))` reproduces
+    * `unigramEncode(seed)` exactly (spec-pinned). Vocabulary-shaped. */
+  def unigramVocabModel(docs: DataFrame,
+                        keepSchedule: Seq[Int] = Seq(60, 40),
+                        maxPieceLen: Int = 4, maxWordLen: Int = 10,
+                        minSeedFreq: Long = 2L, seedMax: Int = 150,
+                        textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    uniTrain(words, keepSchedule, maxPieceLen, maxWordLen,
+      minSeedFreq, seedMax)._3
+  }
+
+  /** Tokenize a batch against a FROZEN [[unigramVocabModel]] relation.
+    * Unlike the self-trained [[unigramEncode]], batch words can be
+    * outside the model's contract: words longer than `maxWordLen` and
+    * words the vocabulary cannot segment at all (an unseen character —
+    * impossible in the self-trained form, routine under a frozen model)
+    * both encode at one token per character, the byte/char-fallback rule
+    * production unigram tokenizers apply to out-of-model input.
+    *
+    * Scale shape: the batch pays ONE (doc, word) count shuffle; the
+    * Viterbi runs over the DISTINCT batch words × maxWordLen state
+    * relation (vocabulary-shaped) under the trainer's non-adaptive
+    * regime; the join-back is one word-key equi-join. The model is never
+    * re-derived — no training lineage in the plan. */
+  def unigramEncodeAgainst(batch: DataFrame, model: DataFrame,
+                           maxPieceLen: Int = 4, maxWordLen: Int = 10,
+                           textCol: String = "text",
+                           docIdCol: String = "doc_id"): DataFrame = {
+    val sess = batch.sparkSession
+    val docWords = batch
+      .select(col(docIdCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(docIdCol), col("w")).agg(count(lit(1)).as("k"))
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val wordToks =
+      try {
+        val w0 = docWords
+          .filter(length(col("w")) <= maxWordLen)
+          .select(col("w")).distinct()
+          .localCheckpoint()
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions",
+          math.max(w0.rdd.getNumPartitions, 2).toString)
+        Checkpoints.materialized(
+          uniViterbi(w0, model, maxPieceLen, maxWordLen)
+            .select(col("w"), col("np").as("wtoks")))
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    docWords.join(wordToks, Seq("w"), "left")
+      .withColumn("wtoks",
+        coalesce(col("wtoks"), length(col("w")).cast("long")))
+      .groupBy(col(docIdCol))
+      .agg(sum(col("k") * col("wtoks")).as("n_tokens"),
+        sum(col("k") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col(docIdCol), col("n_tokens"), col("n_chars"),
+        round(col("n_chars") * lit(1.0) / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** The seed → EM-prune → final-segment loop shared by [[unigramLmVocab]]
     * and [[unigramEncode]]. Takes the (w, cnt) word-frequency table;
     * returns BOTH trained artifacts as materialized leaves: the vocabulary
@@ -301,15 +375,9 @@ object TextStats {
   private def uniTrain(words: DataFrame, keepSchedule: Seq[Int],
                        maxPieceLen: Int, maxWordLen: Int,
                        minSeedFreq: Long, seedMax: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val sess = words.sparkSession
-    // every (start, plen) window of a word, as one codegen'd nested
-    // transform (windowCooc's no-self-join convention)
-    def windows(c: Column): Column = flatten(transform(
-      sequence(lit(0), length(c) - 1),
-      s => transform(
-        sequence(lit(1), least(lit(maxPieceLen), length(c) - s)),
-        l => struct(s.as("start"), l.as("plen")))))
+    def windows(c: Column): Column = uniWindows(c, maxPieceLen)
     val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -327,38 +395,8 @@ object TextStats {
           cand.filter(length(col("piece")) >= 2 && col("cnt") >= minSeedFreq)
             .orderBy(col("cnt").desc, col("piece").asc).limit(seedMax)))
 
-      // E-step: Viterbi over maxWordLen sweeps; returns the complete-word
-      // best states (w, np, path)
-      def viterbiOf(vocab: DataFrame): DataFrame = {
-        val edges = w0
-          .select(col("w").as("ew"), explode(windows(col("w"))).as("sp"))
-          .select(col("ew"), col("sp.start").as("start"),
-            (col("sp.start") + col("sp.plen")).as("endp"),
-            col("ew").substr(col("sp.start") + 1, col("sp.plen")).as("piece"))
-          .join(vocab, "piece")
-          .select(col("ew"), col("start"), col("endp"), col("piece"),
-            col("cnt").as("pcnt"))
-          .localCheckpoint()
-        var states = w0
-          .select(col("w"), lit(0).as("pos"), lit(0L).as("np"),
-            lit(0L).as("ns"), lit("").as("path"))
-          .localCheckpoint()
-        for (_ <- 1 to maxWordLen) {
-          val ext = states.join(edges,
-              states("w") === edges("ew") && states("pos") === edges("start"))
-            .select(col("w"), col("endp").as("pos"), (col("np") + 1L).as("np"),
-              (col("ns") - col("pcnt")).as("ns"),
-              concat(col("path"), lit(" "), col("piece")).as("path"))
-          states = Checkpoints.materialized(
-            states.unionByName(ext)
-              .groupBy(col("w"), col("pos"))
-              .agg(min(struct(col("np"), col("ns"), col("path"))).as("s"))
-              .select(col("w"), col("pos"), col("s.np").as("np"),
-                col("s.ns").as("ns"), col("s.path").as("path")))
-        }
-        states.filter(col("pos") === length(col("w")))
-          .select(col("w"), col("np"), col("path"))
-      }
+      def viterbiOf(vocab: DataFrame): DataFrame =
+        uniViterbi(w0, vocab, maxPieceLen, maxWordLen)
       def usageFrom(viterbi: DataFrame): DataFrame =
         viterbi.join(w0, "w")
           .select(explode(split(ltrim(col("path")), " ")).as("piece"), col("cnt"))
@@ -389,11 +427,62 @@ object TextStats {
             col("freq"), expr("freq * 1000000 div tot").as("prob_ppm")))
       val wordToks = Checkpoints.materialized(
         finalViterbi.select(col("w"), col("np").as("wtoks")))
-      (vocabReport, wordToks)
+      (vocabReport, wordToks, vocab)
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
       sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+  }
+
+  /** Every (start, plen) substring window of a word, as one codegen'd
+    * nested transform (windowCooc's no-self-join convention) — shared by
+    * the trainer's seed/edge generation and the frozen-model encoder. */
+  private def uniWindows(c: Column, maxPieceLen: Int): Column =
+    flatten(transform(
+      sequence(lit(0), length(c) - 1),
+      s => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(c) - s)),
+        l => struct(s.as("start"), l.as("plen")))))
+
+  /** One Viterbi E-step: segment every word of `wordTable` (col `w`,
+    * already a checkpoint leaf) under `vocab` (piece, cnt), minimizing
+    * (piece count, −Σ piece cnt, path) lexicographically over maxWordLen
+    * Bellman-Ford sweeps. Returns the complete-word best states
+    * (w, np, path); words with NO complete path (an unseen character
+    * under a frozen vocabulary) simply emit no row — callers fall back
+    * per word. All state relations are vocabulary-shaped
+    * (O(words × maxWordLen)); the corpus never appears. */
+  private def uniViterbi(wordTable: DataFrame, vocab: DataFrame,
+                         maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val edges = wordTable
+      .select(col("w").as("ew"),
+        explode(uniWindows(col("w"), maxPieceLen)).as("sp"))
+      .select(col("ew"), col("sp.start").as("start"),
+        (col("sp.start") + col("sp.plen")).as("endp"),
+        col("ew").substr(col("sp.start") + 1, col("sp.plen")).as("piece"))
+      .join(vocab, "piece")
+      .select(col("ew"), col("start"), col("endp"), col("piece"),
+        col("cnt").as("pcnt"))
+      .localCheckpoint()
+    var states = wordTable
+      .select(col("w"), lit(0).as("pos"), lit(0L).as("np"),
+        lit(0L).as("ns"), lit("").as("path"))
+      .localCheckpoint()
+    for (_ <- 1 to maxWordLen) {
+      val ext = states.join(edges,
+          states("w") === edges("ew") && states("pos") === edges("start"))
+        .select(col("w"), col("endp").as("pos"), (col("np") + 1L).as("np"),
+          (col("ns") - col("pcnt")).as("ns"),
+          concat(col("path"), lit(" "), col("piece")).as("path"))
+      states = Checkpoints.materialized(
+        states.unionByName(ext)
+          .groupBy(col("w"), col("pos"))
+          .agg(min(struct(col("np"), col("ns"), col("path"))).as("s"))
+          .select(col("w"), col("pos"), col("s.np").as("np"),
+            col("s.ns").as("ns"), col("s.path").as("path")))
+    }
+    states.filter(col("pos") === length(col("w")))
+      .select(col("w"), col("np"), col("path"))
   }
 
   /** Windowed term co-occurrence counts — the word2vec/GloVe preprocessing

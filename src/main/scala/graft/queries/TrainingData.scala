@@ -265,10 +265,10 @@ sc AS (SELECT p.query_id, p.doc_id,
   private val UniMaxWordLen = 10
   private val UniMaxPieceLen = 4
 
-  private def uniEdgesSql(r: Int): String =
+  private def uniEdgesSql(r: Int, wt: String = "uwords"): String =
     s"""ue$r AS MATERIALIZED (SELECT ww.w, t.st, t.st + p.plen AS endp,
        |         substr(ww.w, t.st + 1, p.plen) AS piece, v.cnt AS pcnt
-       |  FROM uwords ww
+       |  FROM $wt ww
        |  CROSS JOIN range(0, $UniMaxWordLen) t(st)
        |  CROSS JOIN range(1, ${UniMaxPieceLen + 1}) p(plen)
        |  JOIN uvocab${r - 1} v ON v.piece = substr(ww.w, t.st + 1, p.plen)
@@ -285,14 +285,14 @@ sc AS (SELECT p.query_id, p.doc_id,
        |        FROM us${r}_${k - 1} s JOIN ue$r e ON e.w = s.w AND e.st = s.pos))
        |  WHERE rk = 1)""".stripMargin
 
-  private def uniEStepSql(r: Int): String = (
-    Seq(uniEdgesSql(r),
+  private def uniEStepSql(r: Int, wt: String = "uwords"): String = (
+    Seq(uniEdgesSql(r, wt),
       s"us${r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS np, " +
-        "CAST(0 AS BIGINT) AS ns, '' AS path FROM uwords)") ++
+        s"CAST(0 AS BIGINT) AS ns, '' AS path FROM $wt)") ++
     (1 to UniMaxWordLen).map(k => uniSweepSql(r, k)) ++
     Seq(s"""uu$r AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
        |  SELECT unnest(string_split(ltrim(s.path, ' '), ' ')) AS piece, ww.cnt
-       |  FROM us${r}_$UniMaxWordLen s JOIN uwords ww ON ww.w = s.w AND s.pos = length(s.w))
+       |  FROM us${r}_$UniMaxWordLen s JOIN $wt ww ON ww.w = s.w AND s.pos = length(s.w))
        |GROUP BY piece)""".stripMargin)
   ).mkString(",\n")
 
@@ -661,6 +661,61 @@ sc AS (SELECT p.query_id, p.doc_id,
             keepSchedule = Seq(60, 40), maxPieceLen = UniMaxPieceLen,
             maxWordLen = UniMaxWordLen, minSeedFreq = 2L, seedMax = 150)
           .orderBy(col("doc_id"))
+    },
+
+    // Frozen-tokenizer encode (the deployment shape, mirroring
+    // t_ppx_against): the unigram-LM vocabulary trains on the doc_id % 7
+    // != 0 slice, the held-out slice encodes against the frozen (piece,
+    // cnt) model. Held-out words the model cannot segment (unseen
+    // character) or beyond maxWordLen fall back to one token per
+    // character. The oracle replays the train chain on the seed slice,
+    // then one Viterbi E-step over the DISTINCT held-out words.
+    QuerySpec.sql("t_unigram_encode_against",
+      s"""WITH uwords AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |        WHERE doc_id % 7 <> 0)
+        |  WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
+        |ucand AS MATERIALIZED (SELECT substr(ww.w, t.st + 1, p.plen) AS piece, CAST(sum(ww.cnt) AS BIGINT) AS cnt
+        |  FROM uwords ww
+        |  CROSS JOIN range(0, $UniMaxWordLen) t(st)
+        |  CROSS JOIN range(1, ${UniMaxPieceLen + 1}) p(plen)
+        |  WHERE t.st + p.plen <= length(ww.w) GROUP BY 1),
+        |uvocab0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM ucand WHERE length(piece) >= 2 AND cnt >= 2
+        |    ORDER BY cnt DESC, piece ASC LIMIT 150)),
+        |${uniEStepSql(1)},
+        |${uniPruneSql(1, 60)},
+        |${uniEStepSql(2)},
+        |${uniPruneSql(2, 40)},
+        |hdw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |        WHERE doc_id % 7 = 0)
+        |  WHERE length(w) > 0 GROUP BY doc_id, w),
+        |hwords AS MATERIALIZED (SELECT w, CAST(sum(k) AS BIGINT) AS cnt
+        |  FROM hdw WHERE length(w) <= $UniMaxWordLen GROUP BY w),
+        |${uniEStepSql(3, "hwords")},
+        |hwt AS (SELECT s.w, s.np AS wtoks FROM us3_$UniMaxWordLen s
+        |        WHERE s.pos = length(s.w))
+        |SELECT d.doc_id,
+        |       CAST(sum(d.k * coalesce(t.wtoks, length(d.w))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(d.k * length(d.w)) AS BIGINT) AS n_chars,
+        |       round(sum(d.k * length(d.w)) * 1.0
+        |             / sum(d.k * coalesce(t.wtoks, length(d.w))), 4) AS chars_per_token
+        |FROM hdw d LEFT JOIN hwt t ON t.w = d.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextStats.unigramEncodeAgainst(
+            docs.filter(col("doc_id") % 7 === 0),
+            TextStats.unigramVocabModel(docs.filter(col("doc_id") % 7 =!= 0),
+              keepSchedule = Seq(60, 40), maxPieceLen = UniMaxPieceLen,
+              maxWordLen = UniMaxWordLen, minSeedFreq = 2L, seedMax = 150),
+            maxPieceLen = UniMaxPieceLen, maxWordLen = UniMaxWordLen)
+          .orderBy(col("doc_id"))
+      }
     },
 
     // Windowed co-occurrence (word2vec/GloVe preprocessing): unordered token

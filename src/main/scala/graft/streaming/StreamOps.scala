@@ -399,6 +399,29 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.TextStats.unigramEncodeAgainst]] — the
+    * tokenizer member of the frozen-model screen family: the unigram-LM
+    * vocabulary ([[graft.ops.TextStats.unigramVocabModel]]) is pinned
+    * once and every micro-batch encodes against it unchanged, so stream ≡
+    * batch per micro-batch BY CONSTRUCTION and no micro-batch replays the
+    * trainer. Per-batch cost is one (doc, word) count shuffle + a
+    * distinct-batch-words Viterbi against the vocabulary-shaped model. */
+  def encodeStreamAgainst(docsStream: DataFrame, model: DataFrame,
+                          onEncoded: (DataFrame, Long) => Unit,
+                          maxPieceLen: Int = 4, maxWordLen: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val m =
+      if (model.storageLevel == StorageLevel.NONE)
+        model.persist(StorageLevel.MEMORY_AND_DISK)
+      else model
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onEncoded(graft.ops.TextStats.unigramEncodeAgainst(
+          batch, m, maxPieceLen, maxWordLen), batchId)
+      }
+  }
+
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,
                            numHashes: Int = 16, bands: Int = 4,

@@ -568,4 +568,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(s12.getAs[Long]("n_trans") === 3L && s12.getAs[Long]("n_scored") === 1L)
     assert(perBatch(1L)(13L).getAs[Long]("n_trans") === 0L)
   }
+
+  test("streaming frozen-vocab encode tokenizes each micro-batch against the pinned model, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.TextStats
+    val model = TextStats.unigramVocabModel(
+      Seq((1L, "ab ab b a")).toDF("doc_id", "text"),
+      keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+      minSeedFreq = 1L, seedMax = 10)
+    val collected = scala.collection.mutable.Map[Long, Map[Long, Row]]()
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.encodeStreamAgainst(
+      input.toDF().toDF("doc_id", "text"), model,
+      (encoded, batchId) => collected.synchronized {
+        collected(batchId) = encoded.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      }, maxPieceLen = 2, maxWordLen = 4).start()
+
+    val b1 = Seq((10L, "ab ab"), (11L, "xq ab"))
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    val b2 = Seq((12L, "ababa b"))
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def direct(rows: Seq[(Long, String)]): Map[Long, Row] =
+      TextStats.unigramEncodeAgainst(rows.toDF("doc_id", "text"), model,
+          maxPieceLen = 2, maxWordLen = 4)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val perBatch = collected.synchronized(collected.toMap)
+    for ((bid, rows) <- Seq(0L -> b1, 1L -> b2)) {
+      val d = direct(rows)
+      assert(perBatch(bid).keySet === d.keySet)
+      for ((id, r) <- perBatch(bid))
+        assert(r.toSeq === d(id).toSeq, s"batch $bid doc $id diverged")
+    }
+    // in-model doc segments under the frozen vocab; the unsegmentable
+    // word falls back per char; the over-length word falls back whole
+    assert(perBatch(0L)(10L).getAs[Long]("n_tokens") === 2L)
+    assert(perBatch(0L)(11L).getAs[Long]("n_tokens") === 3L)
+    assert(perBatch(1L)(12L).getAs[Long]("n_tokens") === 6L)
+  }
 }

@@ -380,6 +380,45 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
       ("c", 1L, 3L, 500000L)))
   }
 
+  test("unigramEncodeAgainst under the self-trained model reproduces unigramEncode exactly") {
+    val docs = Seq((1L, "ab ab b"), (2L, "abcde ab"), (3L, "b c cab"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val self = rows(graft.ops.TextStats.unigramEncode(docs,
+      keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+      minSeedFreq = 1L, seedMax = 10))
+    val frozen = rows(graft.ops.TextStats.unigramEncodeAgainst(docs,
+      graft.ops.TextStats.unigramVocabModel(docs,
+        keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+        minSeedFreq = 1L, seedMax = 10),
+      maxPieceLen = 2, maxWordLen = 4))
+    assert(frozen === self)
+  }
+
+  test("unigramEncodeAgainst: unseen characters and over-length words fall back to one token per char") {
+    // model trained on "ab"-world: vocabulary = {a, b, ab}
+    val model = graft.ops.TextStats.unigramVocabModel(
+      Seq((1L, "ab ab b a")).toDF("doc_id", "text"),
+      keepSchedule = Seq(1), maxPieceLen = 2, maxWordLen = 4,
+      minSeedFreq = 1L, seedMax = 10)
+    val out = graft.ops.TextStats.unigramEncodeAgainst(
+        Seq((10L, "ab ab"),     // fully in-model: [ab][ab] = 2 toks
+          (11L, "xq ab"),       // 'xq' has no segmentable char -> 2 + [ab]
+          (12L, "axb"),         // 'x' unseen mid-word -> whole word 3
+          (13L, "ababa")        // len 5 > maxWordLen 4 -> 5
+        ).toDF("doc_id", "text"), model,
+        maxPieceLen = 2, maxWordLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      (10L, 2L, 4L),
+      (11L, 3L, 4L),
+      (12L, 3L, 3L),
+      (13L, 5L, 5L)))
+  }
+
   test("dsirWeights matches an independent integer reference and ranks target-like docs first") {
     import org.apache.spark.sql.functions.col
     val fixture = Seq(
