@@ -517,6 +517,19 @@ object ScaleProbe {
             graft.ops.TextStats.unigramEncodeAgainst(docs, model)
               .filter(col("n_tokens") % 2 === 0L).count())
         }),
+        // Frozen-merges BPE encode (same convention): model trained
+        // UNTIMED on the 1× sliver; the timed 100× encode is one
+        // (doc, word) shuffle + 8 broadcast merge applications over the
+        // distinct batch words + the word-key join-back
+        "bpe_encode_against" -> (() => {
+          val model = graft.ops.TextStats.bpeMergesModel(
+              docs.filter(col("doc_id") < docBase))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          model.count()
+          time(s"$tag/bpe_encode_against")(
+            graft.ops.TextStats.bpeEncodeAgainst(docs, model)
+              .filter(col("n_tokens") % 2 === 0L).count())
+        }),
         // Unigram-LM trainer: ONE corpus pass (distinct-word frequencies),
         // then Bellman-Ford sweeps over the O(words × maxWordLen) state
         // relation — replication grows word counts, not the distinct-word

@@ -191,6 +191,81 @@ object TextStats {
           .as("chars_per_token"))
   }
 
+  /** The frozen BPE artifact — the ordered merge list (merge_rank, l_sym,
+    * r_sym) alone, mirroring [[unigramVocabModel]] for the merge family:
+    * train once on a curated seed, apply everywhere
+    * ([[bpeEncodeAgainst]]). O(numMerges) rows. */
+  def bpeMergesModel(docs: DataFrame, numMerges: Int = 8,
+                     textCol: String = "text"): DataFrame =
+    bpeTrain(docs, numMerges, textCol)
+      .filter(col("kind") === "merge")
+      .select(col("merge_rank"), col("l_sym"), col("r_sym"))
+
+  /** Encode a batch under a FROZEN [[bpeMergesModel]] merge list — the
+    * BPE deployment shape: merges apply in rank order to the distinct
+    * batch words, exactly as the trainer's own apply step does, so
+    * `bpeEncodeAgainst(seed, bpeMergesModel(seed))` reproduces
+    * `bpeEncode(seed)` (spec-pinned). Unlike the unigram family there is
+    * no fallback case: every word seeds as single characters and merges
+    * simply fail to fire on unseen material.
+    *
+    * Each rank is a LEFT join against the 1-row (or absent, when training
+    * exhausted early) broadcast merge row, with `coalesce` keeping the
+    * string unchanged on a missing rank — never a crossJoin that could
+    * erase the batch. Scale shape: the batch pays one (doc, word) count
+    * shuffle and the final word-key equi-join; the merge loop runs on the
+    * DISTINCT batch words under the trainer's non-adaptive regime, and
+    * the model is never re-derived. */
+  def bpeEncodeAgainst(batch: DataFrame, merges: DataFrame,
+                       numMerges: Int = 8, textCol: String = "text",
+                       docIdCol: String = "doc_id"): DataFrame = {
+    val sess = batch.sparkSession
+    val docWords = batch
+      .select(col(docIdCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(docIdCol), col("w")).agg(count(lit(1)).as("k"))
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val enc =
+      try {
+        var words = docWords.select(col("w")).distinct()
+          .select(col("w"),
+            concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("str"))
+          .localCheckpoint()
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions",
+          math.max(words.rdd.getNumPartitions, 2).toString)
+        for (r <- 1 to numMerges) {
+          val m = broadcast(merges
+            .filter(col("merge_rank") === r.toLong)
+            .select(col("l_sym").as("__l"), col("r_sym").as("__r"),
+              lit(1).as("__k")))
+          words = Checkpoints.materialized(
+            words.withColumn("__k", lit(1))
+              .join(m, Seq("__k"), "left")
+              .select(col("w"),
+                coalesce(
+                  replace(col("str"),
+                    concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+                    concat(lit(" "), col("__l"), col("__r"), lit(" "))),
+                  col("str")).as("str")))
+        }
+        words.select(col("w"),
+          size(split(trim(col("str")), "  ")).cast("long").as("wtoks"))
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    docWords.join(enc, "w")
+      .groupBy(col(docIdCol))
+      .agg(sum(col("k") * col("wtoks")).as("n_tokens"),
+        sum(col("k") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col(docIdCol), col("n_tokens"), col("n_chars"),
+        round(col("n_chars") * lit(1.0) / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Unigram-LM (SentencePiece-style) tokenizer vocabulary trainer —
     * Kudo 2018's seed-then-prune loop in its deterministic hard-EM form:
     *

@@ -577,6 +577,45 @@ sc AS (SELECT p.query_id, p.doc_id,
           .orderBy(col("doc_id"))
     },
 
+    // Frozen-merges BPE encode (the deployment shape, completing the
+    // Against family across both tokenizer families): merges train on
+    // the doc_id % 7 != 0 slice, then apply in rank order to the
+    // held-out slice — merges simply fail to fire on unseen material
+    // (no fallback case, unlike unigram). The oracle trains via the
+    // shared bpeRoundSql rounds and replays the 8 ordered applications
+    // over the distinct held-out words.
+    QuerySpec.sql("t_bpe_encode_against",
+      s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |              WHERE doc_id % 7 <> 0)
+        |        WHERE length(w) > 0 GROUP BY w),
+        |w0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS str, cnt FROM words),
+        |${(1 to 8).map(n => bpeRoundSql(n)).mkString(",\n")},
+        |hdw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |              WHERE doc_id % 7 = 0)
+        |        WHERE length(w) > 0 GROUP BY doc_id, w),
+        |h0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS str
+        |       FROM (SELECT DISTINCT w FROM hdw)),
+        |${(1 to 8).map(n =>
+          s"h$n AS (SELECT w, replace(str, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS str " +
+          s"FROM h${n - 1} CROSS JOIN t$n)").mkString(",\n")},
+        |enc AS (SELECT w, CAST(len(string_split(trim(str), '  ')) AS BIGINT) AS wtoks FROM h8)
+        |SELECT doc_id, CAST(sum(k * wtoks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(k * length(w)) AS BIGINT) AS n_chars,
+        |       round(sum(k * length(w)) * 1.0 / sum(k * wtoks), 4) AS chars_per_token
+        |FROM hdw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextStats.bpeEncodeAgainst(
+            docs.filter(col("doc_id") % 7 === 0),
+            TextStats.bpeMergesModel(docs.filter(col("doc_id") % 7 =!= 0),
+              numMerges = 8),
+            numMerges = 8)
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Unigram-LM (SentencePiece-style) tokenizer training: seed substring
     // vocab -> two hard-EM prune rounds (Viterbi segmentation by fewest
     // pieces / largest count sum / smallest piece sequence, then

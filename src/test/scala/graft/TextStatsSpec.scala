@@ -419,6 +419,35 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
       (13L, 5L, 5L)))
   }
 
+  test("bpeEncodeAgainst under the self-trained merges reproduces bpeEncode exactly") {
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low newer"),
+      (3L, "wide wider widest")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val self = rows(graft.ops.TextStats.bpeEncode(docs, numMerges = 4))
+    val frozen = rows(graft.ops.TextStats.bpeEncodeAgainst(docs,
+      graft.ops.TextStats.bpeMergesModel(docs, numMerges = 4), numMerges = 4))
+    assert(frozen === self)
+  }
+
+  test("bpeEncodeAgainst: frozen merges fire in rank order, skip unseen material, tolerate exhausted ranks") {
+    // training corpus "ab ab ab" learns ONE merge (a,b) and exhausts —
+    // ranks 2..8 are absent from the model, exercising the left-join
+    // missing-rank path (a crossJoin there would erase the batch)
+    val model = graft.ops.TextStats.bpeMergesModel(
+      Seq((1L, "ab ab ab")).toDF("doc_id", "text"), numMerges = 8)
+    assert(model.count() === 1L)
+    val out = graft.ops.TextStats.bpeEncodeAgainst(
+        Seq((10L, "ab ab"),  // [ab][ab] = 2 tokens
+          (11L, "xy"),       // nothing fires: [x][y] = 2 tokens
+          (12L, "aab")       // [a][ab] = 2 tokens
+        ).toDF("doc_id", "text"), model, numMerges = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq((10L, 2L, 4L), (11L, 2L, 2L), (12L, 2L, 3L)))
+  }
+
   test("dsirWeights matches an independent integer reference and ranks target-like docs first") {
     import org.apache.spark.sql.functions.col
     val fixture = Seq(
