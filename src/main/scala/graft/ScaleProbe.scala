@@ -280,6 +280,23 @@ object ScaleProbe {
               probeHamming1 = true).count()
           }
         }),
+        // Rademacher random projection: one narrow codegen pass, weights
+        // are compile-time literals; the % 2 filter forces every dot
+        "random_projection" -> (() =>
+          time(s"$tag/random_projection")(
+            EmbeddingSim.randomProjection(vecs, outDims = 8)
+              .filter(col("rvalue") % 2 === 0L).count())),
+        // RP prefilter + exact rerank: the all-pairs stage runs on 8-long
+        // arrays (8x fewer multiply-adds than brute force, corpus resident
+        // at 1/8 width); the 64-dim vectors are touched only for the
+        // 40-candidate set per query. Query count pinned (~20 at every
+        // factor) so the probe isolates per-query corpus linearity rather
+        // than conflating it with query-throughput growth
+        "rp_rerank" -> (() =>
+          time(s"$tag/rp_rerank")(
+            EmbeddingSim.rpRerankTopK(vecs,
+              col("vec_id") % lit(100L * math.max(1, tag.takeWhile(_.isDigit).toInt)) === 0,
+              k = 10, outDims = 8, overfetch = 4).count())),
         "kmeans_ivf" -> (() =>
           time(s"$tag/kmeans_ivf")(
             EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2).count())),
@@ -467,6 +484,24 @@ object ScaleProbe {
             graft.ops.TextStats.qualityModelTrain(labeled, dims = 64,
               iters = 3).count()
           })),
+        // Frozen-weights quality scoring (same convention): weights train
+        // UNTIMED on the 1× sliver (3 perceptron rounds); the timed 100×
+        // scoring is one feature explode + a dims-row broadcast join +
+        // one per-doc aggregate — the trainer's margin pass run once
+        "quality_score_against" -> (() => {
+          val t = graft.ops.TextStats.tokens(col("text"))
+          val labeled = docs.filter(col("doc_id") < docBase)
+            .select(col("doc_id"), col("text"),
+              when(size(array_distinct(t)) * 2 >= size(t), 1L)
+                .otherwise(-1L).as("y"))
+          val w = graft.ops.TextStats.qualityModelTrain(labeled, dims = 64,
+              iters = 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          w.count()
+          time(s"$tag/quality_score_against")(
+            graft.ops.TextStats.qualityScoreAgainst(docs, w)
+              .filter(col("margin") % 2 === 0L).count())
+        }),
         // CCNet ppx-buckets: the LM model relation is vocabulary-shaped and
         // the tertile derivation runs on the (lang, score) histogram — the
         // probe answers whether the corpus-shaped cost is just the two LM

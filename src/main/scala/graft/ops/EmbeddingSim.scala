@@ -50,6 +50,106 @@ object EmbeddingSim {
     vectors.select(col(idCol), quantize(col(vecCol)).as("q"))
       .withColumn("n2", qnorm2(col("q")))
 
+  /** Deterministic Rademacher random projection (Achlioptas 2003's ±1
+    * variant of Johnson–Lindenstrauss) — the dimensionality-reduction
+    * pass a pipeline runs BEFORE clustering/ANN when the embedding width
+    * dominates memory: d dims → `outDims` exact-integer components, each
+    * the dot of the quantized vector with a ±1 sign vector derived from
+    * MD5("h:d") (the [[hyperplaneSignature]] weight convention — in fact
+    * each sign-LSH bit IS the sign of one of these components, so a
+    * projection at outDims = planes subsumes the signature). Weights are
+    * compile-time literals — no broadcast, no shuffle, one narrow
+    * codegen'd pass over the corpus; output exploded to (id, rdim,
+    * rvalue) longs so both engines hash cell-exactly.
+    *
+    * Scale shape (100 TB): embarrassingly parallel projection; at 10⁹
+    * vectors the d·outDims multiply-adds per row are the entire cost and
+    * the output is outDims/d of the input width — the memory story for
+    * every downstream distance evaluation. */
+  def randomProjection(vectors: DataFrame, outDims: Int = 8,
+                       dims: Int = 64, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def weight(h: Int, d: Int): Long = {
+      val hex = digest.digest(s"$h:$d".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
+    val comps = (0 until outDims).map { h =>
+      val w = typedLit((0 until dims).map(weight(h, _)).toArray)
+      struct(lit(h.toLong).as("rdim"), qdot(col("q"), w).as("rvalue"))
+    }
+    vectors.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .select(col(idCol), explode(array(comps: _*)).as("r"))
+      .select(col(idCol), col("r.rdim").as("rdim"), col("r.rvalue").as("rvalue"))
+  }
+
+  /** The projected vector as one array<long> column (id, rq) — the
+    * compact artifact [[rpRerankTopK]] scans; same weights as
+    * [[randomProjection]] (that form is the exploded, hash-comparable
+    * view of this one). */
+  def randomProjectionVec(vectors: DataFrame, outDims: Int = 8,
+                          dims: Int = 64, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def weight(h: Int, d: Int): Long = {
+      val hex = digest.digest(s"$h:$d".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
+    val comps = (0 until outDims).map { h =>
+      val w = typedLit((0 until dims).map(weight(h, _)).toArray)
+      qdot(col("q"), w)
+    }
+    vectors.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .select(col(idCol), array(comps: _*).as("rq"))
+  }
+
+  /** Brute-force ANN with a random-projection prefilter — what
+    * [[randomProjection]] is FOR: stage 1 ranks the corpus by exact-
+    * integer L2 distance² in the outDims-wide projected space (JL
+    * preserves pairwise L2, so the true neighbors land in the top
+    * `k·overfetch` with high probability) and keeps k·overfetch
+    * candidates per query; stage 2 re-scores ONLY those candidates with
+    * the exact original-space cosine, ties toward the smaller id. Same
+    * output contract as [[bruteForceTopK]].
+    *
+    * Scale shape (100 TB): the all-pairs stage touches outDims-long
+    * arrays instead of dims-long ones — dims/outDims fewer multiply-adds
+    * AND a corpus resident at outDims/dims of the width (the memory
+    * story); the original-width vectors are read only for the
+    * |queries|·k·overfetch candidate set, via one broadcast-candidate
+    * semi-join each side. Queries broadcast, never a corpus shuffle. */
+  def rpRerankTopK(vectors: DataFrame, queryPred: Column, k: Int,
+                   outDims: Int = 8, dims: Int = 64,
+                   overfetch: Int = 4): DataFrame = {
+    val proj = randomProjectionVec(vectors, outDims, dims)
+    val pq = broadcast(proj.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("rq").as("qrq")))
+    val d2p = proj.join(pq, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (qdot(col("rq"), col("rq")) + qdot(col("qrq"), col("qrq"))
+          - lit(2L) * qdot(col("rq"), col("qrq"))).as("d2p"))
+    import org.apache.spark.sql.expressions.Window
+    val cand = d2p.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2p").asc, col("vec_id").asc)))
+      .filter(col("__rk") <= k * overfetch)
+      .select(col("query_id"), col("vec_id"))
+    val corpus = prepared(vectors)
+    val anchors = broadcast(prepared(vectors.filter(queryPred))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2")))
+    val scored = corpus.join(broadcast(cand), Seq("vec_id"))
+      .join(anchors, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), deterministic ties by neighbor id. The query
     * side is expected to be small and is broadcast explicitly. */

@@ -1063,6 +1063,33 @@ object TextStats {
     w
   }
 
+  /** Score a batch under FROZEN [[qualityModelTrain]] weights — the
+    * classifier member of the deployment-shape family ([[ngramLmModel]],
+    * [[unigramVocabModel]], [[bpeMergesModel]]): the quality model trains
+    * once on a labeled seed and everything else is scored against the
+    * frozen dims-row weight relation. Emits (doc_id, margin, q_keep)
+    * with margin = Σ v·weight over the doc's hashed-TF features and
+    * q_keep = (margin > 0); docs with no scoreable features (empty text)
+    * keep margin 0 → rejected, the conservative default.
+    *
+    * Scale shape: one feature explode over the batch + a dims-row
+    * broadcast weight join + one per-doc combinable aggregate — the
+    * trainer's per-round margin pass, run exactly once, with no training
+    * lineage in the plan. */
+  def qualityScoreAgainst(batch: DataFrame, weights: DataFrame,
+                          dims: Int = 64,
+                          textCol: String = "text"): DataFrame = {
+    val feats = graft.ops.Dedup.hashedTfFeatures(batch, dims, textCol)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("v"))
+    val scored = feats.join(broadcast(weights), Seq("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("v") * col("weight")).as("margin"))
+    batch.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("margin"), lit(0L)).as("margin"),
+        (coalesce(col("margin"), lit(0L)) > 0).cast("long").as("q_keep"))
+  }
+
   /** Corpus-relative quality gate: keep documents whose [[qualityScore]]
     * is at or above the `pct`-th percentile of the whole corpus — "drop the
     * worst X%" without hand-tuning an absolute threshold per corpus.

@@ -66,6 +66,57 @@ sc AS (SELECT p.query_id, p.doc_id,
        FROM p JOIN dft USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN st
        GROUP BY 1, 2)"""
 
+  /** The hashed-TF perceptron TRAIN chain (t_quality_model_trained): tok
+    * -> md5-hashed signed features -> parity label -> three unrolled
+    * integer perceptron rounds ending at weight relation `w3`. `pred` is
+    * a WHERE clause appended to both corpus scans so the Against oracle
+    * trains on a slice. Pre-stripped; the m/g/w round CTEs follow inline
+    * in the caller (they reference only feat/lab/w0). */
+  private def qualityTrainHeadCtes(pred: String = ""): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents$pred),
+tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+fx AS (SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64 AS idx,
+         CASE WHEN substr(md5(t), 3, 1) >= '8' THEN cnt ELSE -cnt END AS sv
+       FROM tf),
+feat AS (SELECT doc_id, idx, CAST(sum(sv) AS BIGINT) AS v FROM fx GROUP BY 1, 2),
+lab AS (SELECT doc_id,
+          CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                    >= len(string_split(text, ' '))
+               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        FROM documents$pred),
+w0 AS (SELECT i AS idx, CAST(0 AS BIGINT) AS w FROM range(64) r(i)),"""
+
+  /** The three unrolled perceptron rounds (m/g/w CTEs ending at `w3`),
+    * shared by the trainer oracle and the frozen-weights Against oracle.
+    * References only feat/lab/w0 from [[qualityTrainHeadCtes]]. */
+  private val QualityTrainRoundsCtes: String =
+    """m1 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
+       FROM feat f JOIN w0 w USING (idx) GROUP BY 1),
+g1 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
+       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
+         JOIN m1 USING (doc_id) WHERE l.y * m1.m <= 0) l USING (doc_id)
+       GROUP BY 1),
+w1 AS (SELECT w0.idx, w0.w + coalesce(g1.g, 0) AS w
+       FROM w0 LEFT JOIN g1 USING (idx)),
+m2 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
+       FROM feat f JOIN w1 w USING (idx) GROUP BY 1),
+g2 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
+       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
+         JOIN m2 USING (doc_id) WHERE l.y * m2.m <= 0) l USING (doc_id)
+       GROUP BY 1),
+w2 AS (SELECT w1.idx, w1.w + coalesce(g2.g, 0) AS w
+       FROM w1 LEFT JOIN g2 USING (idx)),
+m3 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
+       FROM feat f JOIN w2 w USING (idx) GROUP BY 1),
+g3 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
+       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
+         JOIN m3 USING (doc_id) WHERE l.y * m3.m <= 0) l USING (doc_id)
+       GROUP BY 1),
+w3 AS (SELECT w2.idx, w2.w + coalesce(g3.g, 0) AS w
+       FROM w2 LEFT JOIN g3 USING (idx))"""
+
   private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
     (1L, Seq("hash", "join")),
     (2L, Seq("sort", "merge", "join")),
@@ -1267,44 +1318,8 @@ sc AS (SELECT p.query_id, p.doc_id,
     // All-integer updates (unit learning rate), so the oracle replays the
     // identical rounds as CTEs — the kmeans/BPE convention.
     QuerySpec.sql("t_quality_model_trained",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
-        |fx AS (SELECT doc_id,
-        |         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
-        |          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64 AS idx,
-        |         CASE WHEN substr(md5(t), 3, 1) >= '8' THEN cnt ELSE -cnt END AS sv
-        |       FROM tf),
-        |feat AS (SELECT doc_id, idx, CAST(sum(sv) AS BIGINT) AS v FROM fx GROUP BY 1, 2),
-        |lab AS (SELECT doc_id,
-        |          CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
-        |                    >= len(string_split(text, ' '))
-        |               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
-        |        FROM documents),
-        |w0 AS (SELECT i AS idx, CAST(0 AS BIGINT) AS w FROM range(64) r(i)),
-        |m1 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
-        |       FROM feat f JOIN w0 w USING (idx) GROUP BY 1),
-        |g1 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
-        |       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
-        |         JOIN m1 USING (doc_id) WHERE l.y * m1.m <= 0) l USING (doc_id)
-        |       GROUP BY 1),
-        |w1 AS (SELECT w0.idx, w0.w + coalesce(g1.g, 0) AS w
-        |       FROM w0 LEFT JOIN g1 USING (idx)),
-        |m2 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
-        |       FROM feat f JOIN w1 w USING (idx) GROUP BY 1),
-        |g2 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
-        |       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
-        |         JOIN m2 USING (doc_id) WHERE l.y * m2.m <= 0) l USING (doc_id)
-        |       GROUP BY 1),
-        |w2 AS (SELECT w1.idx, w1.w + coalesce(g2.g, 0) AS w
-        |       FROM w1 LEFT JOIN g2 USING (idx)),
-        |m3 AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS m
-        |       FROM feat f JOIN w2 w USING (idx) GROUP BY 1),
-        |g3 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
-        |       FROM feat f JOIN (SELECT l.doc_id, l.y FROM lab l
-        |         JOIN m3 USING (doc_id) WHERE l.y * m3.m <= 0) l USING (doc_id)
-        |       GROUP BY 1),
-        |w3 AS (SELECT w2.idx, w2.w + coalesce(g3.g, 0) AS w
-        |       FROM w2 LEFT JOIN g3 USING (idx))
+      s"""WITH ${qualityTrainHeadCtes()}
+        |$QualityTrainRoundsCtes
         |SELECT idx, CAST(w AS BIGINT) AS weight FROM w3 ORDER BY idx""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -1314,6 +1329,44 @@ sc AS (SELECT p.query_id, p.doc_id,
             .otherwise(-1L).as("y"))
         TextStats.qualityModelTrain(labeled, dims = 64, iters = 3)
           .orderBy(col("idx"))
+      }
+    },
+
+    // Frozen-weights quality scoring (the classifier member of the
+    // deployment-shape family): the perceptron trains on the doc_id % 7
+    // != 0 slice, the held-out slice scores against the frozen dims-row
+    // weight relation — one feature explode + broadcast weight join +
+    // per-doc margin, no training lineage. Featureless docs keep margin
+    // 0 and are rejected (the conservative default).
+    QuerySpec.sql("t_quality_score_against",
+      s"""WITH ${qualityTrainHeadCtes(" WHERE doc_id % 7 <> 0")}
+        |$QualityTrainRoundsCtes,
+        |htok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |         WHERE doc_id % 7 = 0),
+        |htf AS (SELECT doc_id, t, count(*) AS cnt FROM htok GROUP BY 1, 2),
+        |hfx AS (SELECT doc_id,
+        |         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64 AS idx,
+        |         CASE WHEN substr(md5(t), 3, 1) >= '8' THEN cnt ELSE -cnt END AS sv
+        |       FROM htf),
+        |hfeat AS (SELECT doc_id, idx, CAST(sum(sv) AS BIGINT) AS v FROM hfx GROUP BY 1, 2),
+        |sc AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS margin
+        |       FROM hfeat f JOIN w3 w USING (idx) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.margin, 0) AS BIGINT) AS margin,
+        |       CAST(CASE WHEN coalesce(sc.margin, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS q_keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val t = TextStats.tokens(col("text"))
+        val labeled = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"),
+            when(size(array_distinct(t)) * 2 >= size(t), 1L)
+              .otherwise(-1L).as("y"))
+        TextStats.qualityScoreAgainst(docs.filter(col("doc_id") % 7 === 0),
+            TextStats.qualityModelTrain(labeled, dims = 64, iters = 3))
+          .orderBy(col("doc_id"))
       }
     },
 
@@ -2889,6 +2942,69 @@ sc AS (SELECT p.query_id, p.doc_id,
       (s, dir) =>
         EmbeddingSim.kCenterSelect(Tables.embeddings(s, dir), k = 8)
           .orderBy(col("rank"))
+    },
+
+    // Deterministic Rademacher random projection (JL): 64 -> 8 exact-
+    // integer components per vector, signs from MD5("h:d") — the
+    // hyperplaneSignature weight convention, replayed in DuckDB with the
+    // same md5-hex-digit rule. Output exploded to (vec_id, rdim, rvalue).
+    QuerySpec.sql("emb_random_projection",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |w AS (SELECT h, d,
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1 >= 8
+        |             THEN 1 ELSE -1 END AS wt
+        |      FROM range(0, 8) t1(h) CROSS JOIN range(0, 64) t2(d))
+        |SELECT vec_id, CAST(h AS BIGINT) AS rdim,
+        |       CAST(sum(qv[d + 1] * wt) AS BIGINT) AS rvalue
+        |FROM n CROSS JOIN w
+        |GROUP BY 1, 2 ORDER BY vec_id, rdim""".stripMargin) {
+      (s, dir) =>
+        EmbeddingSim.randomProjection(Tables.embeddings(s, dir),
+            outDims = 8, dims = 64)
+          .orderBy(col("vec_id"), col("rdim"))
+    },
+
+    // Random-projection prefilter + exact rerank: stage 1 ranks by exact-
+    // integer L2 distance-squared in the 8-dim projected space and keeps
+    // k*overfetch = 40 candidates per query; stage 2 re-scores only those
+    // with the original 64-dim cosine. The oracle replays the projection,
+    // the projected-space distance cut and the cosine chain.
+    QuerySpec.sql("ann_rp_rerank",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |w AS (SELECT h, d,
+        |        CASE WHEN strpos('0123456789abcdef', substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1 >= 8
+        |             THEN 1 ELSE -1 END AS wt
+        |      FROM range(0, 8) t1(h) CROSS JOIN range(0, 64) t2(d)),
+        |rp AS (SELECT vec_id, h, CAST(sum(qv[d + 1] * wt) AS BIGINT) AS rv
+        |       FROM n CROSS JOIN w GROUP BY 1, 2),
+        |qs AS (SELECT vec_id AS query_id, h, rv AS qrv FROM rp WHERE vec_id % 100 = 0),
+        |d2 AS (SELECT q.query_id, r.vec_id,
+        |         CAST(sum((r.rv - q.qrv) * (r.rv - q.qrv)) AS BIGINT) AS d2p
+        |       FROM rp r JOIN qs q ON r.h = q.h
+        |       WHERE r.vec_id <> q.query_id
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT query_id, vec_id FROM d2
+        |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2p ASC, vec_id ASC) <= 40),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand c JOIN m a ON a.vec_id = c.query_id JOIN m b ON b.vec_id = c.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+        EmbeddingSim.rpRerankTopK(Tables.embeddings(s, dir),
+            col("vec_id") % 100 === 0, k = 10, outDims = 8, overfetch = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
     },
 
     QuerySpec.sql("ann_brute_topk",

@@ -310,4 +310,44 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(out === direct,
       "incremental screen must equal direct batch-vs-survivor dominance")
   }
+
+  test("random-projection rerank recall@10 holds its floor and rises with overfetch") {
+    val r4 = recallOf(EmbeddingSim.rpRerankTopK(vectors, queryPred, 10,
+      overfetch = 4))
+    val r8 = recallOf(EmbeddingSim.rpRerankTopK(vectors, queryPred, 10,
+      overfetch = 8))
+    // measured on this corpus: 0.36 / 0.44 — 3x the multi-probe LSH floor
+    // on the same near-uniform (hardest-case) vectors, at 40 exact-width
+    // distance evals per query instead of a bucket join
+    info(f"rp-rerank recall@10: overfetch=4 $r4%.2f, overfetch=8 $r8%.2f")
+    assert(r4 >= 0.25, f"rp-rerank recall collapsed: $r4%.2f")
+    assert(r8 >= r4, "a wider overfetch must not lose recall")
+  }
+
+  test("randomProjection matches an independent MD5 reference and is exactly linear") {
+    import spark.implicits._
+    val dims = 4
+    // independent reference: same Rademacher rule recomputed here
+    def refWeight(h: Int, d: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$h:$d".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, -1f, 0.5f)),
+      (2L, Array(2f, 0f, 0f, 0f))   // exactly 2x vec 0
+    ).toDF("vec_id", "embedding")
+    val out = EmbeddingSim.randomProjection(vecs, outDims = 3, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val q = Map(0L -> Seq(1000L, 0L, 0L, 0L),
+      1L -> Seq(0L, 1000L, -1000L, 500L),
+      2L -> Seq(2000L, 0L, 0L, 0L))
+    for (id <- q.keys; h <- 0 until 3) {
+      val expect = (0 until dims).map(d => q(id)(d) * refWeight(h, d)).sum
+      assert(out((id, h)) === expect, s"vec $id component $h")
+    }
+    // exact linearity on exactly-representable inputs: 2x vector -> 2x components
+    for (h <- 0 until 3) assert(out((2L, h)) === 2L * out((0L, h)))
+  }
 }

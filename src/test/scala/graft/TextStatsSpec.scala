@@ -448,6 +448,38 @@ class TextStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Seq((10L, 2L, 4L), (11L, 2L, 2L), (12L, 2L, 3L)))
   }
 
+  test("qualityScoreAgainst: frozen weight relation reproduces the array-weights scorer, featureless docs rejected") {
+    import org.apache.spark.sql.functions.{col, when}
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zeta eta theta iota kappa"),
+      (2L, "the quick brown fox jumps over lazy dogs"),
+      (3L, "spark engines shuffle partitions across executors"),
+      (4L, "alpha alpha alpha beta beta solo"),
+      (5L, "weather stations report hourly temperature readings")
+    ).toDF("doc_id", "text")
+    val labeled = corpus.join(
+      graft.ops.TextStats.qualityModelScore(corpus)
+        .select(col("doc_id"),
+          when(col("raw_score") >= 0, 1L).otherwise(-1L).as("y")), "doc_id")
+    val wRel = graft.ops.TextStats.qualityModelTrain(labeled, iters = 4)
+    val wArr = Array.tabulate(64)(i =>
+      wRel.collect().map(r => r.getAs[Long]("idx") -> r.getAs[Long]("weight"))
+        .toMap.apply(i.toLong))
+    val batch = corpus.unionByName(Seq((9L, "")).toDF("doc_id", "text"))
+    val against = graft.ops.TextStats.qualityScoreAgainst(batch, wRel)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = graft.ops.TextStats
+      .qualityModelScore(batch, weights = Some(wArr))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("raw_score")).toMap
+    assert(against.keySet === direct.keySet)
+    for ((id, (margin, keep)) <- against) {
+      assert(margin === direct(id), s"doc $id margin diverged")
+      assert(keep === (if (margin > 0) 1L else 0L), s"doc $id keep flag")
+    }
+    assert(against(9L) === ((0L, 0L)), "featureless doc scores 0 and is rejected")
+  }
+
   test("dsirWeights matches an independent integer reference and ranks target-like docs first") {
     import org.apache.spark.sql.functions.col
     val fixture = Seq(
