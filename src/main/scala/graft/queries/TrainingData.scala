@@ -117,6 +117,38 @@ g3 AS (SELECT f.idx, CAST(sum(l.y * f.v) AS BIGINT) AS g
 w3 AS (SELECT w2.idx, w2.w + coalesce(g3.g, 0) AS w
        FROM w2 LEFT JOIN g3 USING (idx))"""
 
+  /** The frozen bigram-LM model build on the doc_id %% 7 != 0 seed slice (t_ppx_against), shared with the frozen pipeline oracle. Ends mid-list (trailing comma). */
+  private val PpxAgainstModelCtes: String =
+    """tr AS (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE doc_id % 7 <> 0),
+u AS (SELECT unnest(t) AS w FROM tr),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+tbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i
+              FROM tr WHERE len(t) >= 2)),
+model AS (SELECT w1, w2,
+            (750000 * c12) // u1.c + (250000 * u2.c) // t.t_total AS p_ppm
+          FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM tbg GROUP BY 1, 2) bi
+          JOIN uni u1 ON bi.w1 = u1.w
+          JOIN uni u2 ON bi.w2 = u2.w
+          CROSS JOIN tot t),"""
+
+  /** Held-out scoring against the frozen model: per-doc model-known transition sums, ending at `sc` (doc_id, n_scored, sum_q3). Shared with the frozen pipeline oracle. */
+  private val PpxAgainstScoreCtes: String =
+    """hd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       WHERE doc_id % 7 = 0),
+db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2,
+         CAST(count(*) AS BIGINT) AS k
+       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+             FROM hd WHERE len(t) >= 2) GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
+         CAST(sum(k * (60 - (length(bin(
+           greatest(p_ppm, 1) * greatest(p_ppm, 1) * greatest(p_ppm, 1)
+         )) - 1))) AS BIGINT) AS sum_q3
+       FROM db JOIN model USING (w1, w2) GROUP BY doc_id)"""
+
   private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
     (1L, Seq("hash", "join")),
     (2L, Seq("sort", "merge", "join")),
@@ -1092,32 +1124,8 @@ w3 AS (SELECT w2.idx, w2.w + coalesce(g3.g, 0) AS w
     // join; the centibit average runs over scored transitions with both
     // n_trans and n_scored emitted (OOV gating composes separately).
     QuerySpec.sql("t_ppx_against",
-      """WITH tr AS (SELECT string_split(text, ' ') AS t FROM documents
-        |            WHERE doc_id % 7 <> 0),
-        |u AS (SELECT unnest(t) AS w FROM tr),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
-        |tbg AS (SELECT t[i] AS w1, t[i+1] AS w2
-        |        FROM (SELECT t, unnest(range(1, len(t))) AS i
-        |              FROM tr WHERE len(t) >= 2)),
-        |model AS (SELECT w1, w2,
-        |            (750000 * c12) // u1.c + (250000 * u2.c) // t.t_total AS p_ppm
-        |          FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |                FROM tbg GROUP BY 1, 2) bi
-        |          JOIN uni u1 ON bi.w1 = u1.w
-        |          JOIN uni u2 ON bi.w2 = u2.w
-        |          CROSS JOIN tot t),
-        |hd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |       WHERE doc_id % 7 = 0),
-        |db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2,
-        |         CAST(count(*) AS BIGINT) AS k
-        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |             FROM hd WHERE len(t) >= 2) GROUP BY 1, 2, 3),
-        |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
-        |         CAST(sum(k * (60 - (length(bin(
-        |           greatest(p_ppm, 1) * greatest(p_ppm, 1) * greatest(p_ppm, 1)
-        |         )) - 1))) AS BIGINT) AS sum_q3
-        |       FROM db JOIN model USING (w1, w2) GROUP BY doc_id)
+      s"""WITH $PpxAgainstModelCtes
+        |$PpxAgainstScoreCtes
         |SELECT h.doc_id,
         |       CAST(greatest(len(h.t) - 1, 0) AS BIGINT) AS n_trans,
         |       coalesce(sc.n_scored, 0) AS n_scored,
@@ -1200,6 +1208,96 @@ w3 AS (SELECT w2.idx, w2.w + coalesce(g3.g, 0) AS w
           Dedup.exact(kept).select(col("canonical_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
         Packing.packSequences(surv, budget = 4096L).orderBy(col("doc_id"))
+      }
+    },
+
+    // The FROZEN-MODELS curation pipeline — the round's deployment-shape
+    // composition contract: every model artifact (bigram LM, perceptron
+    // weights) trains ONCE on the doc_id % 7 != 0 seed slice, and the
+    // held-out slice flows through gopher gates -> frozen-ppx gate ->
+    // frozen-quality gate -> exact dedup among the gate-passers, emitting
+    // the per-doc verdict vector. At 100 TB the seed is the small trusted
+    // slice; nothing corpus-shaped is trained. Oracle composes the
+    // factored chains (qualityTrainHeadCtes/QualityTrainRoundsCtes,
+    // PpxAgainstModelCtes/PpxAgainstScoreCtes) plus the t_pipeline_curation
+    // gopher/fingerprint text.
+    QuerySpec.sql("t_pipeline_frozen",
+      s"""WITH ${qualityTrainHeadCtes(" WHERE doc_id % 7 <> 0")}
+        |$QualityTrainRoundsCtes,
+        |$PpxAgainstModelCtes
+        |$PpxAgainstScoreCtes,
+        |hsp AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |        WHERE doc_id % 7 = 0),
+        |gop AS (SELECT doc_id, CAST(CASE WHEN
+        |          len(t) >= 40 AND len(t) <= 100000
+        |          AND length(replace(text, ' ', '')) >= 3 * len(t)
+        |          AND length(replace(text, ' ', '')) <= 10 * len(t)
+        |          AND 10 * len(list_filter(t, w -> starts_with(w, '#') OR contains(w, '...'))) <= len(t)
+        |          AND 5 * len(list_filter(t, w -> regexp_matches(w, '\\p{L}'))) > 4 * len(t)
+        |          AND len(list_filter(t, w -> list_contains(['the', 'a'], w))) >= 2
+        |        THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep FROM hsp),
+        |ppxk AS (SELECT h.doc_id,
+        |           CAST(CASE WHEN coalesce((100 * s2.sum_q3) // (3 * s2.n_scored), 0) <= 1200
+        |                THEN 1 ELSE 0 END AS BIGINT) AS ppx_keep
+        |         FROM hsp h LEFT JOIN sc s2 ON s2.doc_id = h.doc_id),
+        |htok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |         WHERE doc_id % 7 = 0),
+        |htf AS (SELECT doc_id, t, count(*) AS cnt FROM htok GROUP BY 1, 2),
+        |hfx AS (SELECT doc_id,
+        |         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64 AS idx,
+        |         CASE WHEN substr(md5(t), 3, 1) >= '8' THEN cnt ELSE -cnt END AS sv
+        |       FROM htf),
+        |hfeat AS (SELECT doc_id, idx, CAST(sum(sv) AS BIGINT) AS v FROM hfx GROUP BY 1, 2),
+        |qm AS (SELECT f.doc_id, CAST(sum(f.v * w.w) AS BIGINT) AS margin
+        |       FROM hfeat f JOIN w3 w USING (idx) GROUP BY 1),
+        |qk AS (SELECT h.doc_id,
+        |         CAST(CASE WHEN coalesce(qm.margin, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS q_keep
+        |       FROM hsp h LEFT JOIN qm ON qm.doc_id = h.doc_id),
+        |gated AS (SELECT h.doc_id, h.text, g.gopher_keep, p.ppx_keep, q.q_keep,
+        |            CAST(CASE WHEN g.gopher_keep = 1 AND p.ppx_keep = 1 AND q.q_keep = 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS gates_pass
+        |          FROM hsp h JOIN gop g USING (doc_id) JOIN ppxk p USING (doc_id)
+        |               JOIN qk q USING (doc_id)),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM (
+        |            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        |            FROM gated WHERE gates_pass = 1)
+        |          GROUP BY fp)
+        |SELECT g.doc_id, g.gopher_keep, g.ppx_keep, g.q_keep, g.gates_pass,
+        |       CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+        |       CAST(CASE WHEN g.gates_pass = 1 AND c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS final_keep
+        |FROM gated g LEFT JOIN canon c ON c.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val seed = docs.filter(col("doc_id") % 7 =!= 0)
+        val held = docs.filter(col("doc_id") % 7 === 0)
+        val t = TextStats.tokens(col("text"))
+        val labeled = seed.select(col("doc_id"), col("text"),
+          when(size(array_distinct(t)) * 2 >= size(t), 1L)
+            .otherwise(-1L).as("y"))
+        val gop = TextStats.gopherRules(held, Stopwords, minWords = 40)
+          .select(col("doc_id"), col("is_keep").as("gopher_keep"))
+        val ppx = TextStats.ngramPerplexityAgainst(held,
+            TextStats.ngramLmModel(seed), maxAvgBitsX100 = 1200)
+          .select(col("doc_id"), col("ppx_keep"))
+        val qual = TextStats.qualityScoreAgainst(held,
+            TextStats.qualityModelTrain(labeled, dims = 64, iters = 3))
+          .select(col("doc_id"), col("q_keep"))
+        val gated = held.select(col("doc_id"), col("text"))
+          .join(gop, "doc_id").join(ppx, "doc_id").join(qual, "doc_id")
+          .withColumn("gates_pass",
+            (col("gopher_keep") === 1L && col("ppx_keep") === 1L &&
+              col("q_keep") === 1L).cast("long"))
+        val canon = Dedup.exact(gated.filter(col("gates_pass") === 1L))
+          .select(col("canonical_id").as("doc_id"), lit(1L).as("__c"))
+        gated.join(canon, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("gopher_keep"), col("ppx_keep"),
+            col("q_keep"), col("gates_pass"),
+            coalesce(col("__c"), lit(0L)).as("is_canonical"),
+            (col("gates_pass") === 1L && coalesce(col("__c"), lit(0L)) === 1L)
+              .cast("long").as("final_keep"))
+          .orderBy(col("doc_id"))
       }
     },
 
