@@ -502,6 +502,48 @@ object ScaleProbe {
             graft.ops.TextStats.qualityScoreAgainst(docs, w)
               .filter(col("margin") % 2 === 0L).count())
         }),
+        // Frozen-models curation pipeline (the t_pipeline_frozen
+        // composition): BOTH artifacts (bigram LM, perceptron weights)
+        // train UNTIMED on the fixed 1× sliver; the timed section is the
+        // full-corpus gate cascade (gopher → frozen ppx → frozen quality)
+        // + exact dedup among the gate-passers. The % 2 filter on the
+        // 0/1 verdict selects the rejected rows — not constant-foldable,
+        // forces every gate and the dedup join
+        "pipeline_frozen" -> (() => {
+          val seed = docs.filter(col("doc_id") < docBase)
+          val lm = graft.ops.TextStats.ngramLmModel(seed)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lm.count()
+          val t = graft.ops.TextStats.tokens(col("text"))
+          val w = graft.ops.TextStats.qualityModelTrain(
+              seed.select(col("doc_id"), col("text"),
+                when(size(array_distinct(t)) * 2 >= size(t), 1L)
+                  .otherwise(-1L).as("y")), dims = 64, iters = 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          w.count()
+          time(s"$tag/pipeline_frozen")({
+            val gop = graft.ops.TextStats.gopherRules(docs, Seq("the", "a"),
+                minWords = 40)
+              .select(col("doc_id"), col("is_keep").as("gopher_keep"))
+            val ppx = graft.ops.TextStats.ngramPerplexityAgainst(docs, lm)
+              .select(col("doc_id"), col("ppx_keep"))
+            val qual = graft.ops.TextStats.qualityScoreAgainst(docs, w)
+              .select(col("doc_id"), col("q_keep"))
+            val gated = docs.select(col("doc_id"), col("text"))
+              .join(gop, "doc_id").join(ppx, "doc_id").join(qual, "doc_id")
+              .withColumn("gates_pass",
+                (col("gopher_keep") === 1L && col("ppx_keep") === 1L &&
+                  col("q_keep") === 1L).cast("long"))
+            val canon = Dedup.exact(gated.filter(col("gates_pass") === 1L))
+              .select(col("canonical_id").as("doc_id"), lit(1L).as("__c"))
+            gated.join(canon, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                (col("gates_pass") === 1L &&
+                  coalesce(col("__c"), lit(0L)) === 1L)
+                  .cast("long").as("final_keep"))
+              .filter(col("final_keep") % 2 === 0L).count()
+          })
+        }),
         // CCNet ppx-buckets: the LM model relation is vocabulary-shaped and
         // the tertile derivation runs on the (lang, score) histogram — the
         // probe answers whether the corpus-shaped cost is just the two LM

@@ -422,6 +422,29 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.TextStats.qualityScoreAgainst]] — the
+    * classifier member of the frozen-model screen family: perceptron
+    * weights ([[graft.ops.TextStats.qualityModelTrain]]) are pinned once
+    * and every micro-batch scores against the dims-row relation
+    * unchanged, so stream ≡ batch per micro-batch BY CONSTRUCTION with
+    * no training-lineage replay. Per-batch cost is one feature explode +
+    * the broadcast weight join + a per-doc margin aggregate. */
+  def screenStreamQuality(docsStream: DataFrame, weights: DataFrame,
+                          onScored: (DataFrame, Long) => Unit,
+                          dims: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w =
+      if (weights.storageLevel == StorageLevel.NONE)
+        weights.persist(StorageLevel.MEMORY_AND_DISK)
+      else weights
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScored(graft.ops.TextStats.qualityScoreAgainst(batch, w, dims),
+          batchId)
+      }
+  }
+
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,
                            numHashes: Int = 16, bands: Int = 4,

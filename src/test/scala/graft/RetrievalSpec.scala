@@ -164,4 +164,27 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       2L -> (1L, 16393L, 1L, 0L),
       3L -> (3L, 16393L, 0L, 1L)))
   }
+
+  test("rrfFusion's dense list is pluggable: a supplied ANN relation replaces the brute-force scan") {
+    // hand-built dense list (the ivfTopK/ivfPqTopK output contract):
+    // ranks doc 3 first, doc 1 second — fusion must honor IT, not the
+    // embeddings (none are supplied on the dense path)
+    val dense = Seq((0L, 3L, 1L), (0L, 1L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.rrfFusion(
+        Seq((0L, "x"), (1L, "x x x"), (2L, "x x"), (3L, "x"), (9L, "y"))
+          .toDF("doc_id", "text"),
+        Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding"), // unused
+        Seq((0L, Seq("x"))), k = 10, lexDepth = 2, denseDepth = 2,
+        denseList = Some(dense))
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // lex = {1 (r1), 2 (r2)}; dense = {3 (r1), 1 (r2)}: doc 1 on both
+    // lists (16393 + 16129 = 32522) dominates; then dense-r1 doc 3
+    // (16393) over lex-r2 doc 2 (16129)
+    assert(out === Map(
+      1L -> (1L, 32522L),
+      2L -> (3L, 16393L),
+      3L -> (2L, 16129L)))
+  }
 }

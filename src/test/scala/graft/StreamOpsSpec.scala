@@ -611,4 +611,50 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(perBatch(0L)(11L).getAs[Long]("n_tokens") === 3L)
     assert(perBatch(1L)(12L).getAs[Long]("n_tokens") === 6L)
   }
+
+  test("streaming quality screen scores each micro-batch against the pinned weights, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, size, when}
+    import graft.ops.TextStats
+    val seed = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha alpha alpha alpha"),
+      (3L, "zeta eta theta iota"), (4L, "zeta zeta zeta zeta")
+    ).toDF("doc_id", "text")
+    val t = TextStats.tokens(org.apache.spark.sql.functions.col("text"))
+    val weights = TextStats.qualityModelTrain(
+      seed.select($"doc_id", $"text",
+        when(size(array_distinct(t)) * 2 >= size(t), 1L)
+          .otherwise(-1L).as("y")), iters = 4)
+    val collected = scala.collection.mutable.Map[Long, Map[Long, Row]]()
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.screenStreamQuality(
+      input.toDF().toDF("doc_id", "text"), weights,
+      (scored, batchId) => collected.synchronized {
+        collected(batchId) = scored.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      }).start()
+
+    val b1 = Seq((10L, "alpha beta gamma"), (11L, "zeta zeta zeta"))
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    val b2 = Seq((12L, ""))
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def direct(rows: Seq[(Long, String)]): Map[Long, Row] =
+      TextStats.qualityScoreAgainst(rows.toDF("doc_id", "text"), weights)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val perBatch = collected.synchronized(collected.toMap)
+    for ((bid, rows) <- Seq(0L -> b1, 1L -> b2)) {
+      val d = direct(rows)
+      assert(perBatch(bid).keySet === d.keySet)
+      for ((id, r) <- perBatch(bid))
+        assert(r.toSeq === d(id).toSeq, s"batch $bid doc $id diverged")
+    }
+    // the featureless doc flows through with margin 0, rejected
+    assert(perBatch(1L)(12L).getAs[Long]("margin") === 0L)
+    assert(perBatch(1L)(12L).getAs[Long]("q_keep") === 0L)
+  }
 }
