@@ -266,6 +266,16 @@ object ScaleProbe {
           time(s"$tag/quality_filter_approx")(
             graft.ops.TextStats.qualityPercentileFilter(
               docs, Seq("the", "a"), 0.75, exact = false).count())),
+        // Budget apportionment: ONE token-count aggregate is the only
+        // corpus-shaped work; the remainder window runs on |strata| rows.
+        // A bare count() cannot eliminate it — the row count IS the
+        // grouped-stratum count after the weight join
+        "budget_alloc" -> (() =>
+          time(s"$tag/budget_alloc")(
+            Sampling.budgetAllocation(docs,
+              Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L,
+                "zh" -> 1L, "ja" -> 2L), totalBudget = 1000000L)
+              .count())),
         "sample_mix" -> (() =>
           time(s"$tag/sample_mix")(
             Sampling.mixToWeights(docs, "lang", mixWeights).count())),

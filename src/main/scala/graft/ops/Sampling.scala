@@ -311,4 +311,54 @@ object Sampling {
       .select(col("doc_id"), col(langCol), col("avg_bits_x100"), col("bucket"),
         (hashKey(col("doc_id")) % 1000000L < rate).cast("long").as("is_keep"))
   }
+
+  /** Token-budget apportionment (Hamilton / largest-remainder) — the
+    * mixture PLANNING step that precedes [[mixToWeights]]-style sampling:
+    * given integer mixture weights and a total training-token budget,
+    * split the budget across the strata present in the corpus with zero
+    * floats. Each present stratum gets base = ⌊B·w ∕ W⌋ tokens (W = the
+    * FULL weight-map total, so absent strata leave their mass
+    * unallocated rather than silently inflating the others); the
+    * ⌊Σ remainders ∕ W⌋ leftover units go one each to the largest
+    * remainders, ties toward the smaller stratum key — the classic
+    * apportionment rule, exactly reproducible in integer arithmetic.
+    * Emits per stratum the available token mass, the allocation, the
+    * implied ppm sampling rate (capped at 10⁶), and an `underfilled`
+    * flag when the corpus cannot fill the quota (alloc > avail) — the
+    * signal to re-weight or upsample.
+    *
+    * Scale shape (100 TB): the ONLY corpus-shaped work is one token-count
+    * aggregate per stratum (map-side combinable); everything after runs
+    * on the |strata|-row relation — the global remainder window is
+    * bounded by the stratum count, never by data. */
+  def budgetAllocation(docs: DataFrame, weights: Map[String, Long],
+                       totalBudget: Long, stratumCol: String = "lang",
+                       textCol: String = "text"): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wTot = weights.values.sum
+    val weightCol = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (st, w)) =>
+        when(col(stratumCol) === st, lit(w)).otherwise(acc)
+    }
+    val avail = docs
+      .select(col(stratumCol),
+        size(TextStats.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col(stratumCol)).agg(sum(col("__n")).as("avail_tokens"))
+      .withColumn("weight", weightCol)
+      .filter(col("weight").isNotNull)
+      .withColumn("__base", expr(s"($totalBudget * weight) div $wTot"))
+      .withColumn("__rem", expr(s"($totalBudget * weight) % $wTot"))
+    val extras = avail.agg(expr(s"sum(__rem) div $wTot").as("__extras"))
+    avail.crossJoin(broadcast(extras))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(stratumCol).asc)))
+      .withColumn("alloc_tokens",
+        col("__base") + when(col("__rk") <= col("__extras"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("weight"), col("avail_tokens"),
+        col("alloc_tokens"),
+        least(lit(1000000L),
+          expr("alloc_tokens * 1000000 div avail_tokens")).as("sample_rate_ppm"),
+        (col("alloc_tokens") > col("avail_tokens")).cast("long")
+          .as("underfilled"))
+  }
 }

@@ -1301,6 +1301,40 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
       }
     },
 
+    // Token-budget apportionment (Hamilton / largest-remainder): split a
+    // 10k-token training budget across languages by integer mixture
+    // weights — base floor quotas, leftover units to the largest
+    // remainders (ties by lang), implied ppm sampling rate, underfilled
+    // flag. The 'ja' weight has no corpus rows: its mass stays
+    // UNALLOCATED (W is the full weight-map total) rather than silently
+    // inflating the present strata.
+    QuerySpec.sql("sample_budget_alloc",
+      """WITH wv(lang, weight) AS (VALUES ('en', 4), ('de', 2), ('es', 2),
+        |                                 ('fr', 1), ('zh', 1), ('ja', 2)),
+        |av AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |       FROM documents GROUP BY 1),
+        |b AS (SELECT av.lang, CAST(w.weight AS BIGINT) AS weight, av.avail_tokens,
+        |        CAST((10000 * w.weight) // 12 AS BIGINT) AS base,
+        |        CAST((10000 * w.weight) % 12 AS BIGINT) AS rem
+        |      FROM av JOIN wv w USING (lang)),
+        |e AS (SELECT CAST(sum(rem) // 12 AS BIGINT) AS extras FROM b),
+        |al AS (SELECT b.lang, b.weight, b.avail_tokens,
+        |         CAST(b.base + CASE WHEN
+        |             row_number() OVER (ORDER BY b.rem DESC, b.lang ASC) <= e.extras
+        |           THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |       FROM b CROSS JOIN e)
+        |SELECT lang, weight, avail_tokens, alloc_tokens,
+        |       least(1000000, (alloc_tokens * 1000000) // avail_tokens) AS sample_rate_ppm,
+        |       CAST(CASE WHEN alloc_tokens > avail_tokens THEN 1 ELSE 0 END AS BIGINT) AS underfilled
+        |FROM al ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        Sampling.budgetAllocation(Tables.documents(s, dir),
+            Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L,
+              "zh" -> 1L, "ja" -> 2L),
+            totalBudget = 10000L, stratumCol = "lang")
+          .orderBy(col("lang"))
+    },
+
     // Corpus datasheet: per-(lang, source) composition with integer ppm
     // token share — the dataset-card aggregation.
     QuerySpec.sql("t_corpus_datasheet",

@@ -186,4 +186,29 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"))).toMap
     assert(out.map(r => r._1 -> r._4).toMap === again)
   }
+
+  test("budgetAllocation: Hamilton apportionment with remainder ties, underfill flag, absent-weight mass unallocated") {
+    val docs = Seq(
+      (1L, "a", "x y"),                    // 2 tokens
+      (2L, "b", "t t t t t t t t t t"),    // 10 tokens
+      (3L, "c", "u u u u u u")             // 6 tokens
+    ).toDF("doc_id", "lang", "text")
+    def run(w: Map[String, Long]) =
+      Sampling.budgetAllocation(docs, w, totalBudget = 10L)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // W = 3: base 3 each, rem 1 each -> 1 extra unit, tie by lang asc -> a.
+    // a's quota 4 exceeds its 2 available tokens (underfilled, rate capped)
+    assert(run(Map("a" -> 1L, "b" -> 1L, "c" -> 1L)) === Map(
+      "a" -> ((2L, 4L, 1000000L, 1L)),
+      "b" -> ((10L, 3L, 300000L, 0L)),
+      "c" -> ((6L, 3L, 500000L, 0L))))
+    // absent stratum d carries weight 5 of W = 8: its 6.25-token share
+    // stays unallocated (base 10*1 div 8 = 1 each, sum(rem) = 6 < 8 -> no
+    // extras), never inflating the present strata
+    assert(run(Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 5L)) === Map(
+      "a" -> ((2L, 1L, 500000L, 0L)),
+      "b" -> ((10L, 1L, 100000L, 0L)),
+      "c" -> ((6L, 1L, 166666L, 0L))))
+  }
 }
