@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded per-group top-k: keeps the k smallest (key, id) pairs of a
+  * group — (key asc, id asc), the engine-wide deterministic tie-break —
+  * and emits the ids in that order. The one-pass, map-side-combinable
+  * form of `row_number() OVER (PARTITION BY g ORDER BY key, id) <= k`.
+  *
+  * Why a custom Aggregator is justified here (the §2.11 policy bar, the
+  * [[BoundedCollectLong]] argument in rank form): a rank window
+  * sort-exchanges EVERY input row to its group's single partition — for
+  * a per-query candidate cut over a corpus×|queries| relation that is a
+  * corpus-shaped sort whose parallelism is capped at the query count.
+  * This buffer never holds more than k pairs per group (map-side partial
+  * aggregation included), so the shuffle carries one ≤ k-pair buffer per
+  * (input partition, group) instead of every candidate row, and the
+  * reducer merges sorted buffers. Insertion keeps the buffer sorted:
+  * O(k) per row with an O(1) reject of rows below a full buffer's floor.
+  *
+  * Like every typed Aggregator this plans on ObjectHashAggregateExec
+  * (sort-fallback beyond ~128 distinct group keys per partition — a
+  * non-issue for query-count-sized group spaces, the intended use). */
+final case class BoundedTopKLong(k: Int)
+    extends Aggregator[(Long, Long), TopKPairs, Array[Long]] {
+  require(k >= 1, "k must be >= 1")
+
+  private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: TopKPairs = TopKPairs(Vector.empty)
+
+  override def reduce(b: TopKPairs, x: (Long, Long)): TopKPairs = {
+    val items = b.items
+    if (items.length >= k && !lt(x, items.last)) b
+    else {
+      val (lo, hi) = items.span(lt(_, x))
+      TopKPairs(((lo :+ x) ++ hi).take(k))
+    }
+  }
+
+  override def merge(a: TopKPairs, b: TopKPairs): TopKPairs = {
+    // both sides sorted: linear merge, cut at k
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0; var j = 0; var n = 0
+    val (x, y) = (a.items, b.items)
+    while (n < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) {
+        out += x(i); i += 1
+      } else { out += y(j); j += 1 }
+      n += 1
+    }
+    TopKPairs(out.result())
+  }
+
+  override def finish(b: TopKPairs): Array[Long] = b.items.map(_._2).toArray
+
+  override def bufferEncoder: Encoder[TopKPairs] = Encoders.product[TopKPairs]
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+/** Sorted ((key, id) asc) buffer, never more than k pairs. */
+case class TopKPairs(items: Seq[(Long, Long)])

@@ -117,7 +117,12 @@ object EmbeddingSim {
     * AND a corpus resident at outDims/dims of the width (the memory
     * story); the original-width vectors are read only for the
     * |queries|·k·overfetch candidate set, via one broadcast-candidate
-    * semi-join each side. Queries broadcast, never a corpus shuffle. */
+    * semi-join each side. Queries broadcast; the one corpus-shaped
+    * relation (the projected d²) collapses into a bounded per-query
+    * top-k hash aggregate ([[graft.functions.BoundedTopKLong]]) — the
+    * shuffle carries one ≤ k·overfetch buffer per (partition, query),
+    * never a corpus sort-exchange whose parallelism a rank window would
+    * cap at the query count. */
   def rpRerankTopK(vectors: DataFrame, queryPred: Column, k: Int,
                    outDims: Int = 8, dims: Int = 64,
                    overfetch: Int = 4): DataFrame = {
@@ -129,11 +134,13 @@ object EmbeddingSim {
         (qdot(col("rq"), col("rq")) + qdot(col("qrq"), col("qrq"))
           - lit(2L) * qdot(col("rq"), col("qrq"))).as("d2p"))
     import org.apache.spark.sql.expressions.Window
-    val cand = d2p.withColumn("__rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("d2p").asc, col("vec_id").asc)))
-      .filter(col("__rk") <= k * overfetch)
-      .select(col("query_id"), col("vec_id"))
+    // bounded (d2p asc, vec_id asc) top-k per query — identical candidate
+    // set to rank-<=k·overfetch of a (d2p, vec_id) window, but map-side
+    // combinable with O(k·overfetch) state per (partition, query)
+    val topk = udaf(graft.functions.BoundedTopKLong(k * overfetch))
+    val cand = d2p.groupBy(col("query_id"))
+      .agg(topk(col("d2p"), col("vec_id")).as("__cands"))
+      .select(col("query_id"), explode(col("__cands")).as("vec_id"))
     val corpus = prepared(vectors)
     val anchors = broadcast(prepared(vectors.filter(queryPred))
       .select(col("vec_id").as("query_id"), col("q").as("qq"),

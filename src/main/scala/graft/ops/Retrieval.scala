@@ -161,6 +161,9 @@ object Retrieval {
     * ([[bm25Retrieval]]'s exact integer scoring), stage 2 re-ranks those
     * candidates by [[EmbeddingSim.qcosine]] against the anchor embedding,
     * ties toward the smaller doc id, anchor excluded from its own results.
+    * The anchor is excluded AFTER the top-recallN cut (deliberate, oracle-
+    * mirrored): an anchor that BM25 ranks inside its own top-recallN
+    * consumes one recall slot, so that query re-ranks recallN−1 candidates.
     * Candidates without an embedding row drop out (inner join) — re-rank
     * what the dense space covers, exactly what a production two-tower
     * deployment does with partially-embedded corpora.
@@ -210,7 +213,13 @@ object Retrieval {
     * one-list docs at similar depth — the signature RRF property. Ties
     * toward the smaller doc id. `query_id` doubles as anchor vec_id for
     * the dense list (the [[hybridRetrieval]] convention), and each list
-    * excludes the anchor itself.
+    * excludes the anchor itself. The LEXICAL list's exclusion happens
+    * AFTER the top-lexDepth cut (deliberate, oracle-mirrored, same as
+    * [[hybridRetrieval]]): an anchor inside BM25's own top-lexDepth
+    * consumes a slot and leaves a rank GAP in the fused scores (its rank
+    * is skipped, not re-packed), deviating from the exclude-before-rank
+    * RRF convention by at most one candidate per query. The dense side
+    * never ranks the anchor (the retriever filters self-hits pre-rank).
     *
     * The dense list is pluggable (`denseList` — any (query_id,
     * neighbor_id, rank) relation: [[EmbeddingSim.bruteForceTopK]] for

@@ -982,7 +982,7 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
         |      FROM embeddings),
         |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
         |aq AS (SELECT vec_id AS query_id, qv AS aqv, n2 AS an2 FROM m
-        |       WHERE vec_id IN (1, 2, 3, 4)),
+        |       WHERE vec_id IN (${RetrievalQueries.map(_._1).mkString(", ")})),
         |den AS (SELECT query_id, vec_id AS doc_id,
         |          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank_dense
         |        FROM (SELECT query_id, vec_id,
