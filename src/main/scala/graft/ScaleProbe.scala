@@ -339,6 +339,19 @@ object ScaleProbe {
             EmbeddingSim.ivfPqTopK(vecs, col("vec_id") % 100 === 0, 10,
               numCentroids = 16 * f, nprobe = 2).count())
         }),
+        // IVF-PQ over HIERARCHICAL assignment at the same production cell
+        // growth: the probe pair (ivfpq_topk vs this) isolates the flat
+        // n·K assignment term the composition deletes — everything else
+        // (encode, LUT, ADC) is identical; expected = hier assignment
+        // (the ivf_topk_hier class) + the corpus-linear encode increment
+        "ivfpq_hier" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/ivfpq_hier")(
+            EmbeddingSim.ivfPqHierTopK(vecs, col("vec_id") % 100 === 0, 10,
+              fineK = 16 * f,
+              coarseK = math.max(4, math.sqrt(16.0 * f).toInt),
+              pcoarse = 2, nprobe = 2).count())
+        }),
         // the mm_image_stats hot path: per-doc PNG deflate (real ImageIO
         // writer) + inflate + RGB-normalized feature reduce — all narrow
         // per-row codec work in batched mapPartitions, expected ~linear
@@ -722,6 +735,74 @@ object ScaleProbe {
               (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
               (3L, Seq("stream", "window")), (4L, Seq("dup"))),
               k = 10, lexDepth = 25, denseDepth = 25).count())),
+        // RRF with the IVF dense seam (the t_rrf_fusion_ivf configuration):
+        // centroids train UNTIMED (a deployed artifact, the ppx_against
+        // convention); the timed section swaps the brute dense scan for
+        // the cell-assignment + nprobe-probe plan — the probe answers
+        // whether the dense leg's corpus cost drops below brute while
+        // the fusion join stays |q|·depth-bounded
+        "rrf_fusion_ivf" -> (() => {
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2))
+          time(s"$tag/rrf_fusion_ivf")({
+            val dense = EmbeddingSim.ivfTopK(vecs,
+              col("vec_id").isin(1L, 2L, 3L, 4L), k = 25, nprobe = 2,
+              centroids = Some(cents))
+            graft.ops.Retrieval.rrfFusion(docs, vecs, Seq(
+              (1L, Seq("hash", "join")), (2L, Seq("sort", "merge", "join")),
+              (3L, Seq("stream", "window")), (4L, Seq("dup"))),
+              k = 10, lexDepth = 25, denseDepth = 25,
+              denseList = Some(dense)).count()
+          })
+        }),
+        // alert classification: one (location, code)-keyed rank-1 window
+        // + a broadcast threshold join + a narrow when-chain projection —
+        // the latest_per_key cost class; the filter forces the CASE and
+        // the conversion arithmetic (data-dependent, not foldable)
+        "alert_levels" -> (() =>
+          time(s"$tag/alert_levels")(
+            graft.ops.Alerts.alertLevels(obs, Seq(
+              ("click", 0.0, 35.0, "cold_alert", "heat_alert"),
+              ("view", 30.0, 80.0, "dry_alert", "humid_alert"),
+              ("purchase", 0.0, 5.0, "low_alert", "rain_alert"),
+              ("error", 25.0, 300.0, "cold_alert", "overload_alert"),
+              ("signup", 10.0, 200.0, "low_alert", "surge_alert")))
+              .filter(length(col("alert_level")) >= 0 &&
+                col("value_f") + col("value_k") > -1.0e300).count())),
+        // cross-location comparison: one location-keyed rank-1 window over
+        // the corpus, then rank/median windows on the |locations|-row
+        // latest relation (the operator's contract — the reference sorts
+        // that list) + two 1-row broadcast folds; the filter forces the
+        // stats columns through the crossJoins
+        "location_compare" -> (() =>
+          time(s"$tag/location_compare")(
+            graft.ops.Alerts.compareLocations(obs, "click")
+              .filter(col("median_v") + col("avg_v") > -1.0e300).count())),
+        // the streaming exact screen END-TO-END (file source → stream-
+        // static fingerprint join → memory sink, AvailableNow): store
+        // built UNTIMED as deployed; the timed section is the ~1% batch
+        // arriving as a stream — must track incremental_exact's flat
+        // marginal-screen economics plus fixed micro-batch overhead
+        "stream_exact_screen" -> (() => {
+          val path = s"target/scaleprobe/docs_$tag"
+          docs.write.mode("overwrite").parquet(path)
+          val store = Dedup.exact(docs.filter(col("doc_id") % 97 =!= 0))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          store.count()
+          time(s"$tag/stream_exact_screen")({
+            val schema = spark.read.parquet(path).schema
+            val stream = spark.readStream.schema(schema).parquet(path)
+              .filter(col("doc_id") % 97 === 0)
+            val name = s"probe_stream_screen_$tag"
+            val q = graft.streaming.StreamOps.screenStreamExact(stream, store)
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })
+        }),
         // phrase search: corpus × |phrases| narrow scan, no index join
         "phrase_search" -> (() =>
           time(s"$tag/phrase_search")(

@@ -1011,6 +1011,75 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
           .orderBy(col("query_id"), col("rank"))
     },
 
+    // RRF with the IVF dense list — the 100 TB configuration of the
+    // pluggable dense seam, oracle-checked end-to-end: the dense ranks
+    // come from ivfTopK over TRAINED centroids (two unrolled Lloyd
+    // rounds, the ann_ivf_trained convention) instead of the brute scan,
+    // fused with the BM25 lexical list by the same exact-integer ppm
+    // formula. IVF recall gaps (an anchor's true neighbor outside its
+    // probed cells) simply shorten the dense list — the fusion is
+    // agnostic, and the oracle replays training, cells, probes and
+    // ranks bit-for-bit.
+    QuerySpec.sql("t_rrf_fusion_ivf",
+      s"""WITH q(query_id, terms) AS (VALUES $retrievalSqlValues),
+        |$Bm25ScoreCtes,
+        |lex AS (SELECT query_id, doc_id, rank_lex FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        |          FROM sc)
+        |        WHERE rank_lex <= 25 AND doc_id <> query_id),
+        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |      FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c0 AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |${kmeansRoundSql(1, "c0")},
+        |${kmeansRoundSql(2, "c1")},
+        |dd AS (SELECT m.vec_id, c.cid,
+        |         m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |       FROM m CROSS JOIN c2 c),
+        |cells AS (SELECT vec_id, cid FROM dd
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM dd
+        |       WHERE vec_id IN (${RetrievalQueries.map(_._1).mkString(", ")})
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |dcand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |          WHERE cells.vec_id != query_id),
+        |dsc AS (SELECT query_id, dcand.vec_id AS vec_id,
+        |          list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |            / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |        FROM dcand JOIN m a ON a.vec_id = dcand.query_id JOIN m b ON b.vec_id = dcand.vec_id),
+        |den AS (SELECT query_id, vec_id AS doc_id,
+        |          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank_dense
+        |        FROM dsc
+        |        QUALIFY rank_dense <= 25),
+        |fu AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |              coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |              CAST(coalesce(1000000 // (60 + l.rank_lex), 0) +
+        |                   coalesce(1000000 // (60 + d.rank_dense), 0) AS BIGINT) AS rrf_ppm,
+        |              coalesce(l.rank_lex, 0) AS rank_lex,
+        |              coalesce(d.rank_dense, 0) AS rank_dense
+        |       FROM lex l FULL OUTER JOIN den d
+        |         ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) AS BIGINT) AS rank,
+        |       doc_id, rrf_ppm, rank_lex, rank_dense
+        |FROM fu
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) <= 10
+        |ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val anchorIds = RetrievalQueries.map(_._1)
+        val cents = EmbeddingSim.kmeansCentroids(vecs, k = 8, iters = 2)
+        val dense = EmbeddingSim.ivfTopK(vecs,
+          col("vec_id").isin(anchorIds: _*), k = 25, nprobe = 2,
+          centroids = Some(cents))
+        Retrieval.rrfFusion(Tables.documents(s, dir), vecs,
+            RetrievalQueries, k = 10, lexDepth = 25, denseDepth = 25,
+            denseList = Some(dense))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
+
     // Exact-phrase top-k: consecutive token-run matches counted per doc by
     // one nested array expression (no positional-index self-join); the
     // vocabulary-miss phrase (query 4) must contribute zero rows.
@@ -1781,6 +1850,48 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
         Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 16, bands = 4, threshold = 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Auto-tuned MinHash banding: the (numHashes, bands) configuration is
+    // DERIVED from a target Jaccard via the S-curve inflection
+    // (Dedup.autoBands) instead of hand-picked — target 1/√2 at a
+    // 16-hash budget resolves to (16, 4), so the oracle is dd_minhash_lsh's
+    // chain verbatim and any drift in the solver breaks the hash-match.
+    // The curve itself (b = t^−r, clamping, recall floor) is unit-pinned
+    // in DedupSpec against hand-computed points.
+    QuerySpec.sql("dd_minhash_auto",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM sp),
+        |ab AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483647 AS a,
+        |         list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 2147483646 + 1 AS b
+        |       FROM sh),
+        |hx AS (SELECT doc_id, i, min((a + (i+1) * b) % 2147483647) AS h
+        |       FROM ab CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hx GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            md5(hs[4*b+1]::VARCHAR || ',' || hs[4*b+2]::VARCHAR || ',' || hs[4*b+3]::VARCHAR || ',' || hs[4*b+4]::VARCHAR) AS bkey
+        |          FROM sig CROSS JOIN range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0, 4) AS est_jaccard
+        |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |WHERE len(list_filter(range(16), i -> sa.hs[i+1] = sb.hs[i+1])) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""") {
+      (s, dir) => {
+        val plan = Dedup.autoBands(targetJaccard = 1.0 / math.sqrt(2.0),
+          maxHashes = 16)
+        Dedup.minhashLshPairs(Tables.documents(s, dir),
+            numHashes = plan.numHashes, bands = plan.bands, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
     },
 
     // Incremental dedup — the everyday 100-TB operation: fingerprint the
@@ -3348,6 +3459,89 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
         |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
       (s, dir) =>
         EmbeddingSim.ivfPqTopK(Tables.embeddings(s, dir),
+            col("vec_id") % 100 === 0, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("adc_d2"))
+          .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF-PQ with HIERARCHICAL cell assignment — the composition a 100 TB
+    // corpus runs: coarse-then-fine assignment (n·2√K instead of n·K, the
+    // ann_ivf_hier CTEs) feeding the same trained-codebook ADC scoring as
+    // ann_ivfpq_topk. The oracle replays both assignment levels, both
+    // probe levels, the per-subspace Lloyd round, the encoding, the LUT
+    // and the ADC sum — all integer-exact.
+    QuerySpec.sql("ann_ivfpq_hier",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |f AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 16),
+        |g AS (SELECT vec_id AS gid, qv AS gq, n2 AS gn2 FROM m WHERE vec_id < 4),
+        |par AS (SELECT cid, gid FROM (
+        |          SELECT f.cid, g.gid,
+        |                 cn2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * gq[i])) AS pd2
+        |          FROM f CROSS JOIN g)
+        |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY pd2 ASC, gid ASC) = 1),
+        |ft AS (SELECT f.cid, f.cq, f.cn2, par.gid FROM f JOIN par USING (cid)),
+        |cg AS (SELECT vec_id, gid FROM (
+        |         SELECT m.vec_id, g.gid,
+        |                n2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * gq[i])) AS d2
+        |         FROM m CROSS JOIN g)
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, gid ASC) = 1),
+        |cells AS (SELECT vec_id, cid FROM (
+        |            SELECT m.vec_id, ft.cid,
+        |                   m.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * ft.cq[i])) AS d2
+        |            FROM m JOIN cg USING (vec_id) JOIN ft USING (gid))
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qg AS (SELECT query_id, gid FROM (
+        |         SELECT m.vec_id AS query_id, g.gid,
+        |                n2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * gq[i])) AS d2
+        |         FROM m CROSS JOIN g WHERE m.vec_id % 100 = 0)
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, gid ASC) <= 2),
+        |qf AS (SELECT query_id, cid FROM (
+        |         SELECT qg.query_id, ft.cid,
+        |                a.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> a.qv[i] * ft.cq[i])) AS d2
+        |         FROM qg JOIN ft USING (gid) JOIN m a ON a.vec_id = qg.query_id)
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |sv AS (SELECT vec_id, r.sub, list_slice(qv, r.sub * 16 + 1, r.sub * 16 + 16) AS sq
+        |       FROM m CROSS JOIN range(4) r(sub)),
+        |sv2 AS (SELECT vec_id, sub, sq, list_sum(list_transform(sq, x -> x * x)) AS sn2 FROM sv),
+        |b0 AS (SELECT sub, vec_id AS code, sq AS cq, sn2 AS cn2 FROM sv2 WHERE vec_id < 4),
+        |pa1 AS (SELECT vec_id, sub, code FROM (
+        |          SELECT s.vec_id, s.sub, b.code,
+        |                 s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |          FROM sv2 s JOIN b0 b ON s.sub = b.sub)
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |b1 AS (SELECT sub, code, cq, list_sum(list_transform(cq, x -> x * x)) AS cn2 FROM (
+        |          SELECT sub, code, list(v ORDER BY dd) AS cq FROM (
+        |            SELECT pa1.sub, pa1.code, r.dd,
+        |                   CAST(floor(sum(s.sq[dd]) * 1.0 / count(*)) AS BIGINT) AS v
+        |            FROM pa1 JOIN sv2 s ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+        |            CROSS JOIN range(1, 17) r(dd)
+        |            GROUP BY 1, 2, 3)
+        |          GROUP BY 1, 2)),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |            SELECT s.vec_id, s.sub, b.code,
+        |                   s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |            FROM sv2 s JOIN b1 b ON s.sub = b.sub)
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |lut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
+        |               s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS term
+        |        FROM sv2 s JOIN b1 b ON s.sub = b.sub WHERE s.vec_id % 100 = 0),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qf JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |adc AS (SELECT cand.query_id, cand.vec_id, CAST(sum(lut.term) AS BIGINT) AS adc_d2
+        |        FROM cand JOIN codes USING (vec_id)
+        |        JOIN lut ON lut.query_id = cand.query_id
+        |               AND lut.sub = codes.sub AND lut.code = codes.code
+        |        GROUP BY 1, 2)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank,
+        |       adc_d2
+        |FROM adc
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.ivfPqHierTopK(Tables.embeddings(s, dir),
             col("vec_id") % 100 === 0, 10)
           .select(col("query_id"), col("neighbor_id"),
             col("rank").cast("long").as("rank"), col("adc_d2"))

@@ -176,6 +176,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       "finer quantization (more subspaces, bigger books) must not materially lose recall")
   }
 
+  test("hierarchical IVF-PQ recall tracks flat IVF-PQ within the boundary tolerance") {
+    // The hierarchy changes only WHICH cell a vector lands in (group-
+    // boundary misassignment, the ivfHierTopK trade); the ADC scoring is
+    // identical. So hier-PQ recall may trail flat-PQ only by that
+    // misassignment rate, and widening the coarse probe must not lose
+    // recall — the same pair of bounds the exact-scored hier variant pins.
+    val hier = recallOf(EmbeddingSim.ivfPqHierTopK(vectors, queryPred, 10,
+      fineK = 16, coarseK = 4, pcoarse = 2, nprobe = 2))
+    val flat = recallOf(EmbeddingSim.ivfPqTopK(vectors, queryPred, 10,
+      numCentroids = 16, nprobe = 2))
+    info(f"ivfpq recall@10: flat-16 $flat%.2f, hier-16/4 $hier%.2f")
+    assert(hier >= 0.05, f"hierarchical ivfpq recall collapsed: $hier%.2f")
+    assert(hier >= flat - 0.25,
+      f"hierarchy lost too much recall vs flat PQ: $hier%.2f vs $flat%.2f")
+    val wide = recallOf(EmbeddingSim.ivfPqHierTopK(vectors, queryPred, 10,
+      fineK = 16, coarseK = 4, pcoarse = 4, nprobe = 2))
+    assert(wide >= hier - 0.02, "more coarse probes must not lose recall")
+  }
+
   test("semantic dedup keeps exactly the min-id member of each identical group") {
     // Four groups of three IDENTICAL vectors on disjoint dimension blocks
     // (cross-group cosine 0): identical vectors always share a cell
