@@ -527,6 +527,61 @@ object Dedup {
       .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
       .reduce(_ + _) * lit(1.0) / numHashes
 
+  /** A MinHash banding configuration: `numHashes` = bands · rowsPerBand,
+    * the shape [[minhashLshPairs]]/[[minhashLshPairsAgainst]] take. */
+  final case class MinhashPlan(numHashes: Int, bands: Int) {
+    def rowsPerBand: Int = numHashes / bands
+    /** P(a pair with true Jaccard j surfaces as a candidate) =
+      * 1 − (1 − j^r)^b — the LSH S-curve; the plan's RECALL FLOOR at any
+      * similarity level of interest, documented per configuration rather
+      * than assumed (at the inflection itself it is ≈ 1 − (1−1/b)^b →
+      * 1 − 1/e ≈ 0.63 for large b; above the inflection it climbs
+      * steeply toward 1). */
+    def candidateProb(j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, rowsPerBand.toDouble), bands.toDouble)
+    /** The S-curve inflection (1/b)^(1/r) — the Jaccard level where the
+      * candidate probability crosses ≈ 1 − 1/e; pairs below it are
+      * increasingly filtered, pairs above increasingly kept. */
+    def inflection: Double =
+      math.pow(1.0 / bands, 1.0 / rowsPerBand)
+  }
+
+  /** MinHash parameter auto-tuning — the [[graft.ops.EmbeddingSim.autoPlanes]]
+    * analog for the banding family: derive (bands, rowsPerBand) from a
+    * TARGET Jaccard threshold via the S-curve inflection
+    * t ≈ (1/b)^(1/r) ⇒ b = t^(−r), instead of hand-picking fixed
+    * parameters that silently mis-tune when the dedup threshold moves.
+    * Searches r ∈ [2, 8] (r = 1 blocks nothing useful — every shared
+    * shingle hash collides a band; r > 8 makes bands so selective the
+    * hash budget explodes), clamps b to [2, maxHashes/r], and among
+    * near-exact inflection matches prefers the LARGEST hash budget
+    * (more hashes = sharper S-curve = better precision at equal recall),
+    * then the smaller r. Deterministic; unit-pinned against hand-computed
+    * curve points in DedupSpec.
+    *
+    * Recall contract: the returned plan's [[MinhashPlan.candidateProb]]
+    * AT the target is ≈ 1 − (1−1/b)^b ∈ [0.63, 0.75] for b ≥ 2 — the
+    * inherent S-curve midpoint, NOT a miss rate to fear: pairs at
+    * exactly the threshold are borderline by definition, and the
+    * probability climbs steeply just above it (e.g. the (64, 16) plan
+    * for t = 0.5 catches j = 0.6 pairs with p ≈ 0.89, j = 0.7 with
+    * p ≈ 0.99). Callers needing a harder floor AT the threshold lower
+    * `targetJaccard` slightly and keep the verify-stage filter at the
+    * true threshold — banding only proposes, [[bandAgreement]] disposes. */
+  def autoBands(targetJaccard: Double, maxHashes: Int = 64): MinhashPlan = {
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      "targetJaccard must be in (0, 1)")
+    require(maxHashes >= 4, "need at least 4 hashes to band")
+    val candidates = for {
+      r <- 2 to 8
+      if 2 * r <= maxHashes
+      b = math.max(2, math.min(maxHashes / r,
+        math.round(math.pow(targetJaccard, -r.toDouble)).toInt))
+    } yield MinhashPlan(r * b, b)
+    candidates.minBy(p =>
+      (math.abs(p.inflection - targetJaccard), -p.numHashes, p.rowsPerBand))
+  }
+
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

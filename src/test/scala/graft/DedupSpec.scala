@@ -40,6 +40,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(agree02 > agree03)
   }
 
+  test("autoBands derives banding from the S-curve: hand-computed points, clamps, recall floor") {
+    // t = 0.5: b = 2^r exactly at every r, so every r is an exact
+    // inflection match and the largest budget ≤ 64 wins — r=4, b=16.
+    val half = Dedup.autoBands(0.5, maxHashes = 64)
+    assert((half.numHashes, half.bands) === (64, 16))
+    assert(math.abs(half.inflection - 0.5) < 1e-12)
+    // hand-computed S-curve points for (64, 16): 1 − (1 − j⁴)¹⁶
+    assert(math.abs(half.candidateProb(0.5) -
+      (1.0 - math.pow(1.0 - 0.0625, 16))) < 1e-12) // ≈ 0.644
+    assert(half.candidateProb(0.6) > 0.88 && half.candidateProb(0.6) < 0.90)
+    assert(half.candidateProb(0.3) < 0.13, "sub-threshold pairs mostly filtered")
+    // t = 1/√2 at a 16-hash budget: b = 2^(r/2) is exact at even r;
+    // r=4, b=4 is the largest exact fit ≤ 16 — the registry's
+    // dd_minhash_lsh configuration, derived rather than hand-picked.
+    val root2 = Dedup.autoBands(1.0 / math.sqrt(2.0), maxHashes = 16)
+    assert((root2.numHashes, root2.bands) === (16, 4))
+    assert(math.abs(root2.inflection - 1.0 / math.sqrt(2.0)) < 1e-12)
+    // recall at the inflection is the 1 − (1−1/b)^b midpoint class
+    assert(root2.candidateProb(root2.inflection) > 0.63 &&
+      root2.candidateProb(root2.inflection) < 0.70)
+    // very high target: b = t^−r rounds to 1 and the b ≥ 2 clamp holds
+    // (b = 1 would test band-equality of the whole signature only)
+    val strict = Dedup.autoBands(0.95, maxHashes = 32)
+    assert(strict.bands >= 2)
+    assert(strict.inflection >= 0.7, "clamped plan still leans selective")
+    // monotonicity: a lower threshold must not yield a HIGHER inflection
+    val t3 = Dedup.autoBands(0.3, maxHashes = 64)
+    assert(t3.inflection <= half.inflection + 1e-9)
+  }
+
   test("minhashLshPairs finds the exact and near duplicates") {
     val pairs = Dedup.minhashLshPairs(docs.filter(col("doc_id") < 4), threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
