@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ingest.Parse
-import graft.ops.{DayStats, Latest, Recent, Rollup}
+import graft.ops.{Alerts, DayStats, Latest, Recent, Rollup}
 
 /** Weather-parity queries (SURVEY.md §2.13): the reference's REST/CLI query
   * surface re-expressed over the shared `events` corpus via the
@@ -20,6 +20,23 @@ object Weather {
   private val obsOut = Seq(
     col("location"), col("event_id"), col("code"), col("value"),
     unix_micros(col("event_timestamp")).as("event_us"))
+
+  /** Per-code alert thresholds (code, lo, hi, loLabel, hiLabel) — an API
+    * fixture like the retrieval queries, rendered into the oracle VALUES
+    * so the two sides can never drift. The bands mirror the reference's
+    * monitored variables (weather_utils.py:152-174: temperature 0/35,
+    * humidity 30/80, precipitation hi-only) mapped onto the corpus codes;
+    * the corpus value span (≈0.03–327) exercises hi, lo AND normal. */
+  private val AlertThresholds: Seq[(String, Double, Double, String, String)] = Seq(
+    ("click", 0.0, 35.0, "cold_alert", "heat_alert"),
+    ("view", 30.0, 80.0, "dry_alert", "humid_alert"),
+    ("purchase", 0.0, 5.0, "low_alert", "rain_alert"),
+    ("error", 25.0, 300.0, "cold_alert", "overload_alert"),
+    ("signup", 10.0, 200.0, "low_alert", "surge_alert"))
+
+  private def alertSqlValues: String = AlertThresholds.map {
+    case (c, lo, hi, ll, hl) => s"('$c', $lo, $hi, '$ll', '$hl')"
+  }.mkString(", ")
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -292,6 +309,61 @@ object Weather {
           .agg(count(lit(1)).as("n_rows"), round(avg(k), 4).as("avg_k"))
           .orderBy(col("k_decade"))
       }
+    },
+
+    // Alert-threshold classification + °C→°F/K conversions over the
+    // latest observation per (location, code) — the reference's
+    // get_weather_alerts + convert_temperature (weather_utils.py:10-26,
+    // 142-179) as one broadcast-join + narrow projection; strict
+    // inequalities, in-band values classify 'normal'.
+    QuerySpec.sql("alert_levels",
+      s"""WITH th(code, lo, hi, lo_label, hi_label) AS (VALUES $alertSqlValues),
+        |latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS location, event_type AS code,
+        |         value, epoch_us(ts) AS event_us
+        |  FROM events
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT location, latest.code AS code, value,
+        |       CASE WHEN value > hi THEN hi_label
+        |            WHEN value < lo THEN lo_label
+        |            ELSE 'normal' END AS alert_level,
+        |       value * 9 / 5 + 32 AS value_f,
+        |       value + 273.15 AS value_k,
+        |       event_us
+        |FROM latest JOIN th USING (code)
+        |ORDER BY location, code""".stripMargin) {
+      (s, dir) =>
+        Alerts.alertLevels(obs(s, dir), AlertThresholds)
+          .orderBy(col("location"), col("code"))
+    },
+
+    // Cross-location comparison (weather_utils.py:58-84, 182-213): latest
+    // 'click' value per location ranked descending, with min/max/avg and
+    // the reference's UPPER median (values[len // 2], not interpolated)
+    // attached to every row.
+    QuerySpec.sql("location_compare",
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS location, value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        |st AS (SELECT min(value) AS min_v, max(value) AS max_v,
+        |              round(avg(value), 4) AS avg_v,
+        |              CAST(count(*) AS BIGINT) AS __n
+        |       FROM latest),
+        |srt AS (SELECT value,
+        |          row_number() OVER (ORDER BY value ASC, location ASC) AS rn
+        |        FROM latest),
+        |med AS (SELECT value AS median_v FROM srt CROSS JOIN st
+        |        WHERE rn = __n // 2 + 1)
+        |SELECT CAST(row_number() OVER (ORDER BY value DESC, location ASC) AS BIGINT) AS rank,
+        |       location, value, min_v, max_v, avg_v, median_v
+        |FROM latest CROSS JOIN st CROSS JOIN med
+        |ORDER BY rank""") {
+      (s, dir) =>
+        Alerts.compareLocations(obs(s, dir), "click")
+          .orderBy(col("rank"))
     },
 
     // P5 — multi-format timestamp fallback chain, checked against ground truth.

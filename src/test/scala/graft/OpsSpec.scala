@@ -3,10 +3,55 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AsofJoin, Forecast, Latest, Rollup}
+import graft.ops.{Alerts, AsofJoin, Forecast, Latest, Rollup}
 
 class OpsSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
+
+  test("alertLevels: strict thresholds, at-threshold is normal, latest row classifies") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    // location L1 has a stale 99.0 then a latest 20.0 — classification
+    // must read ONLY the latest; 35.0 sits exactly AT the hi bound
+    // (strict >, so normal); -1.0 crosses lo; 40.0 crosses hi.
+    val obs = Seq(
+      ("L1", "temp", 99.0, t1, 1L), ("L1", "temp", 20.0, t2, 2L),
+      ("L2", "temp", 35.0, t1, 3L), ("L3", "temp", -1.0, t1, 4L),
+      ("L4", "temp", 40.0, t1, 5L), ("L5", "unmonitored", 1.0, t1, 6L))
+      .toDF("location", "code", "value", "event_timestamp", "event_id")
+    val out = Alerts.alertLevels(obs,
+        Seq(("temp", 0.0, 35.0, "cold_alert", "heat_alert")))
+      .orderBy("location").collect()
+    assert(out.map(r => (r.getAs[String]("location"),
+      r.getAs[String]("alert_level"))).toSeq ===
+      Seq(("L1", "normal"), ("L2", "normal"), ("L3", "cold_alert"),
+        ("L4", "heat_alert")))
+    // the reference conversions on the L4 row: (40·9/5)+32, 40+273.15
+    val l4 = out.find(_.getAs[String]("location") == "L4").get
+    assert(l4.getAs[Double]("value_f") === 104.0)
+    assert(l4.getAs[Double]("value_k") === 313.15)
+  }
+
+  test("compareLocations ranks latest values desc and uses the reference's UPPER median") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    // four locations, one stale row; sorted latest values (1, 2, 3, 10):
+    // upper median = values[4 // 2] = values[2] = 3 (NOT the interpolated
+    // 2.5), avg = 4.0 — the weather_utils.py:78-84 arithmetic exactly
+    val obs = Seq(
+      ("L1", "temp", 99.0, t1, 1L), ("L1", "temp", 10.0, t2, 2L),
+      ("L2", "temp", 1.0, t1, 3L), ("L3", "temp", 3.0, t1, 4L),
+      ("L4", "temp", 2.0, t1, 5L), ("L5", "other", 777.0, t1, 6L))
+      .toDF("location", "code", "value", "event_timestamp", "event_id")
+    val out = graft.ops.Alerts.compareLocations(obs, "temp")
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[Long]("rank"), r.getAs[String]("location"))).toSeq ===
+      Seq((1L, "L1"), (2L, "L3"), (3L, "L4"), (4L, "L2")))
+    assert(out.head.getAs[Double]("median_v") === 3.0)
+    assert(out.head.getAs[Double]("avg_v") === 4.0)
+    assert(out.head.getAs[Double]("min_v") === 1.0)
+    assert(out.head.getAs[Double]("max_v") === 10.0)
+  }
 
   test("keepFirst keeps exactly the rank-1 row under the given ordering") {
     val df = Seq(
