@@ -15,6 +15,10 @@ object Pipeline {
   private def obs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Parse.eventsAsObservations(Tables.events(s, dir))
 
+  /** Fresh memory-sink table name per stream_dedup_screen call (the
+    * Ingest.materializeEvents convention). */
+  private val streamCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   val all: Seq[QuerySpec] = Seq(
 
     // W4/W5 flattened: rolling 24-row window features + 3 lead targets,
@@ -449,6 +453,41 @@ object Pipeline {
             unix_micros(col("window_end")).as("window_end_us"),
             col("n_rows"), round(col("avg_value"), 4).as("avg_value"),
             col("modal_code"), col("modal_count"))
+      }
+    },
+
+    // Streaming twin with a REGISTRY surface (stream ≡ batch driver-
+    // checked, not just spec-pinned): the doc_id%10 batch sliver arrives
+    // as a file STREAM and is screened per micro-batch against the static
+    // exact-fingerprint store of the other 90% via StreamOps.
+    // screenStreamExact — a stateless stream-static join, so the
+    // materialized stream output hash-matches dd_incremental_exact's
+    // batch oracle VERBATIM for any micro-batch split.
+    QuerySpec.sql("stream_dedup_screen",
+      """WITH store AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |                      min(doc_id) AS canonical_id
+        |               FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id, CAST(s.canonical_id IS NULL AS BIGINT) AS is_new,
+        |       s.canonical_id
+        |FROM b LEFT JOIN store s USING (fp) ORDER BY doc_id""") {
+      (s, dir) => {
+        val store = graft.ops.Dedup.exact(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") % 10 === 0)
+        val name = s"graft_stream_screen_${streamCounter.incrementAndGet()}"
+        val q = graft.streaming.StreamOps.screenStreamExact(stream, store)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("doc_id"))
       }
     },
 

@@ -316,6 +316,35 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming EXACT-STORE screen — [[graft.ops.Dedup.exactAgainst]]
+    * applied to a stream, and the one member of the screen family that
+    * needs NO foreachBatch: the screen is a stateless projection plus a
+    * stream-static left equi-join on the 16-byte fingerprint, both
+    * directly streamable, so the batch operator runs on the streaming
+    * frame UNCHANGED (it is literally the same call). Because every
+    * row's verdict depends only on that row and the static store, the
+    * union of micro-batch outputs equals the batch operator over the
+    * union of batches for ANY micro-batch split — stream ≡ batch by
+    * construction, which is what lets the registry's
+    * `stream_dedup_screen` hash-compare a materialized stream against
+    * `dd_incremental_exact`'s batch oracle SQL verbatim (stream ≡ batch
+    * driver-checked, not just spec-pinned).
+    *
+    * The store is pinned here (idempotent if the caller already cached
+    * it) — the static side of a stream-static join re-executes its plan
+    * every micro-batch, so an unpinned store would re-aggregate the full
+    * corpus per batch, unbounding exactly the per-batch cost the store
+    * exists to bound. At 100 TB the store is one fixed-width row per
+    * DISTINCT content and the join stays fingerprint-bucketed. */
+  def screenStreamExact(docsStream: DataFrame, store: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val s =
+      if (store.storageLevel == StorageLevel.NONE)
+        store.persist(StorageLevel.MEMORY_AND_DISK)
+      else store
+    graft.ops.Dedup.exactAgainst(docsStream, s, textCol)
+  }
+
   /** Streaming incremental dedup: screen each arriving micro-batch of
     * documents against a STATIC corpus signature store
     * ([[graft.ops.Dedup.minhashSignature]] output, materialized once).

@@ -40,6 +40,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("streaming exact-store screen matches the batch screen across any micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = graft.ops.Dedup.exact(
+      Seq((1L, "the quick fox"), (2L, "lazy  DOG"), (3L, "unique corpus row"))
+        .toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.screenStreamExact(
+        input.toDF().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("exact_screen")
+      .outputMode("append").start()
+    // deliberately TWO micro-batches: the dup of doc 1 (case/whitespace
+    // variant) arrives in batch 1, the dup of doc 2 and a novel doc in
+    // batch 2 — per-row verdicts must not depend on the split
+    input.addData((10L, "THE  quick   fox"))
+    query.processAllAvailable()
+    input.addData((11L, "lazy dog"), (12L, "never seen before"))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("exact_screen")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("is_new"),
+        Option(r.getAs[Any]("canonical_id"))))
+    val batch = graft.ops.Dedup.exactAgainst(
+        Seq((10L, "THE  quick   fox"), (11L, "lazy dog"),
+          (12L, "never seen before")).toDF("doc_id", "text"), store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("is_new"),
+        Option(r.getAs[Any]("canonical_id"))))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.map(t => (t._1, t._2)).toSeq ===
+      Seq((10L, 0L), (11L, 0L), (12L, 1L)))
+  }
+
   test("streaming sessionization merges gap-close events and matches the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
