@@ -67,6 +67,15 @@ object Bench {
     // "suspect within-run drift" into arithmetic (correlate start_s against
     // the task_run inflation across the registry).
     val runT0 = System.nanoTime()
+    // Box-load indicator (r14 verdict): the 1-minute loadavg at run start
+    // and end rides in the artifact, so "was the box quiet" is recorded
+    // WITH the measurement instead of reconstructed from task_run ratios.
+    // On a 32-thread box a quiet envelope run itself contributes a few
+    // units; ambient contention shows as start values far above that.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val load0 = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -130,7 +139,8 @@ object Bench {
     val totals = s""""totals":{"task_run_s":${fmt(results.map(_._3).sum)},""" +
       s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +
       s""""sched_s":${fmt(results.map(_._5).sum)},""" +
-      s""""jvm_gc_s":${fmt(results.map(_._6).sum)}}"""
+      s""""jvm_gc_s":${fmt(results.map(_._6).sum)},""" +
+      s""""loadavg_start":${fmt2(load0)},"loadavg_end":${fmt2(loadAvg())}}"""
     // Full-precision, all-query JSON → target/bench.json (the durable
     // artifact; BASELINE.md points the judge here for per-query numbers).
     val fullQs = results.map(r => s"\"" + r._1 + "\":" + r._2)
