@@ -51,9 +51,19 @@ object ScaleProbe {
   }
 
   private def time(label: String)(f: => Long): (String, Double, Long) = {
+    // loadavg on both sides of the timed section (the Bench convention):
+    // solo-probe rows are only comparable within a load window — the r15
+    // re-measurement of the r14 ivf/ivfpq rows moved ×2.5–3 on window
+    // alone, so every published row needs its window recorded
+    val l0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     val t0 = System.nanoTime()
     val rows = f
-    (label, (System.nanoTime() - t0) / 1e9, rows)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val l1 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    println(f"[probe-load] $label%-28s loadavg $l0%5.2f -> $l1%5.2f")
+    (label, dt, rows)
   }
 
   /** Same between-measurement hygiene as Bench: drop cached relations and
@@ -338,6 +348,38 @@ object ScaleProbe {
           time(s"$tag/ivfpq_topk")(
             EmbeddingSim.ivfPqTopK(vecs, col("vec_id") % 100 === 0, 10,
               numCentroids = 16 * f, nprobe = 2).count())
+        }),
+        // bulk IVF-PQ: same query set and cell growth as ivfpq_topk but
+        // the LUT join pinned shuffled-hash (lutBroadcast = false) — the
+        // probe pair measures what the broadcast actually buys, and that
+        // the bulk path stays candidate-shaped when nothing query-sized
+        // broadcasts
+        "ivfpq_bulk" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/ivfpq_bulk")(
+            EmbeddingSim.ivfPqTopK(vecs, col("vec_id") % 100 === 0, 10,
+              numCentroids = 16 * f, nprobe = 2,
+              lutBroadcast = false).count())
+        }),
+        // stored-index search: centroids + ivfIndex built UNTIMED (the
+        // deployed-artifact convention); the timed section is one ~1%
+        // batch's probe + cell-bounded scoring — must track the
+        // incremental-family flat marginal-screen economics
+        "ivf_against" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          val indexSide = vecs.filter(col("vec_id") % 97 =!= 0)
+          val batch = vecs.filter(col("vec_id") % 97 === 0)
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.prepared(indexSide).orderBy(col("vec_id").asc)
+              .limit(16 * f)
+              .select(col("vec_id").as("cid"), col("q").as("cq"),
+                col("n2").as("cn2")))
+          val index = EmbeddingSim.ivfIndex(indexSide, cents)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          index.count()
+          time(s"$tag/ivf_against")(
+            EmbeddingSim.ivfSearchAgainst(batch, cents, index, k = 10,
+              nprobe = 2).count())
         }),
         // IVF-PQ over HIERARCHICAL assignment at the same production cell
         // growth: the probe pair (ivfpq_topk vs this) isolates the flat

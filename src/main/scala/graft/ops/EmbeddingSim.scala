@@ -402,6 +402,64 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** The STORED IVF index a deployment materializes between
+    * [[ivfSearchAgainst]] batches: every corpus vector with its assigned
+    * cell, quantized form and squared norm — (vec_id, cid, q, n2),
+    * everything a probe-join search needs and nothing else. Takes the
+    * trained centroids explicitly so index and search provably share one
+    * cell geometry (the [[semanticSurvivors]] convention). Assignment is
+    * the broadcast-K `min_by` hash aggregate — one shuffled row per
+    * vector, built ONCE and persisted/written by the caller. */
+  def ivfIndex(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    prepared(vectors).crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        min_by(col("q"), struct(col("d2"), col("cid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("cid"))).as("n2"))
+
+  /** ANN search of a NEW query batch against a STORED index — the ANN
+    * member of the incremental/frozen deployment family
+    * ([[graft.ops.Dedup.exactAgainst]] / [[semanticDedupAgainst]] /
+    * the `*Against` frozen-model scorers): centroids and the
+    * [[ivfIndex]] relation are trained/assigned ONCE, then every
+    * arriving batch of query vectors searches them without touching the
+    * corpus vectors' lineage again. Each query ranks its `nprobe`
+    * nearest cells (broadcast centroids + a window over the tiny batch
+    * side only) and scores ONLY the index rows in those cells — an
+    * equi-join on cid, so the scored candidate set is
+    * batch·nprobe·(index cell depth), never batch·index. No
+    * self-exclusion applies: the batch is new data, disjoint from the
+    * index by contract (a replayed id simply scores like any neighbor).
+    * Emits (query_id, neighbor_id, rank, cosine) — [[ivfTopK]]'s exact
+    * output shape, so downstream consumers are interchangeable. */
+  def ivfSearchAgainst(queryVecs: DataFrame, centroids: DataFrame,
+                       index: DataFrame, k: Int,
+                       nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids)
+    val queries = prepared(queryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val wq = Window.partitionBy(col("query_id"))
+    val probes = queries.crossJoin(cents)
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * qdot(col("qq"), col("cq")))
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("qq"), col("qn2"), col("cid"))
+    val scored = probes.join(index, "cid")
+      .select(col("query_id"), col("vec_id"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        wq.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Hierarchical (coarse-then-fine) IVF top-k — the n·√K assignment path
     * flagged as the scale successor to [[ivfTopK]]'s flat n·K: every
     * vector first picks its nearest of `coarseK` group centroids, then its
@@ -560,15 +618,19 @@ object EmbeddingSim {
     * rows (and its build join explodes |queries|·m subspace slices), so
     * "tiny query side" is a CONTRACT, not a property of the plan — a
     * query batch in the 10⁵+ range can exceed the broadcast threshold or
-    * driver heap. For bulk scoring (every-vector-vs-index), drop the
-    * `broadcast` hint on `lut`: the LUT join key (query_id, sub, code) is
-    * already an equi-join, so Spark falls back to a shuffled hash join
-    * whose sides both partition by the key. */
+    * driver heap. `lutBroadcast = false` is the BULK-SCORING
+    * configuration (every-vector-vs-index): the LUT loses its broadcast
+    * hint and the (query_id, sub, code) equi-join is pinned shuffled-hash
+    * — both sides partition by the key, nothing query-count-sized ever
+    * lands on the driver or in a broadcast, and the output is identical
+    * row-for-row (`AnnRecallSpec` pins plan shape AND equality; the
+    * `ann_ivfpq_bulk` oracle checks the configuration end-to-end). */
   def ivfPqTopK(vectors: DataFrame, queryPred: Column, k: Int,
                 numCentroids: Int = 8, nprobe: Int = 2,
                 m: Int = 4, codebookK: Int = 4, dims: Int = 64,
                 centroids: Option[DataFrame] = None,
-                codebooks: Option[DataFrame] = None): DataFrame = {
+                codebooks: Option[DataFrame] = None,
+                lutBroadcast: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
     // TakeOrdered seed + min_by cell assignment: same rationale (and same
@@ -590,12 +652,15 @@ object EmbeddingSim {
     val books = broadcast(codebooks.getOrElse(
       pqCodebooks(vectors, m, codebookK, iters = 1, dims = dims)))
     val codes = pqEncode(vectors, books, m, dims)
-    val lut = broadcast(
-      pqSubVectors(vectors.filter(queryPred), m, dims)
-        .join(books, Seq("sub"))
-        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-          (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
-            .as("term")))
+    val lutRaw = pqSubVectors(vectors.filter(queryPred), m, dims)
+      .join(books, Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
+          .as("term"))
+    // bulk mode pins shuffled-hash explicitly: with AQE free to choose,
+    // a below-threshold LUT would silently re-broadcast and the "bulk"
+    // configuration would never exercise its own plan
+    val lut = if (lutBroadcast) broadcast(lutRaw) else lutRaw.hint("shuffle_hash")
     val cand = probes.join(cells, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
@@ -637,12 +702,14 @@ object EmbeddingSim {
     * (query_id, sub, code); the only windows partition by query over
     * probe- and candidate-bounded relations. The LUT broadcast carries
     * the same |queries|·m·codebookK contract documented on
-    * [[ivfPqTopK]]. */
+    * [[ivfPqTopK]], with the same `lutBroadcast = false` shuffled-hash
+    * bulk-scoring escape. */
   def ivfPqHierTopK(vectors: DataFrame, queryPred: Column, k: Int,
                     fineK: Int = 16, coarseK: Int = 4,
                     pcoarse: Int = 2, nprobe: Int = 2,
                     m: Int = 4, codebookK: Int = 4, dims: Int = 64,
-                    codebooks: Option[DataFrame] = None): DataFrame = {
+                    codebooks: Option[DataFrame] = None,
+                    lutBroadcast: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
     // TakeOrdered seeds (sparse-id-safe; identical to `vec_id < K` on the
@@ -699,12 +766,12 @@ object EmbeddingSim {
     val books = broadcast(codebooks.getOrElse(
       pqCodebooks(vectors, m, codebookK, iters = 1, dims = dims)))
     val codes = pqEncode(vectors, books, m, dims)
-    val lut = broadcast(
-      pqSubVectors(vectors.filter(queryPred), m, dims)
-        .join(books, Seq("sub"))
-        .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-          (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
-            .as("term")))
+    val lutRaw = pqSubVectors(vectors.filter(queryPred), m, dims)
+      .join(books, Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
+          .as("term"))
+    val lut = if (lutBroadcast) broadcast(lutRaw) else lutRaw.hint("shuffle_hash")
     val cand = qf.join(cells, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
@@ -717,6 +784,124 @@ object EmbeddingSim {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("adc_d2"))
+  }
+
+  /** Per-label integer-mean prototypes — the class-centroid artifact an
+    * embedding pipeline freezes once and classifies against forever (the
+    * nearest-class-mean / Rocchio form): per (label, dimension)
+    * floor-mean over quantized components, EXACTLY the
+    * [[kmeansCentroids]] update arithmetic, so DuckDB replays the
+    * prototypes bit-for-bit. Emits (plabel, pq: array<bigint>, pn2) —
+    * |labels| rows, always broadcastable.
+    *
+    * Scale shape: one posexplode + a per-(label, dim) partial-aggregating
+    * sum/count whose shuffle is |labels|·dims rows — the corpus is
+    * touched once, map-side combined. */
+  def labelPrototypes(vectors: DataFrame,
+                      labelCol: String = "label"): DataFrame =
+    vectors.select(col(labelCol).cast("long").as("plabel"),
+        quantize(col("embedding")).as("q"))
+      .select(col("plabel"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("plabel"), col("d"))
+      .agg(floor(sum(col("x")) * lit(1.0) / count(lit(1))).cast("long").as("v"))
+      .groupBy(col("plabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        s => s.getField("v")).as("pq"))
+      .withColumn("pn2", qnorm2(col("pq")))
+
+  /** Nearest-prototype classification: every vector takes the label of
+    * its nearest [[labelPrototypes]] centroid (exact integer d², ties →
+    * smaller label). Emits (vec_id, label, pred_label, is_correct) — the
+    * embedding-space quality screen a pipeline runs to audit label noise
+    * (a vector whose nearest class mean disagrees with its label is a
+    * mislabel candidate) and the frozen-deployment twin of the k-means
+    * assignment pass.
+    *
+    * Scale shape: one broadcast-|labels| nested loop folded into a
+    * `min_by` hash aggregate — one shuffled row per vector, the
+    * [[ivfTopK]] assignment plan against class prototypes. */
+  def prototypeClassify(vectors: DataFrame, prototypes: DataFrame,
+                        labelCol: String = "label"): DataFrame =
+    vectors.select(col("vec_id"), col(labelCol).cast("long").as("label"),
+        quantize(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+      .crossJoin(broadcast(prototypes))
+      .withColumn("d2",
+        col("n2") + col("pn2") - lit(2L) * qdot(col("q"), col("pq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("label"), struct(col("d2"), col("plabel"))).as("label"),
+        min_by(col("plabel"), struct(col("d2"), col("plabel"))).as("pred_label"))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (col("label") === col("pred_label")).cast("long").as("is_correct"))
+
+  /** k-NN majority-vote classification over the embedding space: each
+    * query vector takes the modal label of its k nearest neighbors
+    * (self excluded), ties → more votes first, then the smaller label —
+    * engine-portable determinism. The neighbor list is PLUGGABLE (the
+    * [[graft.ops.Retrieval.rrfFusion]] dense-seam convention): any
+    * (query_id, neighbor_id) relation — [[bruteForceTopK]] for the
+    * oracle-exact default, [[ivfTopK]]/[[ivfSearchAgainst]] as the
+    * 100 TB path. Emits (query_id, label, pred_label, votes).
+    *
+    * Scale shape: all corpus-shaped work lives in the neighbor
+    * retriever; the vote itself is two hash aggregates over the
+    * |q|·k-bounded neighbor relation plus a broadcast label join. */
+  def knnClassify(vectors: DataFrame, queryPred: Column, k: Int,
+                  neighbors: Option[DataFrame] = None,
+                  labelCol: String = "label"): DataFrame = {
+    val labels = vectors.select(col("vec_id"),
+      col(labelCol).cast("long").as("n_label"))
+    val nn = neighbors.getOrElse(bruteForceTopK(vectors, queryPred, k))
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = nn
+      .join(labels, col("neighbor_id") === labels("vec_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(
+        min_by(col("n_label"), struct(-col("votes"), col("n_label"))).as("pred_label"),
+        min_by(col("votes"), struct(-col("votes"), col("n_label"))).as("votes"))
+    pred.join(
+        vectors.filter(queryPred).select(col("vec_id").as("query_id"),
+          col(labelCol).cast("long").as("label")),
+        "query_id")
+      .select(col("query_id"), col("label"), col("pred_label"), col("votes"))
+  }
+
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the k nearest corpus vectors with a DIFFERENT label (the
+    * highest-cosine wrong-class examples, exactly what a contrastive /
+    * triplet objective wants as negatives). Same plan as
+    * [[bruteForceTopK]] with the label-inequality folded into the
+    * broadcast join condition; ties → smaller id. Emits (query_id,
+    * neighbor_id, neg_label, rank, cosine).
+    *
+    * Scale: query side broadcast, corpus streamed once — for bulk
+    * mining swap the all-pairs stage for the IVF candidate join exactly
+    * as [[knnClassify]]'s pluggable-neighbor seam does. */
+  def hardNegatives(vectors: DataFrame, queryPred: Column, k: Int,
+                    labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vectors.select(col("vec_id"),
+        col(labelCol).cast("long").as("n_label"),
+        quantize(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val queries = broadcast(
+      vectors.filter(queryPred).select(col("vec_id").as("query_id"),
+          col(labelCol).cast("long").as("q_label"),
+          quantize(col("embedding")).as("qq"))
+        .withColumn("qn2", qnorm2(col("qq"))))
+    val scored = corpus.join(queries,
+        col("vec_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("n_label"),
+        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("n_label").as("neg_label"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
   }
 
   /** Blocking width as a function of corpus size: enough hyperplanes that

@@ -3465,6 +3465,209 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
           .orderBy(col("query_id"), col("rank"))
     },
 
+    // The BULK-SCORING IVF-PQ configuration: lutBroadcast = false pins
+    // the (query_id, sub, code) LUT join shuffled-hash — nothing
+    // query-count-sized broadcasts — over a 4×-larger query set (% 25).
+    // Same arithmetic, same oracle chain as ann_ivfpq_topk with the
+    // wider query filter; AnnRecallSpec pins the plan shape (a
+    // ShuffledHashJoin on the LUT keys, no broadcast) and row equality
+    // with the broadcast form.
+    QuerySpec.sql("ann_ivfpq_bulk",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |d AS (SELECT m.vec_id, cid,
+        |        n2 + cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id % 25 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |sv AS (SELECT vec_id, r.sub, list_slice(qv, r.sub * 16 + 1, r.sub * 16 + 16) AS sq
+        |       FROM m CROSS JOIN range(4) r(sub)),
+        |sv2 AS (SELECT vec_id, sub, sq, list_sum(list_transform(sq, x -> x * x)) AS sn2 FROM sv),
+        |b0 AS (SELECT sub, vec_id AS code, sq AS cq, sn2 AS cn2 FROM sv2 WHERE vec_id < 4),
+        |pa1 AS (SELECT vec_id, sub, code FROM (
+        |          SELECT s.vec_id, s.sub, b.code,
+        |                 s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |          FROM sv2 s JOIN b0 b ON s.sub = b.sub)
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |b1 AS (SELECT sub, code, cq, list_sum(list_transform(cq, x -> x * x)) AS cn2 FROM (
+        |          SELECT sub, code, list(v ORDER BY dd) AS cq FROM (
+        |            SELECT pa1.sub, pa1.code, r.dd,
+        |                   CAST(floor(sum(s.sq[dd]) * 1.0 / count(*)) AS BIGINT) AS v
+        |            FROM pa1 JOIN sv2 s ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+        |            CROSS JOIN range(1, 17) r(dd)
+        |            GROUP BY 1, 2, 3)
+        |          GROUP BY 1, 2)),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |            SELECT s.vec_id, s.sub, b.code,
+        |                   s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |            FROM sv2 s JOIN b1 b ON s.sub = b.sub)
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |lut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
+        |               s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS term
+        |        FROM sv2 s JOIN b1 b ON s.sub = b.sub WHERE s.vec_id % 25 = 0),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |adc AS (SELECT cand.query_id, cand.vec_id, CAST(sum(lut.term) AS BIGINT) AS adc_d2
+        |        FROM cand JOIN codes USING (vec_id)
+        |        JOIN lut ON lut.query_id = cand.query_id
+        |               AND lut.sub = codes.sub AND lut.code = codes.code
+        |        GROUP BY 1, 2)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank,
+        |       adc_d2
+        |FROM adc
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.ivfPqTopK(Tables.embeddings(s, dir),
+            col("vec_id") % 25 === 0, 10, lutBroadcast = false)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("adc_d2"))
+          .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Stored-index ANN search — the incremental/frozen family's ANN
+    // member: the index (centroid assignment + quantized vectors) is
+    // built over the %97≠0 corpus slice, the %97=0 sliver arrives as a
+    // NEW query batch and searches it — batch·nprobe·cell-depth work,
+    // never batch·index. Oracle replays index build, batch probes and
+    // neighbor ranks; no self-exclusion (the sides are disjoint).
+    QuerySpec.sql("ann_ivf_against",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |idx AS (SELECT * FROM m WHERE vec_id % 97 <> 0),
+        |qb AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM m WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM idx ORDER BY vec_id LIMIT 8),
+        |cells AS (SELECT vec_id, cid FROM (
+        |            SELECT idx.vec_id, c.cid,
+        |                   idx.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> idx.qv[i] * c.cq[i])) AS d2
+        |            FROM idx CROSS JOIN c)
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |probes AS (SELECT query_id, cid FROM (
+        |             SELECT qb.query_id, c.cid,
+        |                    qb.qn2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qb.qq[i] * c.cq[i])) AS d2
+        |             FROM qb CROSS JOIN c)
+        |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |scored AS (
+        |  SELECT p.query_id, cells.vec_id AS vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> a.qq[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.qn2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM probes p JOIN cells USING (cid)
+        |  JOIN qb a ON a.query_id = p.query_id
+        |  JOIN m b ON b.vec_id = cells.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val indexSide = vecs.filter(col("vec_id") % 97 =!= 0)
+        val batch = vecs.filter(col("vec_id") % 97 === 0)
+        val cents = EmbeddingSim.prepared(indexSide)
+          .orderBy(col("vec_id").asc).limit(8)
+          .select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2"))
+        val index = EmbeddingSim.ivfIndex(indexSide, cents)
+        EmbeddingSim.ivfSearchAgainst(batch, cents, index, k = 10, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
+
+    // Nearest-prototype classification: per-label integer floor-mean
+    // prototypes (the kmeans update arithmetic — DuckDB replays them
+    // bit-for-bit), every vector classified to its nearest class mean
+    // (exact integer d², ties → smaller label). The embedding-space
+    // label-noise audit: is_correct = 0 rows are mislabel candidates.
+    QuerySpec.sql("ann_prototype_classify",
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |pr AS (SELECT plabel, pq, list_sum(list_transform(pq, x -> x * x)) AS pn2 FROM (
+        |         SELECT plabel, list(v ORDER BY d) AS pq FROM (
+        |           SELECT label AS plabel, r.d,
+        |                  CAST(floor(sum(qv[d]) * 1.0 / count(*)) AS BIGINT) AS v
+        |           FROM m CROSS JOIN range(1, 65) r(d)
+        |           GROUP BY 1, 2)
+        |         GROUP BY 1))
+        |SELECT vec_id, label, pred_label,
+        |       CAST(label = pred_label AS BIGINT) AS is_correct
+        |FROM (SELECT m.vec_id, m.label, pr.plabel AS pred_label,
+        |             m.n2 + pr.pn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * pr.pq[i])) AS d2
+        |      FROM m CROSS JOIN pr)
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, pred_label ASC) = 1
+        |ORDER BY vec_id""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        EmbeddingSim.prototypeClassify(vecs, EmbeddingSim.labelPrototypes(vecs))
+          .orderBy(col("vec_id"))
+      }
+    },
+
+    // k-NN majority-vote classification (neighbors = the brute-force
+    // oracle-exact list; IVF/stored-index as the pluggable scale path):
+    // modal label of the 10 nearest, ties → more votes then smaller
+    // label, all engine-portable.
+    QuerySpec.sql("ann_knn_classify",
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |q AS (SELECT vec_id AS query_id, label, qv AS qq, n2 AS qn2 FROM m WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, m.vec_id, m.label AS n_label,
+        |         list_sum(list_transform(range(1, 65), i -> qq[i] * qv[i]))::DOUBLE
+        |           / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)) AS cos
+        |  FROM m CROSS JOIN q WHERE m.vec_id != q.query_id),
+        |nn AS (SELECT query_id, vec_id, n_label FROM scored
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10),
+        |v AS (SELECT query_id, n_label, CAST(count(*) AS BIGINT) AS votes FROM nn GROUP BY 1, 2),
+        |p AS (SELECT query_id, n_label AS pred_label, votes FROM v
+        |      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label ASC) = 1)
+        |SELECT p.query_id, q.label, p.pred_label, p.votes
+        |FROM p JOIN q ON q.query_id = p.query_id
+        |ORDER BY p.query_id""") {
+      (s, dir) =>
+        EmbeddingSim.knnClassify(Tables.embeddings(s, dir),
+            col("vec_id") % 100 === 0, k = 10)
+          .orderBy(col("query_id"))
+    },
+
+    // Hard-negative mining (contrastive training): the 5 highest-cosine
+    // WRONG-class neighbors per anchor — the label inequality rides the
+    // broadcast join condition, everything else is the brute chain.
+    QuerySpec.sql("ann_hard_negatives",
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, qv AS qq, n2 AS qn2 FROM m WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, m.vec_id, m.label AS neg_label,
+        |         list_sum(list_transform(range(1, 65), i -> qq[i] * qv[i]))::DOUBLE
+        |           / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)) AS cos
+        |  FROM m CROSS JOIN q
+        |  WHERE m.vec_id != q.query_id AND m.label != q.q_label)
+        |SELECT query_id, vec_id AS neighbor_id, neg_label,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""") {
+      (s, dir) =>
+        EmbeddingSim.hardNegatives(Tables.embeddings(s, dir),
+            col("vec_id") % 100 === 0, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF-PQ with HIERARCHICAL cell assignment — the composition a 100 TB
     // corpus runs: coarse-then-fine assignment (n·2√K instead of n·K, the
     // ann_ivf_hier CTEs) feeding the same trained-codebook ADC scoring as

@@ -176,6 +176,53 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       "finer quantization (more subspaces, bigger books) must not materially lose recall")
   }
 
+  test("bulk IVF-PQ (shuffled-hash LUT) matches the broadcast form row-for-row; plan pinned") {
+    val pred = col("vec_id") % 25 === 0
+    val bulk = EmbeddingSim.ivfPqTopK(vectors, pred, 10, lutBroadcast = false)
+    val bc = EmbeddingSim.ivfPqTopK(vectors, pred, 10, lutBroadcast = true)
+    // the contract: identical arithmetic, different physical join — the
+    // bulk configuration must not be able to change a single rank
+    assert(bulk.orderBy("query_id", "rank").collect().toSeq ===
+      bc.orderBy("query_id", "rank").collect().toSeq)
+    // and it must actually EXERCISE the shuffled-hash path: at least one
+    // ShuffledHashJoin in the executed plan (the LUT join), where the
+    // broadcast form has none on those keys
+    val plan = bulk.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "bulk mode did not plan a shuffled-hash LUT join")
+  }
+
+  test("stored-index search: disjoint batch finds its true in-index neighbors") {
+    // index = %97≠0 corpus slice, batch = the %97=0 sliver as NEW queries
+    // (the incremental-family convention). Ground truth: brute-force
+    // cosine of each batch vector against the index side only.
+    val indexSide = vectors.filter(col("vec_id") % 97 =!= 0)
+    val batch = vectors.filter(col("vec_id") % 97 === 0)
+    val cents = EmbeddingSim.prepared(indexSide)
+      .orderBy(col("vec_id").asc).limit(8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val index = EmbeddingSim.ivfIndex(indexSide, cents)
+    val got = EmbeddingSim.ivfSearchAgainst(batch, cents, index, k = 10,
+        nprobe = 2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // exact per-batch-vector ground truth over the index side
+    val truthAgainst = EmbeddingSim.ivfSearchAgainst(batch, cents, index,
+      k = 10, nprobe = 8) // nprobe = numCentroids ⇒ every cell probed ⇒ exact
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = truthAgainst.map { case (q, t) =>
+      got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+    val recall = recalls.sum / recalls.size
+    info(f"stored-index search recall@10 (nprobe=2 vs all-cells): $recall%.2f")
+    assert(recall >= 0.3, f"stored-index search recall collapsed: $recall%.2f")
+    // no batch id may ever be returned as a neighbor — the index is the
+    // only searchable set
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.values.flatten.forall(n => !batchIds.contains(n)),
+      "a batch vector leaked into the neighbor set")
+  }
+
   test("hierarchical IVF-PQ recall tracks flat IVF-PQ within the boundary tolerance") {
     // The hierarchy changes only WHICH cell a vector lands in (group-
     // boundary misassignment, the ivfHierTopK trade); the ADC scoring is
