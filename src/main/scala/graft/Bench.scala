@@ -121,6 +121,10 @@ object Bench {
     // avoid.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // getSystemLoadAverage returns -1.0 where loadavg is unavailable; a
+    // recorded -1.00 would read downstream as an impossibly quiet box, so
+    // emit JSON null instead of a sentinel that parses as a number
+    def fmtLoad(l: Double): String = if (l < 0) "null" else fmt2(l)
     // Per-query execution-profile attribution IN the artifact (round 12):
     // wall times alone cannot distinguish "the shared box was loaded"
     // (sched delay + GC inflate, task run time flat vs the clean-box
@@ -140,7 +144,7 @@ object Bench {
       s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +
       s""""sched_s":${fmt(results.map(_._5).sum)},""" +
       s""""jvm_gc_s":${fmt(results.map(_._6).sum)},""" +
-      s""""loadavg_start":${fmt2(load0)},"loadavg_end":${fmt2(loadAvg())}}"""
+      s""""loadavg_start":${fmtLoad(load0)},"loadavg_end":${fmtLoad(loadAvg())}}"""
     // Full-precision, all-query JSON → target/bench.json (the durable
     // artifact; BASELINE.md points the judge here for per-query numbers).
     val fullQs = results.map(r => s"\"" + r._1 + "\":" + r._2)

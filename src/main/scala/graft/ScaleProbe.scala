@@ -394,6 +394,53 @@ object ScaleProbe {
               coarseK = math.max(4, math.sqrt(16.0 * f).toInt),
               pcoarse = 2, nprobe = 2).count())
         }),
+        // ivfpq_hier DECOMPOSITION (the r15 ~20 s attribution-gap item):
+        // the two named cost terms probed in isolation at the same
+        // production growth — full ≈ assign + encode + (probe/LUT/ADC,
+        // candidate-shaped). Whatever the subtraction leaves over is the
+        // gap to name or retract.
+        "ivfpq_hier_assign" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/ivfpq_hier_assign")(
+            EmbeddingSim.hierCells(vecs, fineK = 16 * f,
+              coarseK = math.max(4, math.sqrt(16.0 * f).toInt)).count())
+        }),
+        "ivfpq_hier_encode" -> (() =>
+          time(s"$tag/ivfpq_hier_encode")(
+            EmbeddingSim.pqEncode(vecs,
+              EmbeddingSim.pqCodebooks(vecs, 4, 4, iters = 1)).count())),
+        // embedding classification trio (r15 wave) 100× rows:
+        // prototypes are |labels|-row broadcast + one min_by pass over the
+        // corpus — expected corpus-linear, kmeans-assignment class
+        "proto_classify" -> (() =>
+          time(s"$tag/proto_classify")(
+            EmbeddingSim.prototypeClassify(vecs,
+              EmbeddingSim.labelPrototypes(vecs)).count())),
+        // knn vote over the brute default retriever — expected brute_topk
+        // class (all corpus-shaped work lives in the pluggable neighbor
+        // seam; the vote itself is |q|·k-bounded)
+        "knn_classify" -> (() =>
+          time(s"$tag/knn_classify")(
+            EmbeddingSim.knnClassify(vecs, col("vec_id") % 100 === 0,
+              k = 10).count())),
+        // brute hard negatives, bounded-top-k form (the rpRerank rewrite):
+        // |q|×corpus scoring collapses into ≤k buffers per (partition,
+        // query) — expected brute class WITHOUT the rank-window sort cap
+        "hard_negatives" -> (() =>
+          time(s"$tag/hard_negatives")(
+            EmbeddingSim.hardNegatives(vecs, col("vec_id") % 100 === 0,
+              k = 5).count())),
+        // hard negatives through the IVF candidate seam at production cell
+        // growth — the candidate-shaped configuration; expected ivf_topk
+        // class
+        "hard_negatives_ivf" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/hard_negatives_ivf")(
+            EmbeddingSim.hardNegatives(vecs, col("vec_id") % 100 === 0,
+              k = 5, candidates = Some(EmbeddingSim.ivfCandidates(vecs,
+                col("vec_id") % 100 === 0, numCentroids = 16 * f,
+                nprobe = 2))).count())
+        }),
         // the mm_image_stats hot path: per-doc PNG deflate (real ImageIO
         // writer) + inflate + RGB-normalized feature reduce — all narrow
         // per-row codec work in batched mapPartitions, expected ~linear

@@ -64,3 +64,59 @@ final case class BoundedTopKLong(k: Int)
 
 /** Sorted ((key, id) asc) buffer, never more than k pairs. */
 case class TopKPairs(items: Seq[(Long, Long)])
+
+/** [[BoundedTopKLong]] with a DOUBLE sort key — the member needed when the
+  * per-group order is a computed score (cosine, probability) rather than an
+  * integer distance: keeps the k smallest (key, id) pairs of a group under
+  * primitive-double comparison and emits the ids in that order, so a
+  * descending-score top-k passes the NEGATED score (exact for every finite
+  * double).
+  *
+  * Ordering parity with the rank window it replaces: primitive `<` treats
+  * -0.0 == 0.0 (ties fall to id asc), exactly Spark SQL's double ordering
+  * (SQLOrderingUtil) and DuckDB's — so a window `ORDER BY score DESC, id
+  * ASC` and this aggregator over (-score, id) agree on every rank,
+  * including the ±0.0 edge. NaN keys never arise on the call sites
+  * (cosines of nonzero-norm vectors); under primitive comparison a NaN
+  * would tie with everything and fall to id order rather than poison the
+  * sort. Same ObjectHashAggregateExec planning note as the Long form. */
+final case class BoundedTopKDouble(k: Int)
+    extends Aggregator[(Double, Long), TopKPairsD, Array[Long]] {
+  require(k >= 1, "k must be >= 1")
+
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: TopKPairsD = TopKPairsD(Vector.empty)
+
+  override def reduce(b: TopKPairsD, x: (Double, Long)): TopKPairsD = {
+    val items = b.items
+    if (items.length >= k && !lt(x, items.last)) b
+    else {
+      val (lo, hi) = items.span(lt(_, x))
+      TopKPairsD(((lo :+ x) ++ hi).take(k))
+    }
+  }
+
+  override def merge(a: TopKPairsD, b: TopKPairsD): TopKPairsD = {
+    val out = Vector.newBuilder[(Double, Long)]
+    var i = 0; var j = 0; var n = 0
+    val (x, y) = (a.items, b.items)
+    while (n < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) {
+        out += x(i); i += 1
+      } else { out += y(j); j += 1 }
+      n += 1
+    }
+    TopKPairsD(out.result())
+  }
+
+  override def finish(b: TopKPairsD): Array[Long] = b.items.map(_._2).toArray
+
+  override def bufferEncoder: Encoder[TopKPairsD] = Encoders.product[TopKPairsD]
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+/** Sorted ((key, id) asc) buffer, never more than k pairs — double keys. */
+case class TopKPairsD(items: Seq[(Double, Long)])

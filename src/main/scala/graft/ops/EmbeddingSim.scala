@@ -347,12 +347,60 @@ object EmbeddingSim {
     out
   }
 
+  /** IVF candidate generation — [[ivfTopK]]'s cell/probe stanza as a
+    * standalone (query_id, vec_id) relation, self-excluded: THE pluggable
+    * candidate seam ([[knnClassify]]'s `neighbors` / [[hardNegatives]]'
+    * `candidates` convention) in its 100 TB configuration. Everything
+    * corpus-shaped lives here (broadcast-K `min_by` assignment, nprobe
+    * probe ranks over the tiny query side, the cid equi-join), so a
+    * consumer that scores/filters/votes over candidates inherits the IVF
+    * economics without re-deriving the geometry.
+    *
+    * Plan shape (identical to the stanza it was extracted from — the
+    * `ann_ivf_topk` oracle replays it unchanged): corpus-side cell
+    * assignment is a min_by hash-aggregate (argmin with the (d2, cid)
+    * tie-break — identical to rank-1 of a (d2 asc, cid asc) window), NOT a
+    * row_number window: partial aggregation collapses the corpus×K
+    * candidate rows map-side, where a window would sort-exchange all n·K
+    * rows. Only the queryPred-filtered probe side — tiny — needs
+    * top-nprobe ranks, so the window runs there alone. Candidate count is
+    * |q|·nprobe·(n/K) on balanced cells.
+    *
+    * Centroid seeds are the k LOWEST ids via TakeOrdered, not
+    * `vec_id < k` — the same dense-id pitfall kmeansCentroids documents;
+    * identical seeds on dense-id corpora, so the unrolled oracles are
+    * unaffected. */
+  def ivfCandidates(vectors: DataFrame, queryPred: Column,
+                    numCentroids: Int = 8, nprobe: Int = 2,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = prepared(vectors)
+    val cents = broadcast(centroids.getOrElse(
+      corpus.orderBy(col("vec_id").asc).limit(numCentroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))))
+    val dists = corpus.crossJoin(cents)
+      .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .select(col("vec_id"), col("cid"), col("d2"))
+    val cells = dists.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = dists.filter(queryPred)
+      .withColumn("__rk", row_number().over(wAssign))
+      .filter(col("__rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    probes.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** IVF-style ANN top-k: the corpus is partitioned into cells around K
     * centroid vectors — [[kmeansCentroids]]-trained when `centroids` is
     * given, else deterministically seeded from the lowest vec_ids; each
     * query probes its `nprobe` nearest cells only. All distances are exact
     * integer arithmetic (d² = |a|² + |b|² − 2a·b over quantized longs), so
-    * cell assignment is engine-portable.
+    * cell assignment is engine-portable. Candidate generation is
+    * [[ivfCandidates]] (shared seam); this adds exact-cosine scoring and
+    * the per-query rank cut.
     *
     * Scale: assignment is a broadcast (K centroids) nested-loop over the
     * corpus — one pass, no shuffle of the corpus; the probe join is an
@@ -363,33 +411,9 @@ object EmbeddingSim {
               centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
-    // k LOWEST ids via TakeOrdered, not `vec_id < k` — the same dense-id
-    // pitfall kmeansCentroids documents; identical seeds on dense-id
-    // corpora, so the unrolled oracles are unaffected.
-    val cents = broadcast(centroids.getOrElse(
-      corpus.orderBy(col("vec_id").asc).limit(numCentroids)
-        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))))
-    val dists = corpus.crossJoin(cents)
-      .withColumn("d2", col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
-      .select(col("vec_id"), col("cid"), col("d2"))
-    // corpus-side cell assignment is a min_by hash-aggregate (argmin with
-    // the (d2, cid) tie-break — identical to rank-1 of a (d2 asc, cid asc)
-    // window), NOT a row_number window: partial aggregation collapses the
-    // corpus×K candidate rows map-side, where a window would sort-exchange
-    // all n·K rows. Only the queryPred-filtered probe side — tiny — needs
-    // top-nprobe ranks, so the window runs there alone.
-    val cells = dists.groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-    val probes = dists.filter(queryPred)
-      .withColumn("__rk", row_number().over(wAssign))
-      .filter(col("__rk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = ivfCandidates(vectors, queryPred, numCentroids, nprobe, centroids)
     val queries = broadcast(corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
-    val cand = probes.join(cells, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
     val scored = cand
       .join(corpus, "vec_id")
       .join(queries, "query_id")
@@ -676,6 +700,64 @@ object EmbeddingSim {
         col("adc_d2"))
   }
 
+  /** The hierarchical centroid geometry shared by [[ivfPqHierTopK]] and
+    * the decomposition probes: (coarse, fineT) where fineT carries each
+    * fine centroid's parent gid. TakeOrdered seeds (sparse-id-safe;
+    * identical to `vec_id < K` on the dense-id corpora the oracles run,
+    * so the unrolled SQL is unaffected). Both centroid relations and the
+    * parented fine table are MATERIALIZED once: each is broadcast into
+    * multiple joins downstream, and an unpinned lineage would re-run its
+    * corpus TakeOrdered chain per broadcast — measured 22.0 s at the 1×
+    * probe vs flat ivfPqTopK's 7.6, pure re-execution overhead on K-row
+    * relations. `corpus` is a [[prepared]] frame. */
+  private[graft] def hierCentroids(corpus: DataFrame, fineK: Int,
+                                   coarseK: Int): (DataFrame, DataFrame) = {
+    val fine = Checkpoints.materialized(
+      corpus.orderBy(col("vec_id").asc).limit(fineK)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    val coarse = broadcast(Checkpoints.materialized(
+      corpus.orderBy(col("vec_id").asc).limit(coarseK)
+        .select(col("vec_id").as("gid"), col("q").as("gq"), col("n2").as("gn2"))))
+    val parent = fine.crossJoin(coarse)
+      .withColumn("pd2",
+        col("cn2") + col("gn2") - lit(2L) * qdot(col("cq"), col("gq")))
+      .groupBy(col("cid"))
+      .agg(min_by(col("gid"), struct(col("pd2"), col("gid"))).as("gid"))
+    val fineT = Checkpoints.materialized(fine.join(parent, "cid"))
+    (coarse, fineT)
+  }
+
+  /** Corpus → nearest coarse group, then nearest fine cell in that group —
+    * the n·(coarseK + fineK/coarseK) assignment pass, two `min_by` hash
+    * aggregates (one shuffled row per vector each, never a corpus
+    * window). Emits (vec_id, cid). */
+  private[graft] def hierCellsFrom(corpus: DataFrame, coarse: DataFrame,
+                                   fineT: DataFrame): DataFrame = {
+    val cg = corpus.crossJoin(coarse)
+      .withColumn("d2",
+        col("n2") + col("gn2") - lit(2L) * qdot(col("q"), col("gq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("gid"), struct(col("d2"), col("gid"))).as("gid"),
+        min_by(col("q"), struct(col("d2"), col("gid"))).as("q"),
+        min_by(col("n2"), struct(col("d2"), col("gid"))).as("n2"))
+    cg.join(broadcast(fineT), "gid")
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+  }
+
+  /** [[hierCellsFrom]] over freshly derived geometry — the standalone
+    * hier-assignment relation the `ivfpq_hier_assign` decomposition probe
+    * times in isolation (BASELINE.md's r15 attribution-gap item). */
+  def hierCells(vectors: DataFrame, fineK: Int = 16,
+                coarseK: Int = 4): DataFrame = {
+    val corpus = prepared(vectors)
+    val (coarse, fineT) = hierCentroids(corpus, fineK, coarseK)
+    hierCellsFrom(corpus, coarse, fineT)
+  }
+
+
   /** IVF-PQ with HIERARCHICAL cell assignment — [[ivfPqTopK]]'s ADC
     * scoring fed by [[ivfHierTopK]]'s coarse-then-fine cells: the variant
     * a 100 TB corpus actually runs, because it composes BOTH scale
@@ -712,38 +794,8 @@ object EmbeddingSim {
                     lutBroadcast: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = prepared(vectors)
-    // TakeOrdered seeds (sparse-id-safe; identical to `vec_id < K` on the
-    // dense-id corpora the oracles run, so the unrolled SQL is unaffected).
-    // Both centroid relations and the parented fine table are MATERIALIZED
-    // once: each is broadcast into multiple joins below, and an unpinned
-    // lineage would re-run its corpus TakeOrdered chain per broadcast —
-    // measured 22.0 s at the 1× probe vs flat ivfPqTopK's 7.6, pure
-    // re-execution overhead on K-row relations.
-    val fine = Checkpoints.materialized(
-      corpus.orderBy(col("vec_id").asc).limit(fineK)
-        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
-    val coarse = broadcast(Checkpoints.materialized(
-      corpus.orderBy(col("vec_id").asc).limit(coarseK)
-        .select(col("vec_id").as("gid"), col("q").as("gq"), col("n2").as("gn2"))))
-    val parent = fine.crossJoin(coarse)
-      .withColumn("pd2",
-        col("cn2") + col("gn2") - lit(2L) * qdot(col("cq"), col("gq")))
-      .groupBy(col("cid"))
-      .agg(min_by(col("gid"), struct(col("pd2"), col("gid"))).as("gid"))
-    val fineT = Checkpoints.materialized(fine.join(parent, "cid"))
-    // corpus → nearest coarse group, then nearest fine cell in that group
-    val cg = corpus.crossJoin(coarse)
-      .withColumn("d2",
-        col("n2") + col("gn2") - lit(2L) * qdot(col("q"), col("gq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("gid"), struct(col("d2"), col("gid"))).as("gid"),
-        min_by(col("q"), struct(col("d2"), col("gid"))).as("q"),
-        min_by(col("n2"), struct(col("d2"), col("gid"))).as("n2"))
-    val cells = cg.join(broadcast(fineT), "gid")
-      .withColumn("d2",
-        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val (coarse, fineT) = hierCentroids(corpus, fineK, coarseK)
+    val cells = hierCellsFrom(corpus, coarse, fineT)
     // query probes: pcoarse nearest groups, then nprobe fine cells of those
     val queries = broadcast(corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
@@ -871,16 +923,31 @@ object EmbeddingSim {
   /** Hard-negative mining — the contrastive-training data op: for each
     * anchor, the k nearest corpus vectors with a DIFFERENT label (the
     * highest-cosine wrong-class examples, exactly what a contrastive /
-    * triplet objective wants as negatives). Same plan as
-    * [[bruteForceTopK]] with the label-inequality folded into the
-    * broadcast join condition; ties → smaller id. Emits (query_id,
-    * neighbor_id, neg_label, rank, cosine).
+    * triplet objective wants as negatives); ties → smaller id. Emits
+    * (query_id, neighbor_id, neg_label, rank, cosine).
     *
-    * Scale: query side broadcast, corpus streamed once — for bulk
-    * mining swap the all-pairs stage for the IVF candidate join exactly
-    * as [[knnClassify]]'s pluggable-neighbor seam does. */
+    * The candidate set is PLUGGABLE ([[knnClassify]]'s neighbor-seam
+    * convention): any (query_id, vec_id) relation — [[ivfCandidates]] is
+    * the 100 TB configuration (candidates bounded at |q|·nprobe·cell-
+    * depth, the `ann_hard_negatives_ivf` oracle replays it end-to-end);
+    * `None` is the oracle-exact brute default. The label-inequality and
+    * self-exclusion filters apply AFTER the seam, so any retriever works
+    * unmodified.
+    *
+    * Brute scale shape: query side broadcast, corpus streamed once, and
+    * the per-query cut is a bounded top-k hash aggregate
+    * ([[graft.functions.BoundedTopKDouble]] over (−cosine, id) — exact
+    * rank parity with a (cos desc, id asc) window, see its ordering
+    * note), NOT a rank window: the window form sort-exchanges the whole
+    * |q|×corpus scored relation with parallelism capped at the query
+    * count, the aggregate ships one ≤k buffer per (partition, query).
+    * Mined ids then re-join the corpus broadcast-candidate-side for
+    * (neg_label, cosine) — the [[rpRerankTopK]] rewrite pattern. With a
+    * candidate seam the relation is retriever-bounded and the rank
+    * window runs there alone. */
   def hardNegatives(vectors: DataFrame, queryPred: Column, k: Int,
-                    labelCol: String = "label"): DataFrame = {
+                    labelCol: String = "label",
+                    candidates: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = vectors.select(col("vec_id"),
         col(labelCol).cast("long").as("n_label"),
@@ -891,17 +958,41 @@ object EmbeddingSim {
           col(labelCol).cast("long").as("q_label"),
           quantize(col("embedding")).as("qq"))
         .withColumn("qn2", qnorm2(col("qq"))))
-    val scored = corpus.join(queries,
-        col("vec_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
-      .select(col("query_id"), col("vec_id"), col("n_label"),
-        qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("n_label").as("neg_label"), col("rank"),
-        round(col("cos"), 4).as("cosine"))
+    candidates match {
+      case Some(c) =>
+        // retriever-bounded: score + filter + rank over candidates only
+        val scored = c.select(col("query_id"), col("vec_id"))
+          .join(corpus, Seq("vec_id"))
+          .join(queries, Seq("query_id"))
+          .filter(col("vec_id") =!= col("query_id") &&
+            col("n_label") =!= col("q_label"))
+          .select(col("query_id"), col("vec_id"), col("n_label"),
+            qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("n_label").as("neg_label"), col("rank"),
+            round(col("cos"), 4).as("cosine"))
+      case None =>
+        val scored = corpus.join(queries,
+            col("vec_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
+          .select(col("query_id"), col("vec_id"),
+            qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
+        val topk = udaf(graft.functions.BoundedTopKDouble(k))
+        // posexplode preserves the aggregator's rank order: rank = pos + 1
+        val mined = scored.groupBy(col("query_id"))
+          .agg(topk(-col("cos"), col("vec_id")).as("__nn"))
+          .select(col("query_id"), posexplode(col("__nn")).as(Seq("__p", "vec_id")))
+        broadcast(mined).join(corpus, Seq("vec_id"))
+          .join(queries, Seq("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("n_label").as("neg_label"),
+            (col("__p") + lit(1)).as("rank"),
+            round(qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")), 4)
+              .as("cosine"))
+    }
   }
 
   /** Blocking width as a function of corpus size: enough hyperplanes that

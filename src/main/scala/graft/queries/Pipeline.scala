@@ -15,10 +15,6 @@ object Pipeline {
   private def obs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Parse.eventsAsObservations(Tables.events(s, dir))
 
-  /** Fresh memory-sink table name per stream_dedup_screen call (the
-    * Ingest.materializeEvents convention). */
-  private val streamCounter = new java.util.concurrent.atomic.AtomicLong(0)
-
   val all: Seq[QuerySpec] = Seq(
 
     // W4/W5 flattened: rolling 24-row window features + 3 lead targets,
@@ -475,19 +471,89 @@ object Pipeline {
       (s, dir) => {
         val store = graft.ops.Dedup.exact(
           Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
-          .filter(col("doc_id") % 10 === 0)
-        val name = s"graft_stream_screen_${streamCounter.incrementAndGet()}"
-        val q = graft.streaming.StreamOps.screenStreamExact(stream, store)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // layout-robust source (Ingest.streamParquet): dir+glob silently
+          // streams ZERO rows if the corpus is ever laid out as a
+          // directory-style parquet (part files under documents.parquet/),
+          // and a bare file path fails the source's basePath check — the
+          // helper picks per layout, the require below catches any third
+          val stream = Ingest.streamParquet(s, dir, "documents")
+            .filter(col("doc_id") % 10 === 0)
+          // fixed queryName: reruns in one session REPLACE the memory-sink
+          // temp view instead of accumulating one table per invocation
+          // (sequential by driver contract; the name is free once the
+          // previous AvailableNow query terminated)
+          val name = "graft_stream_dedup_screen"
+          val q = graft.streaming.StreamOps.screenStreamExact(stream, store)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val out = s.table(name).orderBy(col("doc_id"))
+          // guard the silent-empty-stream failure mode — but empty in ⇒
+          // empty out must hold (EmptyCorpusSpec), so the guard fires only
+          // when a BATCH read of the same sliver finds rows the stream
+          // missed (a source-layout mismatch, not a legitimately empty
+          // corpus); the batch probe runs only on the empty-stream path
+          require(!out.isEmpty ||
+            Tables.documents(s, dir).filter(col("doc_id") % 10 === 0).isEmpty,
+            s"stream_dedup_screen streamed zero rows from $dir but the batch read has rows")
+          out
+        } finally store.unpersist()
+      }
+    },
+
+    // STATEFUL streaming twin with a registry surface (r15 next-item 5):
+    // scd2Stream — flatMapGroupsWithState, per-user open-interval state
+    // crossing micro-batches — materialized via AvailableNow and hash-
+    // matched against the BATCH scd2 oracle's closed spans. A stronger
+    // stream ≡ batch claim than stream_dedup_screen's stateless screen:
+    // the emitted rows depend on state sequencing, not just per-row joins.
+    // The stream emits CLOSED intervals only (append mode cannot retract
+    // an open row), so the oracle is q_scd2_user_value's spans with
+    // valid_to_us set — the open row lives in state, observable on the
+    // next change, exactly the operator's documented contract.
+    QuerySpec.sql("stream_scd2",
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |         lag(value) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (SELECT * FROM o WHERE prev IS DISTINCT FROM value),
+        |spans AS (
+        |  SELECT user_id, us AS valid_from_us, lead(us) OVER w2 AS valid_to_us, value
+        |  FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, valid_from_us, valid_to_us, value FROM spans
+        |WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, valid_from_us""") {
+      (s, dir) => {
+        import s.implicits._
+        // same nanosAsLong/normalize lineage handling as Tables.events,
+        // applied to the STREAMING frame (normalizeEventTs is schema-driven)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val typed = Tables.normalizeEventTs(Ingest.streamParquet(s, dir, "events"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[graft.streaming.StreamOps.ScdEvent]
+        val name = "graft_stream_scd2"
+        val q = graft.streaming.StreamOps.scd2Stream(typed).toDF()
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(name).orderBy(col("doc_id"))
+        val out = s.table(name)
+          .select(col("user_id"), col("valid_from_us"), col("valid_to_us"),
+            col("value"))
+          .orderBy(col("user_id"), col("valid_from_us"))
+        // same conditional guard as stream_dedup_screen: zero streamed spans
+        // is only a failure if the BATCH operator produces closed spans on
+        // the same input (empty corpus / all-constant users are legitimate)
+        require(!out.isEmpty ||
+          EventAnalytics.scd2(Tables.events(s, dir))
+            .filter(col("valid_to_us").isNotNull).isEmpty,
+          s"stream_scd2 streamed zero rows from $dir but the batch scd2 has closed spans")
+        out
       }
     },
 

@@ -3668,6 +3668,50 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
           .orderBy(col("query_id"), col("rank"))
     },
 
+    // Hard-negative mining through the IVF candidate seam — the 100 TB
+    // configuration: candidates come from ivfCandidates (the ann_ivf_topk
+    // cell/probe geometry, |q|·nprobe·cell-depth bounded), the label
+    // inequality filters POST-seam, and the rank window runs over the
+    // retriever-bounded relation only. The oracle replays the IVF leg
+    // end-to-end (cells, probes, candidate join — the t_rrf_fusion_ivf
+    // convention) before the wrong-class filter and the cosine rank.
+    QuerySpec.sql("ann_hard_negatives_ivf",
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |d AS (SELECT m.vec_id, cid,
+        |        n2 + cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id % 100 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |scored AS (
+        |  SELECT query_id, cand.vec_id AS vec_id, b.label AS neg_label,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand JOIN m a ON a.vec_id = cand.query_id JOIN m b ON b.vec_id = cand.vec_id
+        |  WHERE b.label != a.label)
+        |SELECT query_id, vec_id AS neighbor_id, neg_label,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        EmbeddingSim.hardNegatives(vecs, col("vec_id") % 100 === 0, k = 5,
+            candidates = Some(EmbeddingSim.ivfCandidates(vecs,
+              col("vec_id") % 100 === 0, numCentroids = 8, nprobe = 2)))
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
+
     // IVF-PQ with HIERARCHICAL cell assignment — the composition a 100 TB
     // corpus runs: coarse-then-fine assignment (n·2√K instead of n·K, the
     // ann_ivf_hier CTEs) feeding the same trained-codebook ADC scoring as

@@ -24,19 +24,33 @@ object Ingest {
 
   private val counter = new AtomicLong(0)
 
+  /** File-stream a parquet table that may be laid out either as a single
+    * file `dir/<table>.parquet` (the driver's testdata layout) or as a
+    * Spark-written DIRECTORY of part files under that name. The file
+    * stream source requires a directory basePath (a bare file path fails
+    * with STREAM_FAILED), so the single-file layout streams the parent
+    * dir with a glob filter pinned to the one file; the directory layout
+    * streams the directory itself — the glob-filter form there would
+    * silently match ZERO part files and stream nothing (the r15 ADVICE
+    * failure mode this helper closes). Callers still assert nonzero
+    * output, so a future third layout fails loudly, not silently. */
+  def streamParquet(spark: SparkSession, dir: String,
+                    table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Stream `dir`/events.parquet into a fresh named in-memory table and
     * block until the AvailableNow trigger drains. Returns the normalized
     * (µs-timestamp) view of the materialized table. */
   def materializeEvents(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
     val name = s"graft_events_stream_${counter.incrementAndGet()}"
-    val schema = spark.read.parquet(path).schema
-    // The file stream source requires a directory: point it at the sf dir
-    // and glob-filter to the events file (other tables are ignored).
-    val query = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val query = streamParquet(spark, dir, "events")
       .writeStream
       .format("memory")
       .queryName(name)

@@ -184,12 +184,19 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     // bulk configuration must not be able to change a single rank
     assert(bulk.orderBy("query_id", "rank").collect().toSeq ===
       bc.orderBy("query_id", "rank").collect().toSeq)
-    // and it must actually EXERCISE the shuffled-hash path: at least one
-    // ShuffledHashJoin in the executed plan (the LUT join), where the
-    // broadcast form has none on those keys
+    // and it must actually EXERCISE the shuffled-hash path ON THE LUT JOIN:
+    // the ShuffledHashJoin node must carry the (query_id, sub, code) keys —
+    // an unrelated shuffled-hash join elsewhere must not satisfy the pin —
+    // while the broadcast form must have NO shuffled-hash join on those keys
+    def lutShj(plan: String): Boolean =
+      plan.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+        Seq("query_id", "sub", "code").forall(l.contains))
     val plan = bulk.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"),
-      "bulk mode did not plan a shuffled-hash LUT join")
+    assert(lutShj(plan),
+      "bulk mode did not plan a shuffled-hash join keyed on (query_id, sub, code)")
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(!lutShj(bcPlan),
+      "broadcast mode unexpectedly planned a shuffled-hash LUT join")
   }
 
   test("stored-index search: disjoint batch finds its true in-index neighbors") {
@@ -415,5 +422,64 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     }
     // exact linearity on exactly-representable inputs: 2x vector -> 2x components
     for (h <- 0 until 3) assert(out((2L, h)) === 2L * out((0L, h)))
+  }
+
+  test("hardNegatives bounded-top-k brute matches a driver-side exact reference, ranks and ties included") {
+    // independent reference: same quantization + cosine recomputed in plain
+    // Scala, ranked by (cos desc, id asc) under IEEE double ordering — the
+    // exact semantics the BoundedTopKDouble rewrite must preserve from the
+    // rank-window form it replaced
+    val all = vectors.select("vec_id", "label", "embedding").collect().map { r =>
+      val q = r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000).toLong).toArray
+      (r.getLong(0), r.getInt(1).toLong, q, q.map(x => x * x).sum)
+    }
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.IeeeOrdering, Ordering.Long)
+    val expected = all.filter(_._1 % 100 == 0).flatMap { case (qid, qlabel, qq, qn2) =>
+      all.iterator
+        .filter { case (vid, nl, _, _) => vid != qid && nl != qlabel }
+        .map { case (vid, nl, v, n2) =>
+          val dot = qq.zip(v).map { case (a, b) => a * b }.sum
+          (vid, nl, dot.toDouble / (math.sqrt(qn2.toDouble) * math.sqrt(n2.toDouble)))
+        }.toVector
+        .sortBy { case (vid, _, cos) => (-cos, vid) }
+        .take(5).zipWithIndex
+        .map { case ((vid, nl, _), i) => (qid, vid, nl, i + 1) }
+    }.toSet
+    val got = EmbeddingSim.hardNegatives(vectors, queryPred, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("neg_label"), r.getAs[Int]("rank"))).toSet
+    assert(got === expected)
+  }
+
+  test("hardNegatives through the IVF candidate seam: wrong-class only, candidate-contained, contiguous ranks") {
+    val cand = EmbeddingSim.ivfCandidates(vectors, queryPred)
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mined = EmbeddingSim.hardNegatives(vectors, queryPred, 5,
+      candidates = Some(cand)).collect()
+    val labels = vectors.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(mined.nonEmpty)
+    mined.foreach { r =>
+      val qid = r.getAs[Long]("query_id"); val nid = r.getAs[Long]("neighbor_id")
+      assert(candSet((qid, nid)), s"negative ($qid,$nid) outside the candidate seam")
+      assert(labels(nid) === r.getAs[Long]("neg_label"))
+      assert(labels(nid) !== labels(qid), s"same-class negative for anchor $qid")
+    }
+    mined.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
+  test("BoundedTopKDouble: sorted bounded buffer, ±0.0 ties fall to id, merge ≡ reduce") {
+    val agg = graft.functions.BoundedTopKDouble(3)
+    val items = Seq((1.5, 10L), (0.0, 7L), (-0.0, 3L), (1.5, 2L), (-2.0, 9L))
+    val b = items.foldLeft(agg.zero)(agg.reduce)
+    // asc order: -2.0 first; -0.0 == 0.0 under primitive compare → id order
+    assert(agg.finish(b).toSeq === Seq(9L, 3L, 7L))
+    val (l, r) = items.splitAt(2)
+    val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(m).toSeq === agg.finish(b).toSeq)
   }
 }
