@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed-Aggregator groups (BoundedTopK*/BoundedCollect/ModalAgg) keep
+      // BOUNDED buffers, so the ObjectHashAggregate 128-distinct-key sort
+      // fallback only re-introduces the corpus-wide sort the aggregators
+      // exist to avoid (measured: brute hardNegatives 44.4 s -> 13.8 s at
+      // 100x when the map stays hash). 64k keys x k-pair buffers is MBs.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

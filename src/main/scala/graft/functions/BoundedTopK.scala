@@ -20,9 +20,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * reducer merges sorted buffers. Insertion keeps the buffer sorted:
   * O(k) per row with an O(1) reject of rows below a full buffer's floor.
   *
-  * Like every typed Aggregator this plans on ObjectHashAggregateExec
-  * (sort-fallback beyond ~128 distinct group keys per partition — a
-  * non-issue for query-count-sized group spaces, the intended use). */
+  * Like every typed Aggregator this plans on ObjectHashAggregateExec.
+  * CAVEAT (measured r16): ObjectHashAggregate falls back to SORT-BASED
+  * aggregation past `spark.sql.objectHashAggregate.sortBased.
+  * fallbackThreshold` (default 128) distinct keys per partition — for a
+  * corpus×|queries| input that fallback re-introduces the corpus-wide
+  * sort this aggregator exists to avoid (brute hardNegatives at 2 k
+  * queries: 44.4 s fallen-back vs 13.8 s hash at the 100× probe). The
+  * graft session builders raise the threshold to 65536: safe here
+  * because every buffer is ≤ k pairs, so even 64 k in-flight groups are
+  * MBs, not the unbounded collect_list-style state the default
+  * protects against. */
 final case class BoundedTopKLong(k: Int)
     extends Aggregator[(Long, Long), TopKPairs, Array[Long]] {
   require(k >= 1, "k must be >= 1")
