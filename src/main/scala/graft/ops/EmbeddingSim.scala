@@ -159,7 +159,19 @@ object EmbeddingSim {
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), deterministic ties by neighbor id. The query
-    * side is expected to be small and is broadcast explicitly. */
+    * side is expected to be small and is broadcast explicitly.
+    *
+    * The per-query cut is a bounded top-k hash aggregate
+    * ([[graft.functions.BoundedTopKDouble]] over (−cosine, id) — exact
+    * rank/tie parity with the (cos desc, id asc) window it replaced, see
+    * its ordering note), NOT a rank window: the window form
+    * sort-exchanges the whole |q|×corpus scored relation with
+    * parallelism capped at the query count, the aggregate ships one ≤k
+    * buffer per (partition, query) and the mined ids re-join the corpus
+    * broadcast-candidate-side for the output cosine (the
+    * [[hardNegatives]]/[[rpRerankTopK]] rewrite pattern; 100× probe:
+    * the bounded hardNegatives runs 16.0 s where the window-form brute
+    * class measured 34–68 s across windows). */
   def bruteForceTopK(vectors: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val corpus = prepared(vectors)
     val queries = broadcast(prepared(vectors.filter(queryPred))
@@ -167,12 +179,17 @@ object EmbeddingSim {
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")).as("cos"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cosine"))
+    val topk = udaf(graft.functions.BoundedTopKDouble(k))
+    // posexplode preserves the aggregator's rank order: rank = pos + 1
+    val cand = scored.groupBy(col("query_id"))
+      .agg(topk(-col("cos"), col("vec_id")).as("__nn"))
+      .select(col("query_id"), posexplode(col("__nn")).as(Seq("__p", "vec_id")))
+    broadcast(cand).join(corpus, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("__p") + lit(1)).as("rank"),
+        round(qcosine(qdot(col("qq"), col("q")), col("qn2"), col("n2")), 4)
+          .as("cosine"))
   }
 
   /** Greedy k-center (Gonzalez 1985) coreset selection — the diversity-

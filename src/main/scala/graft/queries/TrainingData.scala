@@ -3640,6 +3640,47 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
           .orderBy(col("query_id"))
     },
 
+    // k-NN vote fed through the IVF retriever — the neighbor seam in its
+    // 100 TB configuration (the ann_hard_negatives_ivf convention): the
+    // oracle replays cells, probes, candidate join and the cosine rank
+    // cut, then the same modal-label vote as ann_knn_classify.
+    QuerySpec.sql("ann_knn_classify_ivf",
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 8),
+        |d AS (SELECT m.vec_id, cid,
+        |        n2 + cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id % 100 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qp JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |scored AS (
+        |  SELECT query_id, cand.vec_id AS vec_id, b.label AS n_label,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand JOIN m a ON a.vec_id = cand.query_id JOIN m b ON b.vec_id = cand.vec_id),
+        |nn AS (SELECT query_id, vec_id, n_label FROM scored
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10),
+        |v AS (SELECT query_id, n_label, CAST(count(*) AS BIGINT) AS votes FROM nn GROUP BY 1, 2),
+        |p AS (SELECT query_id, n_label AS pred_label, votes FROM v
+        |      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label ASC) = 1)
+        |SELECT p.query_id, a.label, p.pred_label, p.votes
+        |FROM p JOIN m a ON a.vec_id = p.query_id
+        |ORDER BY p.query_id""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        EmbeddingSim.knnClassify(vecs, col("vec_id") % 100 === 0, k = 10,
+            neighbors = Some(EmbeddingSim.ivfTopK(vecs,
+              col("vec_id") % 100 === 0, 10, numCentroids = 8, nprobe = 2)))
+          .orderBy(col("query_id"))
+      }
+    },
+
     // Hard-negative mining (contrastive training): the 5 highest-cosine
     // WRONG-class neighbors per anchor — the label inequality rides the
     // broadcast join condition, everything else is the brute chain.
