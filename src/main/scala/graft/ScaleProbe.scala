@@ -387,6 +387,29 @@ object ScaleProbe {
             EmbeddingSim.ivfSearchAgainst(batch, cents, index, k = 10,
               nprobe = 2).count())
         }),
+        // stored COMPRESSED-index search: centroids + codebooks + the
+        // (cid, sub, code) ivfPqIndex built untimed (deployed artifacts);
+        // the timed section is one ~1% batch's probe + LUT + ADC over
+        // index CODES only — the incremental-family flat marginal
+        // economics with the PQ memory story on top
+        "ivfpq_against" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          val indexSide = vecs.filter(col("vec_id") % 97 =!= 0)
+          val batch = vecs.filter(col("vec_id") % 97 === 0)
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.prepared(indexSide).orderBy(col("vec_id").asc)
+              .limit(16 * f)
+              .select(col("vec_id").as("cid"), col("q").as("cq"),
+                col("n2").as("cn2")))
+          val books = Checkpoints.materialized(
+            EmbeddingSim.pqCodebooks(indexSide, 4, 4, iters = 1))
+          val index = EmbeddingSim.ivfPqIndex(indexSide, cents, books)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          index.count()
+          time(s"$tag/ivfpq_against")(
+            EmbeddingSim.ivfPqSearchAgainst(batch, cents, books, index,
+              k = 10, nprobe = 2).count())
+        }),
         // IVF-PQ over HIERARCHICAL assignment at the same production cell
         // growth: the probe pair (ivfpq_topk vs this) isolates the flat
         // n·K assignment term the composition deletes — everything else
@@ -446,6 +469,19 @@ object ScaleProbe {
               k = 5, candidates = Some(EmbeddingSim.ivfCandidates(vecs,
                 col("vec_id") % 100 === 0, numCentroids = 16 * f,
                 nprobe = 2))).count())
+        }),
+        // the hier-fed seam at the same production growth: deletes the
+        // flat n·K candidate-generation term the flat-fed probe carries —
+        // expected ivf_topk_hier class, the probe pair (flat vs this)
+        // isolates the assignment term inside the SEAM family
+        "hard_negatives_hier" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          time(s"$tag/hard_negatives_hier")(
+            EmbeddingSim.hardNegatives(vecs, col("vec_id") % 100 === 0,
+              k = 5, candidates = Some(EmbeddingSim.hierCandidates(vecs,
+                col("vec_id") % 100 === 0, fineK = 16 * f,
+                coarseK = math.max(4, math.sqrt(16.0 * f).toInt),
+                pcoarse = 2, nprobe = 2))).count())
         }),
         // the mm_image_stats hot path: per-doc PNG deflate (real ImageIO
         // writer) + inflate + RGB-normalized feature reduce — all narrow

@@ -501,6 +501,72 @@ object EmbeddingSim {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** The STORED IVF-PQ index — the compressed member of the deployed-
+    * artifact family next to [[ivfIndex]]: every corpus vector reduced to
+    * its cell id plus m codebook codes, (vec_id, cid, sub, code) — m+1
+    * small integers per vector and NO vector bytes, which is the whole
+    * 100 TB memory story (the float corpus never ships to the search
+    * cluster). Cell assignment is [[ivfIndex]]'s broadcast-K `min_by`;
+    * codes are [[pqEncode]] against the trained codebooks. Takes
+    * centroids and codebooks explicitly so index and every future search
+    * batch provably share one geometry (the `*Against` convention). */
+  def ivfPqIndex(vectors: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, m: Int = 4,
+                 dims: Int = 64): DataFrame = {
+    val cells = prepared(vectors).crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * qdot(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    pqEncode(vectors, codebooks, m, dims).join(cells, "vec_id")
+      .select(col("vec_id"), col("cid"), col("sub"), col("code"))
+  }
+
+  /** ANN search of a NEW query batch against a STORED compressed index —
+    * [[ivfSearchAgainst]]'s ADC twin, completing the frozen-deployment
+    * family on the PQ side: centroids, codebooks and the [[ivfPqIndex]]
+    * relation are built ONCE; every arriving batch probes its `nprobe`
+    * nearest cells (broadcast centroids, window over the batch side
+    * only), builds its LUT against the broadcast codebooks, and sums m
+    * LUT lookups per candidate — batch·nprobe·(cell depth)·m index rows
+    * touched, never the corpus vectors (which the search cluster need
+    * not even store). No self-exclusion: disjoint-batch contract as
+    * [[ivfSearchAgainst]]. Emits (query_id, neighbor_id, rank, adc_d2)
+    * — [[ivfPqTopK]]'s output shape. `lutBroadcast = false` is the same
+    * bulk-scoring shuffled-hash escape documented on [[ivfPqTopK]]. */
+  def ivfPqSearchAgainst(queryVecs: DataFrame, centroids: DataFrame,
+                         codebooks: DataFrame, index: DataFrame, k: Int,
+                         nprobe: Int = 2, m: Int = 4, dims: Int = 64,
+                         lutBroadcast: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("query_id"))
+    val probes = prepared(queryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * qdot(col("qq"), col("cq")))
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val lutRaw = pqSubVectors(queryVecs, m, dims)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
+          .as("term"))
+    val lut = if (lutBroadcast) broadcast(lutRaw) else lutRaw.hint("shuffle_hash")
+    val adc = probes.join(index, "cid")
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("term")).as("adc_d2"))
+    adc.withColumn("rank", row_number().over(
+        wq.orderBy(col("adc_d2").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("adc_d2"))
+  }
+
   /** Hierarchical (coarse-then-fine) IVF top-k — the n·√K assignment path
     * flagged as the scale successor to [[ivfTopK]]'s flat n·K: every
     * vector first picks its nearest of `coarseK` group centroids, then its
@@ -774,6 +840,46 @@ object EmbeddingSim {
     hierCellsFrom(corpus, coarse, fineT)
   }
 
+  /** [[ivfCandidates]]' HIERARCHICAL twin — the candidate seam at n·2√K
+    * assignment cost: corpus cells from [[hierCellsFrom]], query probes
+    * ranking `pcoarse` nearest groups then `nprobe` fine cells among
+    * those groups' children (windows over the tiny query side only),
+    * candidates via the cid equi-join, self-excluded. Same (query_id,
+    * vec_id) contract as [[ivfCandidates]], so every seam consumer
+    * ([[hardNegatives]], [[knnClassify]], [[ivfPqHierTopK]]'s ADC
+    * scoring) swaps retrievers without code changes — this is the
+    * configuration that deletes the flat n·K assignment term the flat
+    * seam inherits once K grows ∝ corpus (100× probe: flat-fed
+    * hardNegatives 32.6 s, hier-fed in the ivf_topk_hier class). */
+  def hierCandidates(vectors: DataFrame, queryPred: Column,
+                     fineK: Int = 16, coarseK: Int = 4,
+                     pcoarse: Int = 2, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = prepared(vectors)
+    val (coarse, fineT) = hierCentroids(corpus, fineK, coarseK)
+    val cells = hierCellsFrom(corpus, coarse, fineT)
+    val queries = broadcast(corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    val wq = Window.partitionBy(col("query_id"))
+    val qg = queries.crossJoin(coarse)
+      .withColumn("d2",
+        col("qn2") + col("gn2") - lit(2L) * qdot(col("qq"), col("gq")))
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("d2").asc, col("gid").asc)))
+      .filter(col("__rk") <= pcoarse)
+      .select(col("query_id"), col("qq"), col("qn2"), col("gid"))
+    val qf = qg.join(broadcast(fineT), "gid")
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * qdot(col("qq"), col("cq")))
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    qf.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
 
   /** IVF-PQ with HIERARCHICAL cell assignment — [[ivfPqTopK]]'s ADC
     * scoring fed by [[ivfHierTopK]]'s coarse-then-fine cells: the variant
@@ -810,27 +916,9 @@ object EmbeddingSim {
                     codebooks: Option[DataFrame] = None,
                     lutBroadcast: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = prepared(vectors)
-    val (coarse, fineT) = hierCentroids(corpus, fineK, coarseK)
-    val cells = hierCellsFrom(corpus, coarse, fineT)
-    // query probes: pcoarse nearest groups, then nprobe fine cells of those
-    val queries = broadcast(corpus.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    val cand = hierCandidates(vectors, queryPred, fineK, coarseK,
+      pcoarse, nprobe)
     val wq = Window.partitionBy(col("query_id"))
-    val qg = queries.crossJoin(coarse)
-      .withColumn("d2",
-        col("qn2") + col("gn2") - lit(2L) * qdot(col("qq"), col("gq")))
-      .withColumn("__rk", row_number().over(
-        wq.orderBy(col("d2").asc, col("gid").asc)))
-      .filter(col("__rk") <= pcoarse)
-      .select(col("query_id"), col("qq"), col("qn2"), col("gid"))
-    val qf = qg.join(broadcast(fineT), "gid")
-      .withColumn("d2",
-        col("qn2") + col("cn2") - lit(2L) * qdot(col("qq"), col("cq")))
-      .withColumn("__rk", row_number().over(
-        wq.orderBy(col("d2").asc, col("cid").asc)))
-      .filter(col("__rk") <= nprobe)
-      .select(col("query_id"), col("cid"))
     // PQ side: identical to ivfPqTopK — trained books, corpus codes, LUT
     val books = broadcast(codebooks.getOrElse(
       pqCodebooks(vectors, m, codebookK, iters = 1, dims = dims)))
@@ -841,9 +929,6 @@ object EmbeddingSim {
         (col("sn2") + col("cn2") - lit(2L) * qdot(col("sq"), col("cq")))
           .as("term"))
     val lut = if (lutBroadcast) broadcast(lutRaw) else lutRaw.hint("shuffle_hash")
-    val cand = qf.join(cells, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
     val adc = cand.join(codes, Seq("vec_id"))
       .join(lut, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -3753,6 +3753,153 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
       }
     },
 
+    // Hard-negative mining through the HIERARCHICAL candidate seam — the
+    // configuration that also deletes the flat n·K assignment term from
+    // candidate generation (hierCandidates: n·2√K, the ann_ivf_hier
+    // geometry). The oracle replays both assignment levels, both probe
+    // levels, the candidate join, the wrong-class filter and the cosine
+    // rank — every step integer-exact or IEEE-double deterministic.
+    QuerySpec.sql("ann_hard_negatives_hier",
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |f AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m WHERE vec_id < 16),
+        |g AS (SELECT vec_id AS gid, qv AS gq, n2 AS gn2 FROM m WHERE vec_id < 4),
+        |par AS (SELECT cid, gid FROM (
+        |          SELECT f.cid, g.gid,
+        |                 cn2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * gq[i])) AS pd2
+        |          FROM f CROSS JOIN g)
+        |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY pd2 ASC, gid ASC) = 1),
+        |ft AS (SELECT f.cid, f.cq, f.cn2, par.gid FROM f JOIN par USING (cid)),
+        |cg AS (SELECT vec_id, gid FROM (
+        |         SELECT m.vec_id, g.gid,
+        |                n2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * gq[i])) AS d2
+        |         FROM m CROSS JOIN g)
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, gid ASC) = 1),
+        |cells AS (SELECT vec_id, cid FROM (
+        |            SELECT m.vec_id, ft.cid,
+        |                   m.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * ft.cq[i])) AS d2
+        |            FROM m JOIN cg USING (vec_id) JOIN ft USING (gid))
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qg AS (SELECT query_id, gid FROM (
+        |         SELECT m.vec_id AS query_id, g.gid,
+        |                n2 + gn2 - 2 * list_sum(list_transform(range(1, 65), i -> qv[i] * gq[i])) AS d2
+        |         FROM m CROSS JOIN g WHERE m.vec_id % 100 = 0)
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, gid ASC) <= 2),
+        |qf AS (SELECT query_id, cid FROM (
+        |         SELECT qg.query_id, ft.cid,
+        |                a.n2 + ft.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> a.qv[i] * ft.cq[i])) AS d2
+        |         FROM qg JOIN ft USING (gid) JOIN m a ON a.vec_id = qg.query_id)
+        |       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |cand AS (SELECT query_id, cells.vec_id AS vec_id FROM qf JOIN cells USING (cid)
+        |         WHERE cells.vec_id != query_id),
+        |scored AS (
+        |  SELECT query_id, cand.vec_id AS vec_id, b.label AS neg_label,
+        |         list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM cand JOIN m a ON a.vec_id = cand.query_id JOIN m b ON b.vec_id = cand.vec_id
+        |  WHERE b.label != a.label)
+        |SELECT query_id, vec_id AS neighbor_id, neg_label,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        EmbeddingSim.hardNegatives(vecs, col("vec_id") % 100 === 0, k = 5,
+            candidates = Some(EmbeddingSim.hierCandidates(vecs,
+              col("vec_id") % 100 === 0)))
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            col("rank").cast("long").as("rank"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
+
+    // Stored-index ANN search, PQ side: centroids + codebooks + the
+    // compressed (vec_id, cid, sub, code) index built ONCE on the %97≠0
+    // side; the disjoint batch probes cells and ADC-scores m LUT lookups
+    // per candidate against the stored codes — the search never touches
+    // an index-side vector. The oracle replays the index-side Lloyd
+    // round (windowed lowest-id seeds — the index side excludes vec_id
+    // 0, so `vec_id < 4` would be wrong here), the encode, the cells,
+    // the batch probes, the batch LUT and the ADC sum.
+    QuerySpec.sql("ann_ivfpq_against",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |idx AS (SELECT * FROM m WHERE vec_id % 97 <> 0),
+        |qb AS (SELECT vec_id, qv, n2 FROM m WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM idx ORDER BY vec_id LIMIT 8),
+        |cells AS (SELECT vec_id, cid FROM (
+        |            SELECT idx.vec_id, c.cid,
+        |                   idx.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> idx.qv[i] * c.cq[i])) AS d2
+        |            FROM idx CROSS JOIN c)
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |svi AS (SELECT vec_id, r.sub, list_slice(qv, r.sub * 16 + 1, r.sub * 16 + 16) AS sq
+        |        FROM idx CROSS JOIN range(4) r(sub)),
+        |svi2 AS (SELECT vec_id, sub, sq, list_sum(list_transform(sq, x -> x * x)) AS sn2 FROM svi),
+        |b0 AS (SELECT sub, vec_id AS code, sq AS cq, sn2 AS cn2 FROM svi2
+        |       QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id ASC) <= 4),
+        |pa1 AS (SELECT vec_id, sub, code FROM (
+        |          SELECT s.vec_id, s.sub, b.code,
+        |                 s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |          FROM svi2 s JOIN b0 b ON s.sub = b.sub)
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |b1 AS (SELECT sub, code, cq, list_sum(list_transform(cq, x -> x * x)) AS cn2 FROM (
+        |          SELECT sub, code, list(v ORDER BY dd) AS cq FROM (
+        |            SELECT pa1.sub, pa1.code, r.dd,
+        |                   CAST(floor(sum(s.sq[dd]) * 1.0 / count(*)) AS BIGINT) AS v
+        |            FROM pa1 JOIN svi2 s ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+        |            CROSS JOIN range(1, 17) r(dd)
+        |            GROUP BY 1, 2, 3)
+        |          GROUP BY 1, 2)),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |            SELECT s.vec_id, s.sub, b.code,
+        |                   s.sn2 + b.cn2 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS d2
+        |            FROM svi2 s JOIN b1 b ON s.sub = b.sub)
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1),
+        |probes AS (SELECT query_id, cid FROM (
+        |             SELECT qb.vec_id AS query_id, c.cid,
+        |                    qb.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qb.qv[i] * c.cq[i])) AS d2
+        |             FROM qb CROSS JOIN c)
+        |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |svq AS (SELECT vec_id AS query_id, r.sub, list_slice(qv, r.sub * 16 + 1, r.sub * 16 + 16) AS sq
+        |        FROM qb CROSS JOIN range(4) r(sub)),
+        |lut AS (SELECT s.query_id, s.sub, b.code,
+        |               list_sum(list_transform(s.sq, x -> x * x)) + b.cn2
+        |                 - 2 * list_sum(list_transform(range(1, 17), i -> s.sq[i] * b.cq[i])) AS term
+        |        FROM svq s JOIN b1 b ON s.sub = b.sub),
+        |adc AS (SELECT p.query_id, cells.vec_id, CAST(sum(lut.term) AS BIGINT) AS adc_d2
+        |        FROM probes p JOIN cells USING (cid)
+        |        JOIN codes ON codes.vec_id = cells.vec_id
+        |        JOIN lut ON lut.query_id = p.query_id
+        |               AND lut.sub = codes.sub AND lut.code = codes.code
+        |        GROUP BY 1, 2)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank,
+        |       adc_d2
+        |FROM adc
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val indexSide = vecs.filter(col("vec_id") % 97 =!= 0)
+        val batch = vecs.filter(col("vec_id") % 97 === 0)
+        val cents = EmbeddingSim.prepared(indexSide)
+          .orderBy(col("vec_id").asc).limit(8)
+          .select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2"))
+        val books = EmbeddingSim.pqCodebooks(indexSide, m = 4,
+          codebookK = 4, iters = 1)
+        val index = EmbeddingSim.ivfPqIndex(indexSide, cents, books)
+        EmbeddingSim.ivfPqSearchAgainst(batch, cents, books, index,
+            k = 10, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("adc_d2"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
+
     // IVF-PQ with HIERARCHICAL cell assignment — the composition a 100 TB
     // corpus runs: coarse-then-fine assignment (n·2√K instead of n·K, the
     // ann_ivf_hier CTEs) feeding the same trained-codebook ADC scoring as

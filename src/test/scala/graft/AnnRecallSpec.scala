@@ -424,6 +424,42 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     for (h <- 0 until 3) assert(out((2L, h)) === 2L * out((0L, h)))
   }
 
+  test("ivfPqSearchAgainst: index-only neighbors, recall floor vs exact stored-index search, bulk ≡ broadcast") {
+    val indexSide = vectors.filter(col("vec_id") % 97 =!= 0)
+    val batch = vectors.filter(col("vec_id") % 97 === 0)
+    val cents = EmbeddingSim.prepared(indexSide)
+      .orderBy(col("vec_id").asc).limit(8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val books = EmbeddingSim.pqCodebooks(indexSide, 4, 4, iters = 1)
+    val pqIdx = EmbeddingSim.ivfPqIndex(indexSide, cents, books)
+    val got = EmbeddingSim.ivfPqSearchAgainst(batch, cents, books, pqIdx, 10,
+      nprobe = 2).collect()
+    // disjoint-batch contract: every neighbor comes from the stored index
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("neighbor_id") % 97 != 0L,
+      "a batch id leaked into the index-side neighbor list"))
+    // ADC reorders the SAME candidate cells the exact stored-index search
+    // scores (same centroids, same probes) — recall floor pins the
+    // reconstruction quality, as the ivfPqTopK spec does for the self case
+    val exact = EmbeddingSim.ivfSearchAgainst(batch, cents,
+        EmbeddingSim.ivfIndex(indexSide, cents), 10, nprobe = 2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val gotSets = got.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = exact.map { case (q, t) =>
+      gotSets.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+    val r = recalls.sum / recalls.size
+    info(f"ivfpq-against recall@10 vs exact stored-index: $r%.2f")
+    assert(r >= 0.05, f"compressed-index recall collapsed: $r%.2f")
+    // the bulk-scoring escape is identical row-for-row here too
+    val bulk = EmbeddingSim.ivfPqSearchAgainst(batch, cents, books, pqIdx, 10,
+      nprobe = 2, lutBroadcast = false)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(bulk === got.sortBy(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))).toSeq)
+  }
+
   test("hardNegatives bounded-top-k brute matches a driver-side exact reference, ranks and ties included") {
     // independent reference: same quantization + cosine recomputed in plain
     // Scala, ranked by (cos desc, id asc) under IEEE double ordering — the
