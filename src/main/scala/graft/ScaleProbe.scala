@@ -997,6 +997,102 @@ object ScaleProbe {
         "scd2" -> (() =>
           time(s"$tag/scd2")(
             graft.ops.EventAnalytics.scd2(ev).count())),
+        // STATEFUL streaming twins END-TO-END (file source →
+        // flatMapGroupsWithState → memory sink, AvailableNow) — the
+        // registry surfaces stream_scd2/stream_funnel in probe form. The
+        // events land on disk UNTIMED (they are the deployed corpus); the
+        // timed section is the stream pass: one user-keyed state exchange
+        // + per-group state sequencing, so the expected shape is the batch
+        // operator's cost class plus fixed micro-batch overhead — state is
+        // one row (scd2) / one prefix vector (funnel) per user, growing
+        // with |users|, never with corpus length.
+        "stream_scd2" -> (() => {
+          val path = s"target/scaleprobe/events_$tag"
+          ev.write.mode("overwrite").parquet(path)
+          time(s"$tag/stream_scd2")({
+            val schema = spark.read.parquet(path).schema
+            val typed = Tables.normalizeEventTs(
+                spark.readStream.schema(schema).parquet(path))
+              .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+              .as(org.apache.spark.sql.Encoders.product[
+                graft.streaming.StreamOps.ScdEvent])
+            val name = s"probe_stream_scd2_$tag"
+            val q = graft.streaming.StreamOps.scd2Stream(typed).toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })
+        }),
+        "stream_funnel" -> (() => {
+          val path = s"target/scaleprobe/events_$tag"
+          ev.write.mode("overwrite").parquet(path)
+          time(s"$tag/stream_funnel")({
+            val schema = spark.read.parquet(path).schema
+            val typed = Tables.normalizeEventTs(
+                spark.readStream.schema(schema).parquet(path))
+              .select(col("user_id"), col("event_type"), col("ts"))
+              .as(org.apache.spark.sql.Encoders.product[
+                graft.streaming.StreamOps.FunnelEvent])
+            val name = s"probe_stream_funnel_$tag"
+            val q = graft.streaming.StreamOps.funnelStream(typed,
+                Seq("view", "click", "purchase")).toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })
+        }),
+        "stream_retention" -> (() => {
+          val path = s"target/scaleprobe/events_$tag"
+          ev.write.mode("overwrite").parquet(path)
+          time(s"$tag/stream_retention")({
+            val schema = spark.read.parquet(path).schema
+            val typed = Tables.normalizeEventTs(
+                spark.readStream.schema(schema).parquet(path))
+              .select(col("user_id"), col("event_type"), col("ts"))
+              .as(org.apache.spark.sql.Encoders.product[
+                graft.streaming.StreamOps.FunnelEvent])
+            val name = s"probe_stream_retention_$tag"
+            val q = graft.streaming.StreamOps.retentionStream(typed,
+                bucketDays = 7).toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })
+        }),
+        // watermark-evicted session windows over the staged two-file
+        // replay (the stream_sessionize registry shape): corpus batch
+        // sets the wm, driver batch flushes sessions under it. State is
+        // one open session per key; the timed section includes the
+        // staging write (corpus-linear) + both micro-batches.
+        "stream_sessionize" -> (() =>
+          time(s"$tag/stream_sessionize")({
+            val obs2 = ev.select(col("user_id").cast("string").as("location"),
+              col("ts").as("event_timestamp"))
+            val wmDriver = obs2
+              .agg(max(col("event_timestamp")).as("event_timestamp"))
+              .filter(col("event_timestamp").isNotNull)
+              .select(lit("~wm").as("location"), col("event_timestamp"))
+            val in = graft.streaming.Ingest.stageOrderedFiles(spark,
+              Seq(obs2, wmDriver), s"target/scaleprobe/sess_stream_$tag")
+            val name = s"probe_stream_sess_$tag"
+            val q = graft.streaming.StreamOps.sessionizeStream(in,
+                gapMinutes = 480, watermarkDelay = "4 hours")
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })),
         // MAD outliers: two percentile passes + broadcast joins — the probe
         // runs the EXACT percentile the oracle checks; per-type buffers
         // grow with the corpus (the documented reason the 100 TB path is

@@ -557,6 +557,175 @@ object Pipeline {
       }
     },
 
+    // Second STATEFUL streaming twin with a registry surface: funnelStream
+    // (flatMapGroupsWithState, per-user earliest-chain prefix state) — the
+    // materialized append-only hits AGGREGATE to the batch funnel exactly
+    // (the operator's equality contract, spec-pinned in StreamOpsSpec and
+    // here driver-checked against q_funnel_steps' oracle verbatim). The
+    // steps spine left-join keeps zero-reacher steps in the output, the
+    // batch aggregate's shape on any input including an empty corpus.
+    QuerySpec.sql("stream_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t, min(s1.t) AS t_prev
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t, min(s2.t) AS t_prev
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS total_lag_us FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*), CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s3
+        |ORDER BY step""") {
+      (s, dir) => {
+        import s.implicits._
+        val steps = Seq("view", "click", "purchase")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val typed = Tables.normalizeEventTs(Ingest.streamParquet(s, dir, "events"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .as[graft.streaming.StreamOps.FunnelEvent]
+        val name = "graft_stream_funnel"
+        val q = graft.streaming.StreamOps.funnelStream(typed, steps).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val agg = s.table(name).groupBy(col("step"))
+          .agg(count(lit(1)).as("n_users"), sum(col("lag_us")).as("lag"))
+        val spine = steps.zipWithIndex
+          .map { case (n, i) => (i + 1L, n) }.toDF("step", "step_name")
+        spine.join(agg, Seq("step"), "left")
+          .select(col("step"), col("step_name"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("lag"), lit(0L)).as("total_lag_us"))
+          .orderBy(col("step"))
+      }
+    },
+
+    // Stateful streaming twin #3: retentionStream (flatMapGroupsWithState,
+    // per-user state = cohort anchor + credited period offsets) — one
+    // append-only hit per first (user, period) activity; grouping the hits
+    // by (cohort, offset) reproduces the batch cohort matrix exactly, so
+    // this hash-matches q_retention_cohorts' oracle verbatim.
+    QuerySpec.sql("stream_retention",
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd FROM events),
+        |c AS (SELECT user_id, min(dd) AS cohort_dd FROM a GROUP BY user_id),
+        |x AS (SELECT DISTINCT c.cohort_dd, (a.dd - c.cohort_dd) // 7 AS offset_periods,
+        |                      a.user_id
+        |      FROM a JOIN c ON a.user_id = c.user_id)
+        |SELECT strftime(make_timestamp(cohort_dd * 86400000000), '%Y-%m-%d') AS cohort_day,
+        |       offset_periods, CAST(count(*) AS BIGINT) AS n_users
+        |FROM x GROUP BY cohort_dd, offset_periods
+        |ORDER BY cohort_day, offset_periods""") {
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val typed = Tables.normalizeEventTs(Ingest.streamParquet(s, dir, "events"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .as[graft.streaming.StreamOps.FunnelEvent]
+        val name = "graft_stream_retention"
+        val q = graft.streaming.StreamOps.retentionStream(typed, bucketDays = 7)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("cohort_dd"), col("offset_periods"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(timestamp_micros(col("cohort_dd") * lit(86400000000L)),
+              "yyyy-MM-dd").as("cohort_day"),
+            col("offset_periods"), col("n_users"))
+          .orderBy(col("cohort_day"), col("offset_periods"))
+      }
+    },
+
+    // Fourth streaming twin surface: WATERMARK-EVICTED session
+    // windows (sessionizeStream / session_window + append mode) — unlike
+    // the flatMapGroupsWithState twins above, here the EMISSION SET itself
+    // is watermark semantics: a session finalizes iff its end is at or
+    // below the event-time watermark. A single-file AvailableNow replay
+    // emits NOTHING (the wm from batch N applies only from batch N+1), so
+    // the corpus is staged as file 0 and a 1-row '~wm' driver relation as
+    // file 1 (Ingest.stageOrderedFiles, maxFilesPerTrigger=1): the corpus
+    // batch sets wm = max_ts(ms-truncated) − 4h, the driver batch runs
+    // under it and flushes every session with end ≤ wm — all measured,
+    // boundary-inclusive semantics pinned in the helper's scaladoc. The
+    // oracle replays the batch gaps-and-islands CTE + EXACTLY that wm
+    // arithmetic; the '~wm' key's own session (and any real session still
+    // open at the final wm) stays in state, the operator's append-mode
+    // contract.
+    QuerySpec.sql("stream_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT ((max(us) // 1000) - 14400000) * 1000 AS wm_us FROM e),
+        |flags AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w >= 480::BIGINT * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT CAST(user_id AS VARCHAR) AS location,
+        |       min(us) AS session_start_us,
+        |       max(us) + 480::BIGINT * 60 * 1000000 AS session_end_us,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |HAVING max(us) + 480::BIGINT * 60 * 1000000 <= (SELECT wm_us FROM wm)
+        |ORDER BY location, session_start_us""") {
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("location"),
+          col("ts").as("event_timestamp"))
+        // 1-row wm driver at max event time: advances nothing (same max)
+        // but forces the batch under which the corpus wm applies; the
+        // isNotNull filter keeps the empty corpus a clean 2-empty-batch
+        // replay instead of a null-timestamp row.
+        val wmDriver = ev.agg(max(col("event_timestamp")).as("event_timestamp"))
+          .filter(col("event_timestamp").isNotNull)
+          .select(lit("~wm").as("location"), col("event_timestamp"))
+        val in = Ingest.stageOrderedFiles(s, Seq(ev, wmDriver),
+          "target/stream_sessionize_in")
+        val name = "graft_stream_sessionize"
+        val q = graft.streaming.StreamOps.sessionizeStream(in,
+            gapMinutes = 480, watermarkDelay = "4 hours")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(name).filter(col("location") =!= "~wm")
+          .select(col("location"), col("session_start_us"),
+            col("session_end_us"), col("n_events"))
+          .orderBy(col("location"), col("session_start_us"))
+        // zero streamed sessions is only a failure if the batch operator
+        // closes sessions under the same watermark on the same input
+        // (1-row broadcast wm fold — the A1 anchor-max pattern, no collect)
+        val wmB = Tables.events(s, dir)
+          .agg((((unix_micros(max(col("ts"))).cast("long") / 1000)
+            .cast("long") - lit(14400000L)) * lit(1000L)).as("wm_us"))
+        val closedBatch = Sequences.sessionize(
+            Tables.events(s, dir).select(
+              col("user_id").cast("string").as("location"),
+              col("ts").as("event_timestamp")), gapMinutes = 480)
+          .crossJoin(broadcast(wmB))
+          .filter(col("session_end_us") <= col("wm_us"))
+        require(!out.isEmpty || closedBatch.isEmpty,
+          s"stream_sessionize streamed zero rows from $dir but the batch " +
+            "sessionize has watermark-closed sessions")
+        out
+      }
+    },
+
     // Multimodal plumbing, oracle-checkable slice: binary payload length +
     // content checksum (proves the binary column path end-to-end).
     QuerySpec.sql("mm_binary_stats",

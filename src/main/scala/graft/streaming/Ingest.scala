@@ -45,6 +45,64 @@ object Ingest {
         .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
+  /** Stage each DataFrame as ONE parquet file under `dir` with strictly
+    * increasing modification times and open the directory as a file
+    * stream that processes exactly one file per micro-batch
+    * (`maxFilesPerTrigger=1`, oldest-first — the file source's initial
+    * listing order).
+    *
+    * Why this exists: an event-time watermark computed at the end of
+    * micro-batch N only APPLIES from batch N+1, and whether Spark
+    * appends a trailing NO-DATA batch at AvailableNow termination (which
+    * would apply the final watermark) turned out to be
+    * environment-sensitive — measured BOTH ways on this Spark: a bare
+    * spark-shell one-file replay emits zero sessions even for sessions
+    * far below the final watermark (no flush batch), while the repo's
+    * forked test/runMain JVMs do run one. An emission set that depends
+    * on that is not oracle-checkable. Staging the corpus as file 0 and
+    * a 1-row watermark-driver relation AT THE CORPUS MAX event time as
+    * file 1 makes the set invariant: the wm from the corpus batch
+    * applies while batch 2 runs, finalizing every window at or below
+    * it — and if a trailing no-data batch does run, its wm is identical
+    * (the driver row adds no later event time), so it adds nothing.
+    * This is the bounded-replay equivalent of the production shape,
+    * where the watermark advances naturally with arriving batches and
+    * no staging is needed. Only the verification surface stages (and
+    * the coalesce(1) there is sf-bounded); a deployed stream reads
+    * Kafka/file arrivals directly.
+    *
+    * Pinned eviction semantics this helper exposes (measured on this
+    * Spark, boundary cases included): wm_us = (max_event_us/1000 −
+    * delay_ms)·1000 (the tracker truncates event times to MILLISECONDS
+    * before subtracting the delay) and a session/window emits iff
+    * end_us <= wm_us (inclusive at exact equality). Oracles that replay
+    * a staged stream must use exactly this arithmetic. */
+  def stageOrderedFiles(spark: SparkSession, stages: Seq[DataFrame],
+                        dir: String): DataFrame = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val root = new java.io.File(dir)
+    rm(root) // stale extra files would add phantom micro-batches
+    root.mkdirs()
+    val base = System.currentTimeMillis() - 3600L * 1000
+    stages.zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(root, s"_stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(root, f"$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + i * 10000L) // mtime order = stage order
+      rm(stage)
+    }
+    val schema = spark.read.parquet(s"$dir/0000.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
   /** Stream `dir`/events.parquet into a fresh named in-memory table and
     * block until the AvailableNow trigger drains. Returns the normalized
     * (µs-timestamp) view of the materialized table. */
