@@ -552,5 +552,280 @@ object TpchLike {
           .orderBy(col("col_name"))
       }
     },
+
+    // TPC-H Q6 shape: single-table predicate + one global sum — the
+    // canonical pushdown probe: all three filters reach the parquet scan
+    // (PushedFilters), the agg is one partial+final pair, no shuffle of
+    // data rows at all (only the 1-row partials).
+    QuerySpec.sql("q6_revenue_delta",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""") {
+      (s, dir) =>
+        li(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+            .as("revenue"), count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q8 shape: the widest join tree in the registry — lineitem at
+    // the center with FIVE dimension legs (part, supplier→nation, orders→
+    // customer→nation→region). Every dimension leg broadcasts (all are
+    // key-bounded small relations); lineitem is touched once and never
+    // shuffled on a non-key. Ratio columns ship as separately-rounded
+    // sums (an IEEE division of two cross-engine float sums is a hash
+    // hazard; the two operands pin the same information).
+    QuerySpec.sql("q8_market_share",
+      """SELECT year(o_orderdate) AS o_year,
+        |       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                      THEN l_extendedprice * (1 - l_discount)
+        |                      ELSE 0 END), 2) AS nation_revenue,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+        |GROUP BY o_year
+        |ORDER BY o_year""") {
+      (s, dir) => {
+        val supNation = broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        val custAsia = broadcast(Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+              .join(broadcast(Tables.region(s, dir)
+                .filter(col("r_name") === "ASIA")),
+                col("r_regionkey") === col("n_regionkey"))),
+            col("n_nationkey") === col("c_nationkey"))
+          .select(col("c_custkey")))
+        li(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+            col("p_partkey") === col("l_partkey"))
+          .join(supNation, col("s_suppkey") === col("l_suppkey"))
+          .join(ord(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(custAsia, col("c_custkey") === col("o_custkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            round(sum(when(col("supp_nation") === "NATION_3",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0))), 2).as("nation_revenue"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("total_revenue"))
+          .orderBy(col("o_year"))
+      }
+    },
+
+    // TPC-H Q9 shape (adapted: the corpus has no partsupp, so revenue
+    // stands in for profit): name-substring part filter × supplier nation
+    // × order year. The LIKE filter prunes part BEFORE the broadcast; the
+    // fact table shuffles only for the final (nation, year) agg. Revenue
+    // is summed as CENT-QUANTIZED int64 (the linearTrend determinism
+    // pattern): with ~150 (nation, year) groups a rounded float sum hit a
+    // .005 boundary on this very corpus (…5425.43 vs .44 cross-engine);
+    // per-row floor(x·100) is the same IEEE double both sides, and the
+    // integer sum is order-independent.
+    QuerySpec.sql("q9_profit_nations",
+      """SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""") {
+      (s, dir) =>
+        li(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_name").like("%widget%")).select(col("p_partkey"))),
+            col("p_partkey") === col("l_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .join(broadcast(Tables.nation(s, dir)),
+              col("n_nationkey") === col("s_nationkey"))
+            .select(col("s_suppkey"), col("n_name"))),
+            col("s_suppkey") === col("l_suppkey"))
+          .join(ord(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(100)).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q14 shape: promo revenue share in one month. The ratio IS
+    // shipped here — but computed from the two ALREADY-ROUNDED sums, so
+    // both engines divide bit-identical operands and the quotient is
+    // deterministic (dividing raw float sums would not be).
+    QuerySpec.sql("q14_promo_revenue",
+      """WITH sums AS (
+        |  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+        |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo AS promo_revenue, total AS total_revenue,
+        |       round(100.0 * promo / total, 4) AS promo_pct
+        |FROM sums""") {
+      (s, dir) =>
+        li(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0))), 2).as("promo_revenue"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4)
+              .as("promo_pct"))
+    },
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    // relation is computed ONCE, and the max is a 1-row broadcast fold
+    // joined back (the A1 anchor-max pattern; no second scan, no window
+    // over the full relation, ties kept as the spec requires).
+    QuerySpec.sql("q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""") {
+      (s, dir) => {
+        val rev = li(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_revenue") === col("max_rev"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      }
+    },
+
+    // TPC-H Q18 shape: large-volume orders — HAVING over a fact-table
+    // group-by, then the qualifying keys (a tiny relation) pull their
+    // order/customer rows. The quantity agg shuffles lineitem ONCE on
+    // orderkey; the join back to orders is key-on-key.
+    QuerySpec.sql("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |         JOIN customer ON c_custkey = o_custkey
+        |ORDER BY totalprice DESC, o_orderkey""") {
+      (s, dir) =>
+        li(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("raw_qty"))
+          .filter(col("raw_qty") > 250)
+          .select(col("l_orderkey"), round(col("raw_qty"), 2).as("sum_qty"))
+          .join(ord(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(cust(s, dir), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+          .orderBy(col("totalprice").desc, col("o_orderkey"))
+    },
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates across the
+    // join — each disjunct pairs part attributes with lineitem attributes,
+    // so the filter can only apply POST-join; what pushes down is the
+    // union-of-brands prune on the broadcast side.
+    QuerySpec.sql("q19_brand_size_qty",
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 21)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 40)""") {
+      (s, dir) =>
+        li(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand").isin("Brand#4", "Brand#19", "Brand#16"))
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("p_partkey") === col("l_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+              col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+            (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+              col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+            (col("p_brand") === "Brand#16" && col("p_size").between(1, 35) &&
+              col("l_quantity") >= 20 && col("l_quantity") <= 40))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"), count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q22 shape (adapted: nation stands in for the phone country
+    // code, and "no orders" becomes "no orders since 1999" — this corpus
+    // gives every customer at least one order, which would make the pure
+    // anti-join vacuously empty): above-average-balance customers gone
+    // idle — a scalar 1-row broadcast threshold + a left-anti join on the
+    // fact key with the recency predicate pushed into the anti side's scan.
+    QuerySpec.sql("q22_idle_customers",
+      """WITH thresh AS (
+        |  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name AS nation, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > (SELECT avg_bal FROM thresh)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""") {
+      (s, dir) => {
+        val thresh = cust(s, dir).filter(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        cust(s, dir)
+          .crossJoin(broadcast(thresh))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(ord(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .orderBy(col("nation"))
+      }
+    },
   )
 }
