@@ -1068,6 +1068,42 @@ object ScaleProbe {
             spark.table(name).count()
           })
         }),
+        // the STREAM-STREAM interval join (the stream_interval_join
+        // registry shape): purchases ⋈ recent same-user events, raw pair
+        // emission (inner join emits on arrival — no wm dependency in a
+        // bounded replay), then the batch aggregate over the materialized
+        // pairs. Both sides buffer in join state within the batch, so the
+        // expected cost is two corpus scans + the (user, time-bin)-bounded
+        // pair state — the attribution_window class plus sink overhead.
+        "stream_interval_join" -> (() => {
+          val path = s"target/scaleprobe/events_$tag"
+          ev.write.mode("overwrite").parquet(path)
+          time(s"$tag/stream_interval_join")({
+            val schema = spark.read.parquet(path).schema
+            def src() = Tables.normalizeEventTs(
+              spark.readStream.schema(schema).parquet(path))
+            val e = src().withWatermark("ts", "1 hour")
+              .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+                expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+            val p = src().filter(col("event_type") === "purchase")
+              .withWatermark("ts", "1 hour")
+              .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                col("event_id").as("purchase_id"))
+            val joined = p.join(e,
+              col("e_user") === col("p_user") &&
+                col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+                col("e_ts") < col("p_ts"))
+            val name = s"probe_stream_ssj_$tag"
+            val q = joined.writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).groupBy(col("purchase_id"))
+              .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("c"),
+                max(col("e_ts")).as("m")).count()
+          })
+        }),
         // watermark-evicted session windows over the staged two-file
         // replay (the stream_sessionize registry shape): corpus batch
         // sets the wm, driver batch flushes sessions under it. State is

@@ -646,6 +646,65 @@ object Pipeline {
       }
     },
 
+    // Fifth streaming surface: the STREAM-STREAM interval join itself
+    // (purchases ⋈ recent same-user events) — not a state twin of a batch
+    // operator but Spark's streaming join operator driver-checked. The
+    // sink materializes the raw JOINED PAIRS: an inner stream-stream join
+    // emits a pair the moment both sides have arrived — emission never
+    // waits on the watermark (the watermark only gates STATE EVICTION,
+    // which in a bounded AvailableNow replay can only drop matches that
+    // would still arrive; with both sides fully present in batch 1 and
+    // wm=0 during it, nothing evicts and the pair set equals the batch
+    // join exactly). The aggregation to the oracle shape happens on the
+    // materialized static table (the stream_funnel convention), so this
+    // hash-matches q_attribution_window's oracle verbatim.
+    QuerySpec.sql("stream_interval_join",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS end_us,
+        |             us - 1800000000 AS start_us
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(e.cents) AS BIGINT) AS cents_total, max(e.us) AS last_us
+        |FROM p JOIN e ON e.user_id = p.user_id
+        |              AND e.us >= p.start_us AND e.us < p.end_us
+        |GROUP BY 1 ORDER BY purchase_id""") {
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def src() = Tables.normalizeEventTs(Ingest.streamParquet(s, dir, "events"))
+        val e = src().withWatermark("ts", "1 hour")
+          .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val p = src().filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val joined = p.join(e,
+          col("e_user") === col("p_user") &&
+            col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("e_ts") < col("p_ts"))
+        val name = "graft_stream_interval_join"
+        val q = joined
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("cents_total"),
+            max(unix_micros(col("e_ts"))).as("last_us"))
+          .orderBy(col("purchase_id"))
+        require(!out.isEmpty ||
+          IntervalJoin.attributionWindow(Tables.events(s, dir),
+            windowMinutes = 30).isEmpty,
+          s"stream_interval_join streamed zero pairs from $dir but the " +
+            "batch attribution join has rows")
+        out
+      }
+    },
+
     // Fourth streaming twin surface: WATERMARK-EVICTED session
     // windows (sessionizeStream / session_window + append mode) — unlike
     // the flatMapGroupsWithState twins above, here the EMISSION SET itself
