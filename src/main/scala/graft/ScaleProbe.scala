@@ -1068,6 +1068,19 @@ object ScaleProbe {
             spark.table(name).count()
           })
         }),
+        // KMV sketches: the only corpus-shaped step is the (group, hash)
+        // DISTINCT (map-side combinable, 12-byte rows); the bottom-k cut
+        // is the rpRerank bounded-aggregate pattern and everything after
+        // the per-part sketches is sketch-sized. Expect the linear-scan
+        // class.
+        "sketch_kmv" -> (() =>
+          time(s"$tag/sketch_kmv")(
+            graft.ops.Sketches.kmvDistinct(docs, "lang", "text", k = 32)
+              .count())),
+        "sketch_kmv_overlap" -> (() =>
+          time(s"$tag/sketch_kmv_overlap")(
+            graft.ops.Sketches.kmvOverlap(ev, "event_type", "user_id",
+              k = 64).count())),
         // the STREAM-STREAM interval join (the stream_interval_join
         // registry shape): purchases ⋈ recent same-user events, raw pair
         // emission (inner join emits on arrival — no wm dependency in a

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches with ORACLE-EXACT arithmetic.
+  *
+  * The engine's exact distinct counts (`q_distinct_customers`,
+  * `q_profile_lineitem`) document approx_count_distinct as the extreme-
+  * cardinality swap — but HLL internals are engine-specific, so that swap
+  * trades away the DuckDB hash-compare. A bottom-k (KMV) sketch keeps it:
+  * every piece is deterministic md5 arithmetic (the [[Sampling.hashKey]]
+  * convention), the estimator is ONE integer division, and the sketch is
+  * MERGEABLE (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))), the
+  * property that makes it a per-partition/per-day artifact a 100 TB
+  * pipeline can maintain incrementally and union at query time.
+  *
+  * Reference estimator: Bar-Yossef et al., "Counting distinct elements in
+  * a data stream" (RANDOM 2002) — E[distinct] ≈ (k−1)/U_(k) with U_(k)
+  * the k-th smallest hash normalized to [0, 1); here in integer form
+  * (k−1)·2³² div h_(k) over the 32-bit [[Sampling.hashKey]] space.
+  */
+object Sketches {
+
+  /** Per-group KMV distinct estimate: groups smaller than k report their
+    * EXACT hash-distinct count (the bottom-k list IS the full hash set);
+    * larger groups report the integer estimator over the k-th smallest
+    * hash. Output: (group, n_kept ≤ k, kth_hash, est_distinct).
+    *
+    * Plan shape (the 100 TB story): one map-side-combinable DISTINCT on
+    * (group, hash) — the only corpus-shaped exchange, carrying 12-byte
+    * rows — then a bounded top-k hash aggregate
+    * ([[graft.functions.BoundedTopKLong]], ≤ k-pair buffers per
+    * (partition, group); the rpRerank cut pattern). No corpus sort, no
+    * rank window, no per-group state beyond k longs — and `hashKey`
+    * collisions (birthday-bounded in the 2³² space) are part of the
+    * sketch's error budget, replayed identically by the oracle. */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    val hashed = df
+      .select(col(groupCol), Sampling.hashKey(col(keyCol)).as("hk"))
+      .distinct()
+    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
+    hashed.groupBy(col(groupCol))
+      .agg(bottomK(col("hk"), col("hk")).as("__bottom"))
+      .select(col(groupCol),
+        size(col("__bottom")).cast("long").as("n_kept"),
+        element_at(col("__bottom"), size(col("__bottom"))).as("kth_hash"),
+        when(size(col("__bottom")) < k, size(col("__bottom")).cast("long"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS BIGINT) * 4294967296L) div " +
+              "element_at(__bottom, size(__bottom))"))
+          .as("est_distinct"))
+  }
+
+  /** Pairwise set-overlap estimates from MERGED sketches — the KMV set
+    * algebra (Beyer et al., "On synopses for distinct-value estimation
+    * under multiset operations", SIGMOD 2007): for parts a < b, merge
+    * their bottom-k lists, re-cut to the union's bottom-k K, and read
+    *
+    *   est_union        = the [[kmvDistinct]] estimator over K,
+    *   est_jaccard_ppm  = 10⁶ · |K ∩ L_a ∩ L_b| div |K|   (exact-integer
+    *                      MinHash-style fraction — K is a uniform sample
+    *                      of the union),
+    *   est_intersection = est_jaccard_ppm · est_union div 10⁶.
+    *
+    * Everything after the per-part sketches is sketch-sized: the pair
+    * relation is |parts|² rows of ≤ k-long arrays, the merge is
+    * array_union + one ≤ 2k-row window per pair — this is exactly the
+    * union-at-query-time shape that lets a 100 TB pipeline keep one
+    * sketch per (partition, day) and answer any pairwise audience /
+    * vocabulary overlap without re-touching the corpus. Integer ppm
+    * throughout — no cross-engine float arithmetic. */
+  def kmvOverlap(df: DataFrame, partCol: String, keyCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    val hashed = df
+      .select(col(partCol).as("part"), Sampling.hashKey(col(keyCol)).as("hk"))
+      .distinct()
+    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
+    val sk = hashed.groupBy(col("part"))
+      .agg(bottomK(col("hk"), col("hk")).as("sk"))
+    val pairs = sk.select(col("part").as("part_a"), col("sk").as("ska"))
+      .join(sk.select(col("part").as("part_b"), col("sk").as("skb")),
+        col("part_a") < col("part_b"))
+    val merged = pairs.select(col("part_a"), col("part_b"),
+        explode(array_union(col("ska"), col("skb"))).as("hk"),
+        col("ska"), col("skb"))
+      .select(col("part_a"), col("part_b"), col("hk"),
+        array_contains(col("ska"), col("hk")).as("in_a"),
+        array_contains(col("skb"), col("hk")).as("in_b"))
+    // ≤ 2k rows per pair — the window is sketch-sized, never corpus-sized
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part_a"), col("part_b")).orderBy(col("hk"))
+    merged.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("hk")).as("kth_hash"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .as("n_common"))
+      .select(col("part_a"), col("part_b"), col("n_kept"), col("n_common"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4294967296L) div kth_hash"))
+          .as("est_union"),
+        expr("(1000000L * n_common) div n_kept").as("est_jaccard_ppm"))
+      .withColumn("est_intersection",
+        expr("(est_jaccard_ppm * est_union) div 1000000L"))
+  }
+}

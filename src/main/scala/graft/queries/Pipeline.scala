@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ingest.Parse
-import graft.ops.{AsofJoin, EventAnalytics, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences}
+import graft.ops.{AsofJoin, EventAnalytics, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences, Sketches}
 import graft.streaming.Ingest
 
 /** Sequence assembly, forecasting, as-of joins, pivot, streaming ingest and
@@ -955,6 +955,69 @@ object Pipeline {
         Multimodal.extractAudioFeatures(
           Multimodal.asAudio(Tables.documents(s, dir))).toDF()
           .orderBy(col("doc_id"))
+    },
+
+    // Mergeable KMV (bottom-k) distinct sketch per language — the
+    // oracle-checkable stand-in for approx_count_distinct (HLL internals
+    // are engine-specific; bottom-k md5 arithmetic replays exactly).
+    // k=32 puts every sf0.01 language on the ESTIMATOR path while small
+    // groups (sf0.001, empty) exercise the exact-count branch.
+    QuerySpec.sql("sketch_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |         list_reduce(list_transform(string_split(substr(md5(text), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM documents),
+        |b AS (SELECT lang, hk, row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn FROM h),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(hk) AS kth_hash
+        |      FROM b WHERE rn <= 32 GROUP BY lang)
+        |SELECT lang, n_kept, kth_hash,
+        |       CASE WHEN n_kept < 32 THEN n_kept
+        |            ELSE (31 * 4294967296) // kth_hash END AS est_distinct
+        |FROM g ORDER BY lang""") {
+      (s, dir) =>
+        Sketches.kmvDistinct(Tables.documents(s, dir), "lang", "text", k = 32)
+          .orderBy(col("lang"))
+    },
+
+    // KMV set algebra: pairwise audience overlap between event types from
+    // MERGED sketches alone (union re-cut to bottom-k, MinHash-style
+    // common fraction in integer ppm) — the union-at-query-time shape a
+    // 100 TB pipeline uses to answer any pairwise overlap from per-part
+    // sketches without re-touching the corpus.
+    QuerySpec.sql("sketch_kmv_overlap",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part,
+        |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM events),
+        |b AS (SELECT part, hk, row_number() OVER (PARTITION BY part ORDER BY hk) AS rn FROM h),
+        |sk AS (SELECT part, hk FROM b WHERE rn <= 64),
+        |pr AS (SELECT a.part AS part_a, b2.part AS part_b
+        |       FROM (SELECT DISTINCT part FROM sk) a
+        |       JOIN (SELECT DISTINCT part FROM sk) b2 ON a.part < b2.part),
+        |m AS (SELECT pr.part_a, pr.part_b, s.hk,
+        |             max(CASE WHEN s.part = pr.part_a THEN 1 ELSE 0 END) AS in_a,
+        |             max(CASE WHEN s.part = pr.part_b THEN 1 ELSE 0 END) AS in_b
+        |      FROM pr JOIN sk s ON s.part IN (pr.part_a, pr.part_b)
+        |      GROUP BY 1, 2, 3),
+        |mb AS (SELECT *, row_number() OVER (PARTITION BY part_a, part_b ORDER BY hk) AS rn FROM m),
+        |g AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_kept,
+        |             max(hk) AS kth_hash,
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |      FROM mb WHERE rn <= 64 GROUP BY 1, 2),
+        |e AS (SELECT part_a, part_b, n_kept, n_common,
+        |             CASE WHEN n_kept < 64 THEN n_kept
+        |                  ELSE (63 * 4294967296) // kth_hash END AS est_union,
+        |             (1000000 * n_common) // n_kept AS est_jaccard_ppm
+        |      FROM g)
+        |SELECT part_a, part_b, n_kept, n_common, est_union, est_jaccard_ppm,
+        |       (est_jaccard_ppm * est_union) // 1000000 AS est_intersection
+        |FROM e ORDER BY part_a, part_b""") {
+      (s, dir) =>
+        Sketches.kmvOverlap(Tables.events(s, dir), "event_type", "user_id",
+            k = 64)
+          .orderBy(col("part_a"), col("part_b"))
     }
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+class SketchesSpec extends AnyFunSuite with SparkFixture {
+
+  /** Driver-side reference of [[graft.ops.Sampling.hashKey]]: first 8 hex
+    * chars of md5 as a long — used to hand-compute expected sketches. */
+  private def hk(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("groups under k report exact hash-distinct counts (duplicates collapsed)") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z"))
+      .toDF("g", "key")
+    val out = Sketches.kmvDistinct(df, "g", "key", k = 8).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"))).toMap
+    assert(out === Map("a" -> (2L, 2L), "b" -> (1L, 1L)))
+  }
+
+  test("estimator matches the hand-computed k-th hash and lands near truth") {
+    import spark.implicits._
+    val n = 500
+    val df = (1 to n).map(i => ("g", s"key_$i")).toDF("g", "key")
+    val k = 16
+    val row = Sketches.kmvDistinct(df, "g", "key", k).collect().head
+    val sorted = (1 to n).map(i => hk(s"key_$i")).distinct.sorted
+    val kth = sorted(k - 1)
+    assert(row.getAs[Long]("kth_hash") === kth)
+    assert(row.getAs[Long]("n_kept") === k.toLong)
+    val est = row.getAs[Long]("est_distinct")
+    assert(est === (k - 1).toLong * 4294967296L / kth)
+    // k=16 → relative σ ≈ 1/√(k−2) ≈ 27%; 2.5σ band around the truth
+    assert(est > n / 2 && est < n * 2, s"estimate $est far from $n")
+  }
+
+  test("sketch is mergeable: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))") {
+    val k = 32
+    val a = (1 to 300).map(i => hk(s"a_$i")).distinct.sorted
+    val b = (1 to 300).map(i => hk(s"b_$i")).distinct.sorted
+    val whole = (a ++ b).distinct.sorted.take(k)
+    val merged = (a.take(k) ++ b.take(k)).distinct.sorted.take(k)
+    assert(whole === merged)
+  }
+
+  test("overlap estimates recover disjoint, nested, and identical audiences") {
+    import spark.implicits._
+    val shared = (1 to 200).map(i => s"u_$i")
+    val onlyC = (1 to 200).map(i => s"c_$i")
+    val rows =
+      shared.map(("t1", _)) ++ shared.map(("t2", _)) ++ // t1 == t2
+        onlyC.map(("t3", _)) // t3 disjoint from both
+    val df = rows.toDF("part", "key")
+    val out = Sketches.kmvOverlap(df, "part", "key", k = 32).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("est_jaccard_ppm"), r.getAs[Long]("n_common"),
+          r.getAs[Long]("n_kept"))).toMap
+    // identical sets: every merged-bottom-k hash is in both → 10⁶ ppm
+    assert(out(("t1", "t2"))._1 === 1000000L)
+    // disjoint sets: no merged hash in both → 0 ppm
+    assert(out(("t1", "t3"))._1 === 0L)
+    assert(out(("t2", "t3"))._1 === 0L)
+    assert(out.values.forall(_._3 === 32L))
+  }
+
+  test("overlap intersection estimate tracks a 50% overlap") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => ("x", s"s_$i")) ++
+      (101 to 300).map(i => ("y", s"s_$i"))).toDF("part", "key")
+    val r = Sketches.kmvOverlap(df, "part", "key", k = 64).collect().head
+    // truth: |x ∪ y| = 300, |x ∩ y| = 100, J = 1/3
+    val ppm = r.getAs[Long]("est_jaccard_ppm")
+    assert(ppm > 150000 && ppm < 550000, s"jaccard ppm $ppm far from 333333")
+    val inter = r.getAs[Long]("est_intersection")
+    assert(inter > 40 && inter < 220, s"intersection $inter far from 100")
+  }
+}

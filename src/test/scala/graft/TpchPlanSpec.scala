@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Plan pins for the TPC-H-shape additions — "correct" is not enough for
+  * these, the PLAN is the claim (SURVEY relational table): Q6's filters
+  * must reach the parquet scan, Q8's five dimension legs must all
+  * broadcast, Q22's NOT-EXISTS must plan as a true anti join. A Catalyst
+  * or source-option change that silently degrades one of these keeps the
+  * oracle green while losing the 100 TB story; this spec makes it loud.
+  */
+class TpchPlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val q = Registry.all.find(_.name == name)
+      .getOrElse(fail(s"$name not in registry"))
+    q.fn(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("q6: all three predicates push into the parquet scan") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q6_revenue_delta")
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed to the scan:\n$pushed")
+  }
+
+  test("q8: every dimension leg broadcasts; the fact table never sort-merges against a dimension") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q8_market_share")
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    // part, supplier-nation, customer-region legs at minimum (orders ⋈
+    // lineitem is fact-on-fact and may shuffle — that one is keyed)
+    assert(bhj >= 3, s"expected >= 3 broadcast joins, saw $bhj:\n$plan")
+    val smjOnDim = plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") &&
+        (l.contains("p_partkey") || l.contains("s_suppkey") ||
+          l.contains("n_nationkey") || l.contains("r_regionkey")))
+    assert(!smjOnDim, s"a dimension leg sort-merged:\n$plan")
+  }
+
+  test("q22: the no-recent-orders predicate plans as an anti join on the pruned orders side") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q22_idle_customers")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    // the recency filter must prune orders BEFORE the anti join's build
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"recency predicate not pushed into the orders scan:\n$pushed")
+  }
+}
