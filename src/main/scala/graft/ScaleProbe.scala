@@ -1081,6 +1081,14 @@ object ScaleProbe {
           time(s"$tag/sketch_kmv_overlap")(
             graft.ops.Sketches.kmvOverlap(ev, "event_type", "user_id",
               k = 64).count())),
+        // weighted priority sample: narrow projection + global top-n
+        // (TakeOrderedAndProject — bounded per-partition heaps); the only
+        // corpus-shaped work is the scan, so expect the flat class
+        "sample_priority" -> (() =>
+          time(s"$tag/sample_priority")(
+            Sampling.prioritySample(docs, "lang",
+              Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L,
+                "zh" -> 1L), n = 100).count())),
         // the STREAM-STREAM interval join (the stream_interval_join
         // registry shape): purchases ⋈ recent same-user events, raw pair
         // emission (inner join emits on arrival — no wm dependency in a

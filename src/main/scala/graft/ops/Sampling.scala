@@ -82,6 +82,44 @@ object Sampling {
       _.withColumn("__quota", lit(n.toLong)))
       .select(df.columns.map(col).toIndexedSeq: _*)
 
+  /** Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): a WEIGHTED
+    * fixed-size sample without replacement — each row gets priority
+    * q = w / u with u uniform in (0, 1], the n highest priorities win, so
+    * inclusion probability grows with the row's weight and a stratum with
+    * weight 4 lands ~4× the rows of a weight-1 stratum at equal sizes.
+    * Complements [[stratifiedQuota]] (fixed n PER stratum, unweighted):
+    * here the strata COMPETE for one global budget in weight proportion.
+    *
+    * Determinism contract: u = (hashKey + 1) / 2³² from the md5 key (the
+    * module's keying convention), priorities compare as the single IEEE
+    * division (hk + 1) / w — one float op on integer operands, bit-equal
+    * in any engine — ties broken by the sample key. Strata absent from
+    * `weights` (including NULL) drop, the [[mixToWeights]] contract.
+    *
+    * Plan shape (the 100 TB story): a narrow projection + global top-n =
+    * `TakeOrderedAndProject` — bounded per-partition heaps merged on one
+    * reducer, never a full sort; the only corpus-shaped work is the scan.
+    * (Inside another aggregation the same cut would be the
+    * [[graft.functions.BoundedTopKDouble]] form; standalone, Spark's own
+    * top-n physical operator IS that plan.) */
+  def prioritySample(df: DataFrame, stratumCol: String,
+                     weights: Map[String, Long], n: Int,
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val w = weights.foldLeft(lit(0L)) { case (acc, (s, wt)) =>
+      when(col(stratumCol) === s, lit(wt)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .filter(col("__w") > 0)
+      .withColumn("__rank_key",
+        (hashKey(col(keyCol)) + lit(1L)).cast("double") / col("__w"))
+      .orderBy(col("__rank_key"), col(keyCol))
+      .limit(n)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** The `__quota` smallest-(hash, key) rows of each stratum, selected
     * without a per-stratum global sort (see the scale-design scaladoc).
     * `attachQuota` attaches a long `__quota` column to the per-(stratum,

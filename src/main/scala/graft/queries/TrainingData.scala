@@ -2683,6 +2683,31 @@ sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_scored,
           .orderBy(col("doc_id"))
     },
 
+    // Priority sampling (Duffield-Lund-Thorup): ONE global budget the
+    // strata compete for in weight proportion — priority = w/u, top-n win;
+    // u = (hash32+1)/2³², so the rank key (hk+1)/w is a single IEEE
+    // division on integer operands, bit-equal in both engines, ties by
+    // doc_id. The plan is TakeOrderedAndProject (bounded per-partition
+    // heaps), never a global sort.
+    QuerySpec.sql("sample_weighted_priority",
+      """WITH h AS (SELECT doc_id, lang,
+        |             list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 8), ''),
+        |               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk,
+        |             CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+        |                       WHEN 'fr' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END AS w
+        |           FROM documents)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM h WHERE w > 0
+        |  ORDER BY (hk + 1) / w ASC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""") {
+      (s, dir) =>
+        Sampling.prioritySample(Tables.documents(s, dir), "lang",
+            Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L),
+            n = 100)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+    },
+
     // Weighted mixture rebalance: subsample every language to the target
     // weight ratios, keeping the binding (scarcest-per-weight) stratum
     // whole. quota_s = floor(w_s · min_t(count_t / w_t)) — the per-weight

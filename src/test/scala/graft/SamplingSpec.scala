@@ -211,4 +211,37 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       "b" -> ((10L, 1L, 100000L, 0L)),
       "c" -> ((6L, 1L, 166666L, 0L))))
   }
+
+  test("prioritySample: weight-proportional inclusion, driver-side reference parity, top-n plan") {
+    import spark.implicits._
+    // 400 docs per stratum; heavy weighted 4x light -> ~4x the rows
+    val df = ((1 to 400).map(i => (i.toLong, "heavy")) ++
+      (401 to 800).map(i => (i.toLong, "light"))).toDF("doc_id", "lang")
+    val weights = Map("heavy" -> 4L, "light" -> 1L)
+    val out = Sampling.prioritySample(df, "lang", weights, n = 100)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 100)
+    // exact driver-side reference: same md5 arithmetic, same rank key
+    def hk(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ref = (1L to 800L).map { id =>
+      val w = if (id <= 400) 4L else 1L
+      (id, (hk(id) + 1L).toDouble / w)
+    }.sortBy { case (id, k) => (k, id) }.take(100).map(_._1).toSet
+    assert(got.map(_._1).toSet === ref)
+    val heavy = got.count(_._2 == "heavy")
+    // E[heavy] = 80 under 4:1 weights at equal sizes; allow a wide band
+    assert(heavy > 60 && heavy < 95, s"heavy share $heavy far from 80")
+    // the plan must be Spark's bounded top-n, never a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // absent stratum drops entirely
+    val dropped = Sampling.prioritySample(
+      df.unionByName(Seq((9999L, "??")).toDF("doc_id", "lang")),
+      "lang", weights, n = 800).collect()
+    assert(!dropped.exists(_.getString(1) == "??"))
+  }
 }
