@@ -1026,6 +1026,34 @@ object ScaleProbe {
             spark.table(name).count()
           })
         }),
+        // DECOMPOSITION of stream_scd2's 100× wall: same stream, same
+        // state sequencing, but a distributed count per micro-batch via
+        // foreachBatch instead of the driver-materializing memory sink —
+        // the difference IS the memory-sink term (9.9 M spans collected
+        // to the driver at the verification surface).
+        "stream_scd2_noopsink" -> (() => {
+          val path = s"target/scaleprobe/events_$tag"
+          ev.write.mode("overwrite").parquet(path)
+          time(s"$tag/stream_scd2_noopsink")({
+            val schema = spark.read.parquet(path).schema
+            val typed = Tables.normalizeEventTs(
+                spark.readStream.schema(schema).parquet(path))
+              .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+              .as(org.apache.spark.sql.Encoders.product[
+                graft.streaming.StreamOps.ScdEvent])
+            var total = 0L
+            val q = graft.streaming.StreamOps.scd2Stream(typed).toDF()
+              .writeStream
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                total += b.count()
+              }
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            total
+          })
+        }),
         "stream_funnel" -> (() => {
           val path = s"target/scaleprobe/events_$tag"
           ev.write.mode("overwrite").parquet(path)
@@ -1089,6 +1117,48 @@ object ScaleProbe {
             Sampling.prioritySample(docs, "lang",
               Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L,
                 "zh" -> 1L), n = 100).count())),
+        // DECOMPOSITION of stream_sessionize's 100× wall: the staging
+        // write alone (coalesce(1), corpus-linear, single-threaded —
+        // harness-only; production streams arrivals directly). The full
+        // op's wall minus this names the stream term.
+        "stream_sessionize_stage" -> (() =>
+          time(s"$tag/stream_sessionize_stage")({
+            val obs2 = ev.select(col("user_id").cast("string").as("location"),
+              col("ts").as("event_timestamp"))
+            val wmDriver = obs2
+              .agg(max(col("event_timestamp")).as("event_timestamp"))
+              .filter(col("event_timestamp").isNotNull)
+              .select(lit("~wm").as("location"), col("event_timestamp"))
+            graft.streaming.Ingest.stageOrderedFiles(spark,
+              Seq(obs2, wmDriver), s"target/scaleprobe/sess_stage_$tag")
+            2L // staged files; the timed work is the write itself
+          })),
+        // ...and the sessionize stream WITHOUT the memory sink (staged
+        // replay + session_window + distributed per-batch count): full op
+        // minus stage minus this names the driver-sink term.
+        "stream_sessionize_noopsink" -> (() =>
+          time(s"$tag/stream_sessionize_noopsink")({
+            val obs2 = ev.select(col("user_id").cast("string").as("location"),
+              col("ts").as("event_timestamp"))
+            val wmDriver = obs2
+              .agg(max(col("event_timestamp")).as("event_timestamp"))
+              .filter(col("event_timestamp").isNotNull)
+              .select(lit("~wm").as("location"), col("event_timestamp"))
+            val in = graft.streaming.Ingest.stageOrderedFiles(spark,
+              Seq(obs2, wmDriver), s"target/scaleprobe/sess_noop_$tag")
+            var total = 0L
+            val q = graft.streaming.StreamOps.sessionizeStream(in,
+                gapMinutes = 480, watermarkDelay = "4 hours")
+              .writeStream
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                total += b.count()
+              }
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            total
+          })),
         // the STREAM-STREAM interval join (the stream_interval_join
         // registry shape): purchases ⋈ recent same-user events, raw pair
         // emission (inner join emits on arrival — no wm dependency in a
