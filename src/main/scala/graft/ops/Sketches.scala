@@ -98,13 +98,22 @@ object Sketches {
       .agg(count(lit(1)).as("n_kept"),
         max(col("hk")).as("kth_hash"),
         sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
-          .as("n_common"))
+          .as("n_common"),
+        sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L))
+          .as("n_only_a"),
+        sum(when(col("in_b") && !col("in_a"), 1L).otherwise(0L))
+          .as("n_only_b"))
       .select(col("part_a"), col("part_b"), col("n_kept"), col("n_common"),
+        col("n_only_a"), col("n_only_b"),
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4294967296L) div kth_hash"))
           .as("est_union"),
         expr("(1000000L * n_common) div n_kept").as("est_jaccard_ppm"))
+      // the full set algebra from one merged sample: ∩ and both
+      // differences as union-sample fractions of the union estimate
       .withColumn("est_intersection",
         expr("(est_jaccard_ppm * est_union) div 1000000L"))
+      .withColumn("est_only_a", expr("(n_only_a * est_union) div n_kept"))
+      .withColumn("est_only_b", expr("(n_only_b * est_union) div n_kept"))
   }
 }

@@ -705,6 +705,46 @@ object Pipeline {
       }
     },
 
+    // Streaming D1: latestPerKeyStateful (mapGroupsWithState, UPDATE
+    // mode — one updated row per key per batch, state = ONE row per key)
+    // hash-matched against the batch latest_per_key oracle verbatim
+    // (µs-ordering contract aligned with the batch operator). The
+    // bounded replay is one micro-batch, so the update stream holds
+    // exactly one row per key — asserted, because a multi-batch split
+    // would legitimately append per-batch updates (the cross-batch
+    // advance semantics live in StreamOpsSpec).
+    QuerySpec.sql("stream_latest_per_key",
+      """SELECT CAST(user_id AS VARCHAR) AS location, event_id,
+        |       event_type AS code, value, epoch_us(ts) AS event_us
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""") {
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val typed = Tables.normalizeEventTs(Ingest.streamParquet(s, dir, "events"))
+          .select(col("user_id").cast("string").as("location"),
+            col("ts").as("event_timestamp"), col("event_id"),
+            col("event_type").as("code"), col("value"))
+          .as[graft.streaming.StreamOps.ObsState]
+        val name = "graft_stream_latest"
+        val q = graft.streaming.StreamOps.latestPerKeyStateful(typed).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(graft.streaming.StreamOps.LatestOutputMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val t = s.table(name)
+        require(t.groupBy(col("location")).count()
+            .filter(col("count") > 1).isEmpty,
+          "stream_latest_per_key expected a single-batch replay (one " +
+            "update row per key); the source split into multiple batches")
+        t.select(col("location"), col("event_id"), col("code"), col("value"),
+            unix_micros(col("event_timestamp")).as("event_us"))
+          .orderBy(col("location"))
+      }
+    },
+
     // Fourth streaming twin surface: WATERMARK-EVICTED session
     // windows (sessionizeStream / session_window + append mode) — unlike
     // the flatMapGroupsWithState twins above, here the EMISSION SET itself
@@ -1004,15 +1044,20 @@ object Pipeline {
         |mb AS (SELECT *, row_number() OVER (PARTITION BY part_a, part_b ORDER BY hk) AS rn FROM m),
         |g AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_kept,
         |             max(hk) AS kth_hash,
-        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |             CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
         |      FROM mb WHERE rn <= 64 GROUP BY 1, 2),
-        |e AS (SELECT part_a, part_b, n_kept, n_common,
+        |e AS (SELECT part_a, part_b, n_kept, n_common, n_only_a, n_only_b,
         |             CASE WHEN n_kept < 64 THEN n_kept
         |                  ELSE (63 * 4294967296) // kth_hash END AS est_union,
         |             (1000000 * n_common) // n_kept AS est_jaccard_ppm
         |      FROM g)
-        |SELECT part_a, part_b, n_kept, n_common, est_union, est_jaccard_ppm,
-        |       (est_jaccard_ppm * est_union) // 1000000 AS est_intersection
+        |SELECT part_a, part_b, n_kept, n_common, n_only_a, n_only_b,
+        |       est_union, est_jaccard_ppm,
+        |       (est_jaccard_ppm * est_union) // 1000000 AS est_intersection,
+        |       (n_only_a * est_union) // n_kept AS est_only_a,
+        |       (n_only_b * est_union) // n_kept AS est_only_b
         |FROM e ORDER BY part_a, part_b""") {
       (s, dir) =>
         Sketches.kmvOverlap(Tables.events(s, dir), "event_type", "user_id",

@@ -58,12 +58,18 @@ object StreamOps {
   def latestPerKeyStateful(stream: Dataset[ObsState]): Dataset[ObsState] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    // MICROSECOND ordering, not Timestamp.getTime (ms): the batch D1
+    // operator and its oracle rank by the full µs event time, and two
+    // same-user events inside one millisecond would tie here and fall to
+    // event_id where the batch form correctly prefers the later µs.
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     stream
       .groupByKey(_.location)
       .mapGroupsWithState[ObsState, ObsState](GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[ObsState], state: GroupState[ObsState]) =>
           val candidates = rows ++ state.getOption.iterator
-          val latest = candidates.maxBy(o => (o.event_timestamp.getTime, o.event_id))
+          val latest = candidates.maxBy(o => (us(o.event_timestamp), o.event_id))
           state.update(latest)
           latest
       }
@@ -85,12 +91,15 @@ object StreamOps {
       .flatMapGroupsWithState[ObsState, ObsState](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[ObsState], state: GroupState[ObsState]) =>
-          val incoming = rows.maxBy(o => (o.event_timestamp.getTime, o.event_id))
+          // same µs-ordering contract as latestPerKeyStateful
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val incoming = rows.maxBy(o => (us(o.event_timestamp), o.event_id))
           val prev = state.getOption
           val newer = prev.forall { p =>
             import scala.math.Ordering.Implicits._
-            (incoming.event_timestamp.getTime, incoming.event_id) >
-              ((p.event_timestamp.getTime, p.event_id))
+            (us(incoming.event_timestamp), incoming.event_id) >
+              ((us(p.event_timestamp), p.event_id))
           }
           if (newer) {
             state.update(incoming)

@@ -60,12 +60,19 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     val out = Sketches.kmvOverlap(df, "part", "key", k = 32).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getAs[Long]("est_jaccard_ppm"), r.getAs[Long]("n_common"),
-          r.getAs[Long]("n_kept"))).toMap
-    // identical sets: every merged-bottom-k hash is in both → 10⁶ ppm
+          r.getAs[Long]("n_kept"), r.getAs[Long]("est_only_a"),
+          r.getAs[Long]("est_only_b"), r.getAs[Long]("est_union"))).toMap
+    // identical sets: every merged-bottom-k hash is in both → 10⁶ ppm,
+    // both differences empty
     assert(out(("t1", "t2"))._1 === 1000000L)
-    // disjoint sets: no merged hash in both → 0 ppm
+    assert(out(("t1", "t2"))._4 === 0L && out(("t1", "t2"))._5 === 0L)
+    // disjoint sets: no merged hash in both → 0 ppm, and the two
+    // difference estimates partition the union estimate (up to the two
+    // integer divisions)
     assert(out(("t1", "t3"))._1 === 0L)
     assert(out(("t2", "t3"))._1 === 0L)
+    val d = out(("t1", "t3"))
+    assert(d._4 + d._5 >= d._6 - 2 && d._4 + d._5 <= d._6)
     assert(out.values.forall(_._3 === 32L))
   }
 
