@@ -1026,6 +1026,33 @@ object ScaleProbe {
             spark.table(name).count()
           })
         }),
+        // streaming D1 (the stream_latest_per_key registry shape):
+        // mapGroupsWithState latest-per-key, UPDATE mode — state and
+        // output are both one row per key, so the probe should read as
+        // one corpus scan + a |keys|-sized sink regardless of N.
+        "stream_latest" -> (() => {
+          val path = s"target/scaleprobe/events_$tag"
+          ev.write.mode("overwrite").parquet(path)
+          time(s"$tag/stream_latest")({
+            val schema = spark.read.parquet(path).schema
+            val typed = Tables.normalizeEventTs(
+                spark.readStream.schema(schema).parquet(path))
+              .select(col("user_id").cast("string").as("location"),
+                col("ts").as("event_timestamp"), col("event_id"),
+                col("event_type").as("code"), col("value"))
+              .as(org.apache.spark.sql.Encoders.product[
+                graft.streaming.StreamOps.ObsState])
+            val name = s"probe_stream_latest_$tag"
+            val q = graft.streaming.StreamOps.latestPerKeyStateful(typed)
+              .toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode(graft.streaming.StreamOps.LatestOutputMode)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })
+        }),
         // DECOMPOSITION of stream_scd2's 100× wall: same stream, same
         // state sequencing, but a distributed count per micro-batch via
         // foreachBatch instead of the driver-materializing memory sink —
