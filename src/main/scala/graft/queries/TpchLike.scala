@@ -557,8 +557,12 @@ object TpchLike {
     // canonical pushdown probe: all three filters reach the parquet scan
     // (PushedFilters), the agg is one partial+final pair, no shuffle of
     // data rows at all (only the 1-row partials).
+    // Revenue ships CENT-QUANTIZED (the q9 pattern, applied family-wide in
+    // r17 per ADVICE): per-row floor(x·100) is the same IEEE double on
+    // both engines and the BIGINT sum is summation-order-independent —
+    // round(sum(double), 2) was one .005 boundary away from a flaky hash.
     QuerySpec.sql("q6_revenue_delta",
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -570,23 +574,24 @@ object TpchLike {
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-            .as("revenue"), count(lit(1)).as("n_items"))
+          .agg(sum(floor(col("l_extendedprice") * col("l_discount") * lit(100))
+            .cast("long")).as("revenue_cents"), count(lit(1)).as("n_items"))
     },
 
     // TPC-H Q8 shape: the widest join tree in the registry — lineitem at
     // the center with FIVE dimension legs (part, supplier→nation, orders→
     // customer→nation→region). Every dimension leg broadcasts (all are
     // key-bounded small relations); lineitem is touched once and never
-    // shuffled on a non-key. Ratio columns ship as separately-rounded
-    // sums (an IEEE division of two cross-engine float sums is a hash
-    // hazard; the two operands pin the same information).
+    // shuffled on a non-key. The market-share ratio ships as its two
+    // CENT-QUANTIZED operands (an IEEE division of two cross-engine float
+    // sums is a hash hazard; the integer pair pins the same information
+    // and the BIGINT sums are summation-order-independent — the q9 pattern).
     QuerySpec.sql("q8_market_share",
       """SELECT year(o_orderdate) AS o_year,
-        |       round(sum(CASE WHEN sn.n_name = 'NATION_3'
-        |                      THEN l_extendedprice * (1 - l_discount)
-        |                      ELSE 0 END), 2) AS nation_revenue,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |       CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS nation_revenue_cents,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
         |JOIN supplier ON s_suppkey = l_suppkey
@@ -618,11 +623,12 @@ object TpchLike {
           .join(custAsia, col("c_custkey") === col("o_custkey"))
           .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
           .agg(
-            round(sum(when(col("supp_nation") === "NATION_3",
-              col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .otherwise(lit(0))), 2).as("nation_revenue"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("total_revenue"))
+            sum(when(col("supp_nation") === "NATION_3",
+              floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * lit(100)).cast("long"))
+              .otherwise(lit(0L))).as("nation_revenue_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(100)).cast("long")).as("total_revenue_cents"))
           .orderBy(col("o_year"))
       }
     },
@@ -667,19 +673,22 @@ object TpchLike {
     },
 
     // TPC-H Q14 shape: promo revenue share in one month. The ratio IS
-    // shipped here — but computed from the two ALREADY-ROUNDED sums, so
-    // both engines divide bit-identical operands and the quotient is
-    // deterministic (dividing raw float sums would not be).
+    // shipped here — as integer PARTS-PER-MILLION computed from the two
+    // CENT-QUANTIZED sums (the q9 pattern): both engines divide
+    // bit-identical BIGINT operands with integer `div`, so the quotient
+    // is exact and summation-order-independent end to end.
     QuerySpec.sql("q14_promo_revenue",
       """WITH sums AS (
-        |  SELECT round(sum(CASE WHEN p_type = 'PROMO'
-        |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+        |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                  THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS promo,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01')
-        |SELECT promo AS promo_revenue, total AS total_revenue,
-        |       round(100.0 * promo / total, 4) AS promo_pct
+        |SELECT promo AS promo_cents, total AS total_cents,
+        |       CASE WHEN total = 0 THEN 0
+        |            ELSE (1000000 * promo) // total END AS promo_ppm
         |FROM sums""") {
       (s, dir) =>
         li(s, dir)
@@ -689,14 +698,16 @@ object TpchLike {
             .select(col("p_partkey"), col("p_type"))),
             col("l_partkey") === col("p_partkey"))
           .agg(
-            round(sum(when(col("p_type") === "PROMO",
-              col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .otherwise(lit(0))), 2).as("promo_revenue"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("total_revenue"))
-          .select(col("promo_revenue"), col("total_revenue"),
-            round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4)
-              .as("promo_pct"))
+            sum(when(col("p_type") === "PROMO",
+              floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * lit(100)).cast("long"))
+              .otherwise(lit(0L))).as("promo_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(100)).cast("long")).as("total_cents"))
+          .select(col("promo_cents"), col("total_cents"),
+            when(col("total_cents") === 0, lit(0L))
+              .otherwise(expr("(1000000L * promo_cents) div total_cents"))
+              .as("promo_ppm"))
     },
 
     // TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
@@ -706,28 +717,31 @@ object TpchLike {
     QuerySpec.sql("q15_top_supplier",
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue
+        |SELECT s_suppkey, s_name, total_revenue_cents
         |FROM supplier JOIN rev ON s_suppkey = supplier_no
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
         |ORDER BY s_suppkey""") {
       (s, dir) => {
+        // cent-quantized revenue (the q9 pattern): the WHERE = max(...)
+        // equality is now an exact BIGINT compare — a float-sum max
+        // equality could drop or double the winner cross-engine.
         val rev = li(s, dir)
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .groupBy(col("l_suppkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("total_revenue"))
-        val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(100)).cast("long")).as("total_revenue_cents"))
+        val top = rev.agg(max(col("total_revenue_cents")).as("max_rev"))
         rev.crossJoin(broadcast(top))
-          .filter(col("total_revenue") === col("max_rev"))
+          .filter(col("total_revenue_cents") === col("max_rev"))
           .join(broadcast(Tables.supplier(s, dir)),
             col("s_suppkey") === col("l_suppkey"))
-          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
           .orderBy(col("s_suppkey"))
       }
     },
@@ -766,7 +780,7 @@ object TpchLike {
     // so the filter can only apply POST-join; what pushes down is the
     // union-of-brands prune on the broadcast side.
     QuerySpec.sql("q19_brand_size_qty",
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n_items
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
@@ -788,8 +802,9 @@ object TpchLike {
               col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
             (col("p_brand") === "Brand#16" && col("p_size").between(1, 35) &&
               col("l_quantity") >= 20 && col("l_quantity") <= 40))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"), count(lit(1)).as("n_items"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(100)).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
     },
 
     // TPC-H Q22 shape (adapted: nation stands in for the phone country
@@ -798,13 +813,20 @@ object TpchLike {
     // anti-join vacuously empty): above-average-balance customers gone
     // idle — a scalar 1-row broadcast threshold + a left-anti join on the
     // fact key with the recency predicate pushed into the anti side's scan.
+    // The above-average threshold is computed EXACTLY in integer cents and
+    // applied by cross-multiplication (cents·n_pos > sum_cents ⇔ bal >
+    // avg): a raw float avg compared with > against row values could flip
+    // a boundary customer on cross-engine summation order (ADVICE r16).
     QuerySpec.sql("q22_idle_customers",
-      """WITH thresh AS (
-        |  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0)
         |SELECT n_name AS nation, count(*) AS numcust,
-        |       round(sum(c_acctbal), 2) AS totacctbal
+        |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
         |FROM customer JOIN nation ON n_nationkey = c_nationkey
-        |WHERE c_acctbal > (SELECT avg_bal FROM thresh)
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) * (SELECT n_pos FROM pos)
+        |        > (SELECT sum_cents FROM pos)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
@@ -812,10 +834,12 @@ object TpchLike {
         |ORDER BY n_name""") {
       (s, dir) => {
         val thresh = cust(s, dir).filter(col("c_acctbal") > 0.0)
-          .agg(avg(col("c_acctbal")).as("avg_bal"))
+          .agg(sum(floor(col("c_acctbal") * lit(100)).cast("long"))
+            .as("sum_cents"), count(lit(1)).as("n_pos"))
         cust(s, dir)
           .crossJoin(broadcast(thresh))
-          .filter(col("c_acctbal") > col("avg_bal"))
+          .filter(floor(col("c_acctbal") * lit(100)).cast("long")
+            * col("n_pos") > col("sum_cents"))
           .join(ord(s, dir)
             .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
             col("o_custkey") === col("c_custkey"), "left_anti")
@@ -823,8 +847,89 @@ object TpchLike {
             col("n_nationkey") === col("c_nationkey"))
           .groupBy(col("n_name").as("nation"))
           .agg(count(lit(1)).as("numcust"),
-            round(sum(col("c_acctbal")), 2).as("totacctbal"))
+            sum(floor(col("c_acctbal") * lit(100)).cast("long"))
+              .as("totacctbal_cents"))
           .orderBy(col("nation"))
+      }
+    },
+
+    // TPC-H Q21 shape: waiting suppliers — the hardest correlation in the
+    // TPC-H deck: a correlated EXISTS (another supplier has a line on the
+    // same order) AND a correlated NOT EXISTS (no OTHER supplier was also
+    // late) double self-join on the fact table. Adapted: the corpus lacks
+    // commit/receipt dates, so "late" = shipped more than 90 days after
+    // the order date; every line of an order shares o_orderdate, so the
+    // correlation legs stay pure lineitem self-joins keyed on l_orderkey —
+    // exactly Q21's structure.
+    //
+    // Plan (the 100 TB story): lineitem⋈orders(F) is computed ONCE, for
+    // the probe side only; the nation prune applies BEFORE the self-join
+    // legs (shrinking the probe ~|nations|×, the planner-standard Q21
+    // move). The EXISTS leg probes RAW lineitem (l1's order is F, so its
+    // siblings' order is too — no second orders join), planned as a
+    // LEFT-SEMI on orderkey with the supplier inequality as residual; the
+    // NOT-EXISTS leg is a LEFT-ANTI on orderkey with the sibling's
+    // lateness evaluated as a residual against l1's CARRIED o_orderdate —
+    // the third orders join q21 implementations usually pay is gone.
+    // Every join is keyed (orderkey or the broadcast dims): no cartesian,
+    // no nested-loop — pinned in TpchPlanSpec.
+    QuerySpec.sql("q21_suppliers_waiting",
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |           JOIN nation ON n_nationkey = s_nationkey
+        |WHERE l1.late
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""") {
+      (s, dir) => {
+        // suppliers of the target nation, broadcast (tiny dim leg)
+        val sup = broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_3")),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("s_suppkey"), col("s_name")))
+        // probe side: late lines of FINISHED orders, nation-pruned first;
+        // o_orderdate rides along so the anti leg can evaluate sibling
+        // lateness as a join residual (no second lineitem⋈orders join)
+        val l1 = li(s, dir)
+          .join(ord(s, dir).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .join(sup, col("s_suppkey") === col("l_suppkey"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"),
+            col("s_name"))
+        // EXISTS: some other supplier on the same order (status inherited
+        // from l1's order — raw lineitem suffices)
+        val siblings = li(s, dir)
+          .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        // NOT EXISTS: no other supplier ALSO late on that order; lateness
+        // of the sibling line = its own shipdate vs l1's carried orderdate
+        val lateSiblings = li(s, dir)
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+            col("l_shipdate").as("ship3"))
+        l1.join(siblings,
+            col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+            "left_semi")
+          .join(lateSiblings,
+            col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey") &&
+              col("ship3") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_anti")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
       }
     },
   )

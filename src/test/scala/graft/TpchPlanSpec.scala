@@ -56,4 +56,16 @@ class TpchPlanSpec extends AnyFunSuite with SparkFixture {
     assert(pushed.contains("o_orderdate"),
       s"recency predicate not pushed into the orders scan:\n$pushed")
   }
+
+  test("q21: both correlation legs plan as keyed semi/anti joins — never cartesian or nested-loop") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q21_suppliers_waiting")
+    // the EXISTS leg must be a LeftSemi and the NOT-EXISTS a LeftAnti,
+    // each keyed on l_orderkey (hash or sort-merge — AQE picks by size);
+    // the supplier-inequality / lateness predicates ride as residuals
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in q21's plan:\n$plan")
+  }
 }
