@@ -718,7 +718,8 @@ object Pipeline {
         |       event_type AS code, value, epoch_us(ts) AS event_us
         |FROM events
         |QUALIFY row_number() OVER (
-        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""") {
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY location""") {
       (s, dir) => {
         import s.implicits._
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -742,6 +743,64 @@ object Pipeline {
         t.select(col("location"), col("event_id"), col("code"), col("value"),
             unix_micros(col("event_timestamp")).as("event_us"))
           .orderBy(col("location"))
+      }
+    },
+
+    // Streaming EXACT dedup with watermark-bounded state
+    // (dropDuplicatesWithinWatermark) — the last shipped streaming
+    // operator gains its registry surface (r16 Next #2). The corpus
+    // replays as TWO staged micro-batches: stage 0 the corpus itself
+    // ("first crawl"), stage 1 a RE-CRAWL of every document — same
+    // content, fresh ids (+1 M), later event times — so every stage-1
+    // row must be dropped by fingerprint STATE CROSSING micro-batches;
+    // none of the drops is intra-batch (the corpus has no duplicate
+    // fingerprints — asserted below, because an intra-batch duplicate's
+    // surviving row is partition-order racey and would not be
+    // oracle-checkable). The emitted set is therefore exactly the batch
+    // [[graft.ops.Dedup.exact]] survivor set (canonical = min doc_id over
+    // both generations = the stage-0 row), hash-matched against
+    // dd_exact's fingerprint arithmetic verbatim. Event times are
+    // synthesized deterministically from doc_id (1 s per id); the 30-day
+    // delay is >> the replay span, so nothing evicts mid-replay — state
+    // eviction + re-emission arithmetic (expiry = first-seen event time
+    // + delay, ms domain) is measured and pinned in StreamOpsSpec the
+    // way stream_sessionize pinned session eviction.
+    QuerySpec.sql("stream_dedup_watermark",
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS canonical_id
+        |FROM documents GROUP BY fp ORDER BY fp""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        require(docs.groupBy(
+            graft.ops.TextStats.fingerprint(col("text"))).count()
+            .filter(col("count") > 1).isEmpty,
+          "stream_dedup_watermark stages the corpus as the no-intra-batch-" +
+            "duplicate first crawl; this corpus has intra-corpus duplicate " +
+            "fingerprints — restage with the duplicates split across files")
+        val base = 1700000000000000L // fixed µs epoch anchor
+        def crawl(idOffset: Long, tOffset: Long) = docs.select(
+          (col("doc_id") + lit(idOffset)).as("doc_id"),
+          timestamp_micros(lit(base) +
+            (col("doc_id") + lit(tOffset)) * lit(1000000L))
+            .as("event_timestamp"),
+          col("text"))
+        val in = Ingest.stageOrderedFiles(s,
+          Seq(crawl(0L, 0L), crawl(1000000L, 1000000L)),
+          "target/stream_dedup_watermark_in")
+        val name = "graft_stream_dedup_wm"
+        val q = graft.streaming.StreamOps.dedupExactStream(in, "30 days")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("fp"), col("doc_id").as("canonical_id"))
+          .orderBy(col("fp"))
+        require(!out.isEmpty || docs.isEmpty,
+          s"stream_dedup_watermark streamed zero survivors from $dir but " +
+            "the corpus has documents")
+        out
       }
     },
 

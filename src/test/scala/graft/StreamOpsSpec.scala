@@ -554,6 +554,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  // Pins dropDuplicatesWithinWatermark's MEASURED eviction arithmetic on
+  // this Spark (the stream_sessionize convention — stream_dedup_watermark's
+  // oracle claim "nothing evicts mid-replay" rests on these boundaries):
+  //   state expiry  = first-seen event time + delay;
+  //   eviction      when expiry <= watermark (INCLUSIVE at equality —
+  //                  a re-arrival at the exact boundary RE-EMITS);
+  //   late arrivals (event time below the watermark, fingerprint never
+  //                  seen) are dropped, never emitted.
+  test("streaming exact dedup evicts fingerprint state at first-seen+delay <= wm, re-emits after") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = StreamOps.dedupExactStream(
+        input.toDF().toDF("doc_id", "event_timestamp", "text"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("stream_dedup_evict")
+      .outputMode("append").start()
+
+    // b1: X and Y first seen at 10:00 (expiry 10:10); wm after b1 = 09:50
+    input.addData((1L, ts(10, 0), "X"), (2L, ts(10, 0), "Y"))
+    query.processAllAvailable()
+    // b2: W at 10:18 (expiry 10:28), B at 10:11 (expiry 10:21),
+    //     Z at 10:31 → wm after b2 = 10:21
+    input.addData((3L, ts(10, 18), "W"), (4L, ts(10, 11), "B"),
+      (5L, ts(10, 31), "Z"))
+    query.processAllAvailable()
+    // b3 under wm = 10:21:
+    //   X re-arrival (expiry 10:10 <  wm) → state evicted → RE-EMITTED
+    //   B re-arrival (expiry 10:21 == wm) → evicted at EQUALITY → re-emitted
+    //   W re-arrival (expiry 10:28 >  wm) → state live → dropped
+    //   L first seen at 10:05 (below wm)  → late row, dropped — NOT emitted
+    input.addData((6L, ts(10, 25), "X"), (7L, ts(10, 25), "W"),
+      (8L, ts(10, 25), "B"), (9L, ts(10, 5), "L"))
+    query.processAllAvailable()
+
+    val got = spark.table("stream_dedup_evict").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L))
+    query.stop()
+  }
+
   test("streaming ppx screen scores each micro-batch against the frozen LM, stream equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
