@@ -36,22 +36,68 @@ object Sketches {
     * collisions (birthday-bounded in the 2³² space) are part of the
     * sketch's error budget, replayed identically by the oracle. */
   def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    withEstimate(kmvSketch(df, groupCol, keyCol, k)
+      .withColumnRenamed("sk", "__bottom"), "__bottom", k)
+      .drop("__bottom")
+
+  /** The STORE form: per-group bottom-k hash arrays (ascending, ≤ k) —
+    * the artifact a 100 TB pipeline persists per (partition, day) and
+    * merges at query time ([[kmvMergeAgainst]]). NULL keys are dropped
+    * before hashing (a NULL hash would poison the typed aggregator and
+    * rank NULLS-LAST in the oracle — ADVICE r16); the estimator treats
+    * distinct-of-non-null as the population, the COUNT(DISTINCT col)
+    * convention. */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
     val hashed = df
+      .filter(col(keyCol).isNotNull)
       .select(col(groupCol), Sampling.hashKey(col(keyCol)).as("hk"))
       .distinct()
     val bottomK = udaf(graft.functions.BoundedTopKLong(k))
     hashed.groupBy(col(groupCol))
-      .agg(bottomK(col("hk"), col("hk")).as("__bottom"))
-      .select(col(groupCol),
-        size(col("__bottom")).cast("long").as("n_kept"),
-        element_at(col("__bottom"), size(col("__bottom"))).as("kth_hash"),
-        when(size(col("__bottom")) < k, size(col("__bottom")).cast("long"))
+      .agg(bottomK(col("hk"), col("hk")).as("sk"))
+  }
+
+  /** Append the estimator columns for a bottom-k array column `skCol`:
+    * (n_kept, kth_hash, est_distinct) — exact count below k, the integer
+    * Bar-Yossef estimator at k. */
+  private def withEstimate(sketches: DataFrame, skCol: String,
+                           k: Int): DataFrame =
+    sketches.withColumns(Map(
+      "n_kept" -> size(col(skCol)).cast("long"),
+      "kth_hash" -> element_at(col(skCol), size(col(skCol))),
+      "est_distinct" ->
+        when(size(col(skCol)) < k, size(col(skCol)).cast("long"))
           .otherwise(expr(
             s"(CAST(${k - 1} AS BIGINT) * 4294967296L) div " +
-              "element_at(__bottom, size(__bottom))"))
-          .as("est_distinct"))
+              s"element_at($skCol, size($skCol))"))))
+
+  /** Stored-sketch UPDATE — the sketch algebra's deployment form: merge
+    * tonight's per-group batch sketches into yesterday's stored sketches
+    * (both [[kmvSketch]]-shaped) and read the refreshed estimates. The
+    * merge is bottom-k(bottom-k(A) ∪ bottom-k(B)) — by the mergeability
+    * identity (SketchesSpec) EXACTLY the sketch of A ∪ B, which is what
+    * lets the registry oracle check this against a whole-corpus replay.
+    *
+    * Plan shape: ONE full-outer equi-join on the group key between two
+    * sketch-sized relations (≤ k longs per group each side) and a narrow
+    * codegen'd array merge — the corpus is never re-touched; a group
+    * seen by only one side passes through via the empty-array coalesce.
+    * Output: (group, sk — the NEW store, n_kept, kth_hash, est_distinct). */
+  def kmvMergeAgainst(store: DataFrame, batch: DataFrame, groupCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    val empty = array().cast("array<bigint>")
+    val merged = store.select(col(groupCol), col("sk").as("__sk_store"))
+      .join(batch.select(col(groupCol), col("sk").as("__sk_batch")),
+        Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        slice(array_sort(array_union(
+          coalesce(col("__sk_store"), empty),
+          coalesce(col("__sk_batch"), empty))), 1, k).as("sk"))
+    withEstimate(merged, "sk", k)
   }
 
   /** Pairwise set-overlap estimates from MERGED sketches — the KMV set
@@ -75,7 +121,11 @@ object Sketches {
   def kmvOverlap(df: DataFrame, partCol: String, keyCol: String,
                  k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    // NULL keys dropped before hashing (the kmvSketch contract): a NULL
+    // hash would feed NULL into the typed aggregator while the oracle
+    // ranks it NULLS-LAST — divergent on any corpus with NULL keys.
     val hashed = df
+      .filter(col(keyCol).isNotNull)
       .select(col(partCol).as("part"), Sampling.hashKey(col(keyCol)).as("hk"))
       .distinct()
     val bottomK = udaf(graft.functions.BoundedTopKLong(k))

@@ -1066,7 +1066,7 @@ object Pipeline {
         |  SELECT DISTINCT lang,
         |         list_reduce(list_transform(string_split(substr(md5(text), 1, 8), ''),
         |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT lang, hk, row_number() OVER (PARTITION BY lang ORDER BY hk) AS rn FROM h),
         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(hk) AS kth_hash
         |      FROM b WHERE rn <= 32 GROUP BY lang)
@@ -1089,7 +1089,7 @@ object Pipeline {
         |  SELECT DISTINCT event_type AS part,
         |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
         |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |b AS (SELECT part, hk, row_number() OVER (PARTITION BY part ORDER BY hk) AS rn FROM h),
         |sk AS (SELECT part, hk FROM b WHERE rn <= 64),
         |pr AS (SELECT a.part AS part_a, b2.part AS part_b
@@ -1122,6 +1122,42 @@ object Pipeline {
         Sketches.kmvOverlap(Tables.events(s, dir), "event_type", "user_id",
             k = 64)
           .orderBy(col("part_a"), col("part_b"))
+    },
+
+    // Stored-sketch UPDATE (the KMV deployment form, r16 Next #5): the
+    // corpus splits into "yesterday's store" (even event_ids) and
+    // "tonight's batch" (odd), each side sketched independently, then
+    // merged with kmvMergeAgainst — bottom-k(bottom-k ∪ bottom-k). The
+    // oracle computes the sketch of the WHOLE corpus directly: by the
+    // mergeability identity (SketchesSpec) the two are EQUAL, so the
+    // driver gate checks the identity itself end-to-end — a merge bug
+    // (multiset union, a dropped group, a mis-cut) hash-fails here.
+    QuerySpec.sql("sketch_kmv_merge",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part,
+        |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT part, hk, row_number() OVER (PARTITION BY part ORDER BY hk) AS rn FROM h),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n_kept, max(hk) AS kth_hash
+        |      FROM b WHERE rn <= 64 GROUP BY part)
+        |SELECT part, n_kept, kth_hash,
+        |       CASE WHEN n_kept < 64 THEN n_kept
+        |            ELSE (63 * 4294967296) // kth_hash END AS est_distinct
+        |FROM g ORDER BY part""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val store = Sketches.kmvSketch(
+          ev.filter(col("event_id") % 2 === 0), "event_type", "user_id",
+          k = 64)
+        val batch = Sketches.kmvSketch(
+          ev.filter(col("event_id") % 2 === 1), "event_type", "user_id",
+          k = 64)
+        Sketches.kmvMergeAgainst(store, batch, "event_type", k = 64)
+          .select(col("event_type").as("part"), col("n_kept"),
+            col("kth_hash"), col("est_distinct"))
+          .orderBy(col("part"))
+      }
     }
   )
 }

@@ -49,6 +49,38 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(whole === merged)
   }
 
+  test("kmvMergeAgainst updates a stored sketch: merged estimates equal the whole-corpus sketch, one-sided groups pass through") {
+    import spark.implicits._
+    val k = 16
+    // group "g": 300 keys split 2/3-1/3 across store and batch with overlap;
+    // "only_store" / "only_batch": groups seen by exactly one side
+    val storeDf = ((1 to 200).map(i => ("g", s"key_$i")) ++
+      (1 to 50).map(i => ("only_store", s"s_$i"))).toDF("grp", "key")
+    val batchDf = ((101 to 300).map(i => ("g", s"key_$i")) ++
+      (1 to 5).map(i => ("only_batch", s"b_$i"))).toDF("grp", "key")
+    val merged = graft.ops.Sketches.kmvMergeAgainst(
+        graft.ops.Sketches.kmvSketch(storeDf, "grp", "key", k),
+        graft.ops.Sketches.kmvSketch(batchDf, "grp", "key", k),
+        "grp", k).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("est_distinct"),
+          r.getSeq[Long](r.fieldIndex("sk")).toVector)).toMap
+    // mergeability identity: merged == sketch of the union, per group
+    val whole = graft.ops.Sketches.kmvDistinct(
+        storeDf.union(batchDf), "grp", "key", k).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("est_distinct"))).toMap
+    assert(merged.keySet === Set("g", "only_store", "only_batch"))
+    for ((g, (n, kth, est, sk)) <- merged) {
+      assert((n, kth, est) === whole(g), s"group $g diverged from whole-corpus sketch")
+      assert(sk === sk.sorted && sk.size === n, s"group $g sketch not ascending bottom-$n")
+    }
+    // the small one-sided group stays on the exact path
+    assert(merged("only_batch")._3 === 5L)
+  }
+
   test("overlap estimates recover disjoint, nested, and identical audiences") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"u_$i")
