@@ -15,6 +15,13 @@ object Bench {
       // fallback only re-introduces the corpus-wide sort the aggregators
       // exist to avoid (measured: brute hardNegatives 44.4 s -> 13.8 s at
       // 100x when the map stays hash). 64k keys x k-pair buffers is MBs.
+      // BLAST RADIUS (session-wide, ADVICE r16): this raises the
+      // ObjectHashAggregate sort-fallback for EVERY typed aggregate in the
+      // session, not just the bounded BoundedTopK*/ModalAgg buffers it
+      // exists for. A future aggregator with UNBOUNDED per-group state
+      // (collect_list/percentile-style) over >64k groups per partition
+      // would lose the 128-key memory safety valve — keep new typed
+      // aggregates k-bounded, or scope this per-query via withSQLConf.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -88,6 +95,11 @@ object Bench {
       BlockHygiene.drainListenerBus(spark.sparkContext)
       metrics.reset()
       val gc0 = BenchMetrics.jvmGcMillis()
+      // Per-query 1-min loadavg AT the timed start (r16 verdict item 4):
+      // a >2x driver query now self-attributes in the artifact — loadavg
+      // high at its start = ambient contention; loadavg quiet + task_run
+      // inflated = a genuine plan/harness regression worth chasing.
+      val loadQ = loadAvg()
       val t0 = System.nanoTime()
       val startS = (t0 - runT0) / 1e9
       // noop sink materializes every output column (count() would let
@@ -118,7 +130,8 @@ object Bench {
       val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
       System.err.println(
         f"[bench-gap] $name%-28s ${elapsed}%8.3f s; jobs $jobs%3d stages $stages%4d tasks $tasks%5d; task run ${runMs / 1e3}%8.2f s gc ${gcMs / 1e3}%6.2f s sched ${schedMs / 1e3}%6.2f s; jvm gc $jvmGc%5.2f s; dropped $dropped%3d broadcasts; storage ${storageUsed / 1048576.0}%7.2f MiB")
-      (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc, startS)
+      (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc, startS,
+        loadQ)
     }
     val total = results.map(_._2).sum
     // Locale.ROOT: the f""/format interpolators honor the JVM default
@@ -142,10 +155,12 @@ object Bench {
     // the run's first timed query, for correlating within-run ambient
     // drift; jvm_gc covers the whole driver JVM for the interval — a
     // superset of task_gc that also counts planning-time GC).
-    val attrCols = """"attr_cols":["start_s","task_run_s","task_gc_s","sched_s","jvm_gc_s"]"""
-    def attrEntry(r: (String, Double, Double, Double, Double, Double, Double)) =
+    // loadavg_1m = the box's 1-min load sampled at the query's timed start
+    // (null where the JVM reports it unavailable).
+    val attrCols = """"attr_cols":["start_s","task_run_s","task_gc_s","sched_s","jvm_gc_s","loadavg_1m"]"""
+    def attrEntry(r: (String, Double, Double, Double, Double, Double, Double, Double)) =
       "\"" + r._1 + "\":[" + fmt2(r._7) + "," + fmt2(r._3) + "," + fmt2(r._4) + "," +
-        fmt2(r._5) + "," + fmt2(r._6) + "]"
+        fmt2(r._5) + "," + fmt2(r._6) + "," + fmtLoad(r._8) + "]"
     val totals = s""""totals":{"task_run_s":${fmt(results.map(_._3).sum)},""" +
       s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +
       s""""sched_s":${fmt(results.map(_._5).sum)},""" +

@@ -102,6 +102,13 @@ object ScaleProbe {
       // fallback only re-introduces the corpus-wide sort the aggregators
       // exist to avoid (measured: brute hardNegatives 44.4 s -> 13.8 s at
       // 100x when the map stays hash). 64k keys x k-pair buffers is MBs.
+      // BLAST RADIUS (session-wide, ADVICE r16): this raises the
+      // ObjectHashAggregate sort-fallback for EVERY typed aggregate in the
+      // session, not just the bounded BoundedTopK*/ModalAgg buffers it
+      // exists for. A future aggregator with UNBOUNDED per-group state
+      // (collect_list/percentile-style) over >64k groups per partition
+      // would lose the 128-key memory safety valve — keep new typed
+      // aggregates k-bounded, or scope this per-query via withSQLConf.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
