@@ -1229,6 +1229,106 @@ object ScaleProbe {
                 max(col("e_ts")).as("m")).count()
           })
         }),
+        // BOUNDED-STATE configuration of the stream-stream interval join
+        // (r16 Next #6): the registry query replays both full sides
+        // through join state in ONE batch — the worst case (the 45 s /
+        // 4.4-ratio probe is that state-write price). Here the corpus is
+        // staged as FOUR time-quartile files (stageOrderedFiles,
+        // maxFilesPerTrigger=1), so the watermark advances between
+        // micro-batches and EVICTS join state behind wm − 30 min — the
+        // shape a 100 TB deployment actually runs. No matched pair can be
+        // lost: a pair crossing batches needs e_ts >= p_ts − 30 min, and
+        // any such e-row sits ABOVE the eviction line when its p arrives
+        // (wm <= prior-batch max − 1 h). Peak stateOperators.numRowsTotal
+        // is printed with the row — the bounded-state claim, measured
+        // (eviction semantics themselves are pinned in StreamOpsSpec).
+        "stream_interval_join_staged" -> (() => {
+          val obs = ev.select(col("user_id"), col("ts"),
+            col("event_id"), col("event_type"), col("value"))
+          // quartile cuts as a 1-row broadcast fold (the A1 anchor-max
+          // pattern — no driver collect); integer div keeps the four
+          // ranges a gap-free partition of [mn, mx]
+          val boundsDf = obs.agg(
+            unix_micros(min(col("ts"))).as("mn"),
+            unix_micros(max(col("ts"))).as("mx"))
+          val stages = (0 until 4).map { i =>
+            val lo = expr(s"mn + ((mx - mn + 1) * $i) div 4")
+            val hi = expr(s"mn + ((mx - mn + 1) * ${i + 1}) div 4")
+            obs.crossJoin(broadcast(boundsDf))
+              .filter(unix_micros(col("ts")) >= lo &&
+                unix_micros(col("ts")) < hi)
+              .drop("mn", "mx")
+          }
+          time(s"$tag/stream_interval_join_staged")({
+            val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+              s"target/scaleprobe/ssj_staged_$tag")
+            val e = in.withWatermark("ts", "1 hour")
+              .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+                expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+            val p = in.filter(col("event_type") === "purchase")
+              .withWatermark("ts", "1 hour")
+              .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                col("event_id").as("purchase_id"))
+            val joined = p.join(e,
+              col("e_user") === col("p_user") &&
+                col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+                col("e_ts") < col("p_ts"))
+            val name = s"probe_stream_ssj_staged_$tag"
+            val q = joined.writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val peak = q.recentProgress
+              .map(pr => pr.stateOperators.map(_.numRowsTotal).sum).max
+            val total = ev.count() // corpus rows per side upper bound
+            println(f"[probe-state] $tag/ssj_staged peak state $peak%,d rows" +
+              f" vs $total%,d corpus rows (${100.0 * peak / (2 * total)}%.1f%% of the 1-batch worst case)")
+            spark.table(name).groupBy(col("purchase_id"))
+              .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("c"),
+                max(col("e_ts")).as("m")).count()
+          })
+        }),
+        // stored-sketch update (sketch_kmv_merge registry shape): two
+        // half-corpus kmvSketch builds (each one corpus-shaped 12-byte
+        // DISTINCT) + the sketch-sized full-outer merge — expected ≈ the
+        // kmv_distinct probe's cost, the merge itself group-count-sized
+        "sketch_kmv_merge" -> (() =>
+          time(s"$tag/sketch_kmv_merge")(
+            graft.ops.Sketches.kmvMergeAgainst(
+              graft.ops.Sketches.kmvSketch(
+                ev.filter(col("event_id") % 2 === 0), "event_type",
+                "user_id", k = 64),
+              graft.ops.Sketches.kmvSketch(
+                ev.filter(col("event_id") % 2 === 1), "event_type",
+                "user_id", k = 64),
+              "event_type", k = 64).count())),
+        // streaming exact dedup with watermark state
+        // (stream_dedup_watermark registry shape): corpus + full re-crawl
+        // staged as two micro-batches; per-batch cost batch-shaped, state
+        // = one fingerprint row per distinct content inside the delay
+        "stream_dedup_watermark" -> (() => {
+          val base = 1700000000000000L
+          def crawlGen(idOff: Long, tOff: Long) = docs.select(
+            (col("doc_id") + lit(idOff)).as("doc_id"),
+            timestamp_micros(lit(base) +
+              (col("doc_id") + lit(tOff)) * lit(1000000L))
+              .as("event_timestamp"),
+            col("text"))
+          time(s"$tag/stream_dedup_watermark")({
+            val in = graft.streaming.Ingest.stageOrderedFiles(spark,
+              Seq(crawlGen(0L, 0L), crawlGen(100000000L, 100000000L)),
+              s"target/scaleprobe/dedup_wm_$tag")
+            val name = s"probe_stream_dedup_wm_$tag"
+            val q = graft.streaming.StreamOps.dedupExactStream(in, "30 days")
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.table(name).count()
+          })
+        }),
         // watermark-evicted session windows over the staged two-file
         // replay (the stream_sessionize registry shape): corpus batch
         // sets the wm, driver batch flushes sessions under it. State is

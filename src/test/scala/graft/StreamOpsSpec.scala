@@ -209,6 +209,61 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     query.stop()
   }
 
+  test("stream-stream interval join evicts window-expired state as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[ObsState]
+    val purchases = MemoryStream[ObsState]
+    val v = views.toDF().withWatermark("event_timestamp", "10 minutes")
+      .select(col("location").as("v_loc"), col("event_timestamp").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.toDF().withWatermark("event_timestamp", "10 minutes")
+      .select(col("location").as("p_loc"), col("event_timestamp").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = p.join(v,
+      col("p_loc") === col("v_loc") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val query = joined.writeStream.format("memory")
+      .queryName("ss_join_evict").outputMode("append").start()
+
+    def stateRows(): Long =
+      Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+
+    // batch 1: 40 views around 10:00 + a matching purchase
+    views.addData((0 until 40).map(i => ObsState("a", ts(10, i), 100L + i, "v", 0)): _*)
+    purchases.addData(ObsState("a", ts(10, 30), 1L, "p", 0))
+    query.processAllAvailable()
+    val after1 = stateRows()
+
+    // batch 2: four hours later — the advancing watermark (14:39 − 10 min
+    // = 14:29; join-state retention = wm − 30 min window) must EVICT every
+    // batch-1 row: none can match a future purchase at or above the wm
+    views.addData((0 until 40).map(i => ObsState("a", ts(14, i), 200L + i, "v", 0)): _*)
+    purchases.addData(ObsState("a", ts(14, 30), 2L, "p", 0))
+    query.processAllAvailable()
+    // batch 3: advance the wm past batch 2's window too
+    views.addData(ObsState("a", ts(18, 0), 300L, "v", 0))
+    purchases.addData(ObsState("a", ts(18, 10), 3L, "p", 0))
+    query.processAllAvailable()
+    val after3 = stateRows()
+    println(s"STATE after1=$after1 after3=$after3")
+
+    // emission is unaffected by eviction (pairs emit on arrival)
+    val pairs = spark.table("ss_join_evict").count()
+    assert(pairs === 31L + 31L + 1L,
+      s"expected 63 pairs (31 per windowed purchase + the late pair), got $pairs")
+    // the state store holds window-bounded rows, not the whole stream:
+    // batch-1 and batch-2 rows are gone once the wm passes their window
+    assert(after3 < after1,
+      s"state did not shrink: $after1 -> $after3 — watermark eviction broken")
+    assert(after3 <= 2L,
+      s"state holds more than the live window after eviction: $after3 rows")
+    query.stop()
+  }
+
   test("stateful latest-per-key updates across batches and survives out-of-order input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
