@@ -36,4 +36,25 @@ class RegistrySpec extends AnyFunSuite with SparkFixture {
         s"SURVEY.md claims $n oracle-checked queries; registry has ${Registry.all.size}")
     }
   }
+
+  // r16 verdict item: BASELINE.md shipped a stale/duplicated count with no
+  // mechanical pin (SURVEY.md got one in r15, BASELINE.md did not). The
+  // FIRST (topmost = current round's) "ROUND-N END STATE" block must state
+  // the live registry size; superseded rounds' blocks below it are
+  // historical and deliberately unpinned.
+  test("BASELINE.md's headline END STATE registry count matches the registry") {
+    val baseline = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BASELINE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val idx = baseline.indexOf("END STATE")
+    assert(idx >= 0, "BASELINE.md lost its END STATE block")
+    val head = baseline.substring(idx,
+      math.min(baseline.length, idx + 400)).replace('\n', ' ')
+    val m = raw"(\d+) oracle\s+quer".r.findFirstMatchIn(head)
+    assert(m.isDefined,
+      "no 'N oracle queries' literal within the first END STATE block")
+    assert(m.get.group(1).toInt === Registry.all.size,
+      s"BASELINE.md's headline END STATE claims ${m.get.group(1)} oracle " +
+        s"queries; registry has ${Registry.all.size}")
+  }
 }
