@@ -28,14 +28,21 @@ object TpchLike {
 
     // TPC-H Q1 shape: pricing summary. Pure map-side-combinable hash agg on
     // the biggest table — the canonical "does aggregation scale" probe.
+    // Money sums ship CENT-QUANTIZED (r17, the q9 pattern applied to the
+    // whole family): per-row floor(x·100) is the same IEEE double on both
+    // engines, the BIGINT sum is summation-order-independent, and the
+    // integer-div average divides bit-identical operands. sum_qty/avg_qty
+    // stay float-form: quantities are INTEGRAL on this corpus (verified),
+    // so their double sum is exact and the single avg division
+    // deterministic.
     QuerySpec.sql("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_price_cents,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_price_cents,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS charge_cents,
         |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS avg_price_cents,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -47,12 +54,21 @@ object TpchLike {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            sum(floor(col("l_extendedprice") * lit(100)).cast("long"))
+              .as("base_price_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(100)).cast("long")).as("disc_price_cents"),
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")) * lit(100)).cast("long"))
+              .as("charge_cents"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 4).as("avg_price"),
             count(lit(1)).as("count_order"))
+          .withColumn("avg_price_cents",
+            expr("base_price_cents div count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+            col("base_price_cents"), col("disc_price_cents"),
+            col("charge_cents"), col("avg_qty"), col("avg_price_cents"),
+            col("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
@@ -61,22 +77,23 @@ object TpchLike {
     // TakeOrderedAndProject (no global sort materialized).
     QuerySpec.sql("q3_shipping_priority",
       """SELECT l_orderkey,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |              JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""") {
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""") {
       (s, dir) =>
         cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
           .join(ord(s, dir), col("c_custkey") === col("o_custkey"))
           .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-          .select(col("l_orderkey"), col("revenue"),
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(100)).cast("long")).as("revenue_cents"))
+          .select(col("l_orderkey"), col("revenue_cents"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
           .limit(10)
     },
 
@@ -84,7 +101,7 @@ object TpchLike {
     // side explicitly broadcast — region(5)⋈nation(25) never shuffles.
     QuerySpec.sql("q5_regional_revenue",
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n_items
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |            JOIN customer ON c_nationkey = n_nationkey
@@ -92,7 +109,7 @@ object TpchLike {
         |            JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE r_name IN ('AMERICA', 'ASIA')
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""") {
+        |ORDER BY revenue_cents DESC, n_name""") {
       (s, dir) =>
         broadcast(Tables.region(s, dir).filter(col("r_name").isin("AMERICA", "ASIA")))
           .join(broadcast(Tables.nation(s, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -101,9 +118,10 @@ object TpchLike {
           .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(100)).cast("long")).as("revenue_cents"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("revenue").desc, col("n_name"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
     },
 
     // TPC-H Q4 shape: semi-join (EXISTS). Spark plans left_semi — only the
@@ -146,7 +164,7 @@ object TpchLike {
     // Broadcast dim join + two-level agg: revenue per supplier nation.
     QuerySpec.sql("q_supplier_revenue",
       """SELECT s_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |              JOIN nation ON n_nationkey = s_nationkey
@@ -157,7 +175,8 @@ object TpchLike {
           .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
           .groupBy(col("s_name"), col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(100)).cast("long")).as("revenue_cents"),
             count(lit(1)).as("n_items"))
           // (s_name, n_name) tie-break: two suppliers may share a name, and
           // an order unique only up to ties is nondeterministic across runs.
@@ -193,19 +212,23 @@ object TpchLike {
     QuerySpec.sql("q_rollup_parts",
       """SELECT CASE WHEN GROUPING(p_brand) = 1 THEN 'ALL' ELSE p_brand END AS brand,
         |       CASE WHEN GROUPING(p_type) = 1 THEN 'ALL' ELSE p_type END AS ptype,
-        |       count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        |       count(*) AS n_parts,
+        |       CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS avg_price_cents
         |FROM part
         |GROUP BY ROLLUP (p_brand, p_type)
         |ORDER BY brand, ptype""") {
       (s, dir) =>
         Tables.part(s, dir)
           .rollup(col("p_brand"), col("p_type"))
-          .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"),
+          .agg(count(lit(1)).as("n_parts"),
+            sum(floor(col("p_retailprice") * lit(100)).cast("long"))
+              .as("__price_cents"),
             grouping(col("p_brand")).as("__gb"), grouping(col("p_type")).as("__gt"))
           .select(
             when(col("__gb") === 1, lit("ALL")).otherwise(col("p_brand")).as("brand"),
             when(col("__gt") === 1, lit("ALL")).otherwise(col("p_type")).as("ptype"),
-            col("n_parts"), col("avg_price"))
+            col("n_parts"),
+            expr("__price_cents div n_parts").as("avg_price_cents"))
           .orderBy(col("brand"), col("ptype"))
     },
 
@@ -243,7 +266,7 @@ object TpchLike {
         |         count(*) OVER (PARTITION BY l_partkey) AS cq
         |  FROM lineitem)
         |SELECT l_partkey, count(*) AS n_small,
-        |       round(sum(l_extendedprice), 2) AS small_revenue
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_revenue_cents
         |FROM lq JOIN part ON p_partkey = l_partkey
         |WHERE p_brand IN ('Brand#1', 'Brand#2') AND 2 * q100 * cq < sq
         |GROUP BY l_partkey ORDER BY l_partkey""") {
@@ -263,7 +286,8 @@ object TpchLike {
           .filter(lit(2) * col("__q100") * col("__cq") < col("__sq"))
           .groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("n_small"),
-            round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+            sum(floor(col("l_extendedprice") * lit(100)).cast("long"))
+              .as("small_revenue_cents"))
           .orderBy(col("l_partkey"))
       }
     },
@@ -932,5 +956,46 @@ object TpchLike {
           .orderBy(col("numwait").desc, col("s_name"))
       }
     },
+
+    // TPC-H Q5 shape: local-supplier volume — the one join tree where a
+    // NON-KEY equality crosses dimensions (customer's nation must equal
+    // the supplier's). customer⋈orders and ⋈lineitem shuffle on their
+    // natural keys; the region-pruned supplier-nation relation broadcasts
+    // with BOTH conditions (suppkey + the nation equality) in the join,
+    // so the cross-dimension predicate never forces a non-key shuffle.
+    QuerySpec.sql("q5_local_supplier_volume",
+      """SELECT n_name AS nation,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |     JOIN nation ON s_nationkey = n_nationkey
+        |     JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, nation""") {
+      (s, dir) => {
+        val supAsia = broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+              .join(broadcast(Tables.region(s, dir)
+                .filter(col("r_name") === "ASIA")),
+                col("r_regionkey") === col("n_regionkey"))),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+        cust(s, dir).select(col("c_custkey"), col("c_nationkey"))
+          .join(ord(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(supAsia, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(100)).cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("nation"))
+      }
+    },
+
   )
 }
