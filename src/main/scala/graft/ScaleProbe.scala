@@ -1304,20 +1304,28 @@ object ScaleProbe {
                 "user_id", k = 64),
               "event_type", k = 64).count())),
         // streaming exact dedup with watermark state
-        // (stream_dedup_watermark registry shape): corpus + full re-crawl
-        // staged as two micro-batches; per-batch cost batch-shaped, state
-        // = one fingerprint row per distinct content inside the delay
+        // (stream_dedup_watermark registry shape): canonical rows staged
+        // as batch 0, intra-corpus duplicates + full re-crawl as batch 1
+        // — per-batch cost batch-shaped (+ the rank window in staging),
+        // state = one fingerprint row per distinct content in the delay
         "stream_dedup_watermark" -> (() => {
           val base = 1700000000000000L
-          def crawlGen(idOff: Long, tOff: Long) = docs.select(
+          def staged(df: DataFrame, idOff: Long) = df.select(
             (col("doc_id") + lit(idOff)).as("doc_id"),
             timestamp_micros(lit(base) +
-              (col("doc_id") + lit(tOff)) * lit(1000000L))
+              (col("doc_id") + lit(idOff)) * lit(1000000L))
               .as("event_timestamp"),
             col("text"))
           time(s"$tag/stream_dedup_watermark")({
+            val ranked = docs.select(col("doc_id"), col("text"))
+              .withColumn("__rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(graft.ops.TextStats.fingerprint(col("text")))
+                  .orderBy(col("doc_id"))))
             val in = graft.streaming.Ingest.stageOrderedFiles(spark,
-              Seq(crawlGen(0L, 0L), crawlGen(100000000L, 100000000L)),
+              Seq(staged(ranked.filter(col("__rn") === 1), 0L),
+                staged(ranked.filter(col("__rn") > 1), 0L)
+                  .unionByName(staged(ranked, 100000000L))),
               s"target/scaleprobe/dedup_wm_$tag")
             val name = s"probe_stream_dedup_wm_$tag"
             val q = graft.streaming.StreamOps.dedupExactStream(in, "30 days")

@@ -749,43 +749,48 @@ object Pipeline {
     // Streaming EXACT dedup with watermark-bounded state
     // (dropDuplicatesWithinWatermark) — the last shipped streaming
     // operator gains its registry surface (r16 Next #2). The corpus
-    // replays as TWO staged micro-batches: stage 0 the corpus itself
-    // ("first crawl"), stage 1 a RE-CRAWL of every document — same
-    // content, fresh ids (+1 M), later event times — so every stage-1
-    // row must be dropped by fingerprint STATE CROSSING micro-batches;
-    // none of the drops is intra-batch (the corpus has no duplicate
-    // fingerprints — asserted below, because an intra-batch duplicate's
-    // surviving row is partition-order racey and would not be
-    // oracle-checkable). The emitted set is therefore exactly the batch
-    // [[graft.ops.Dedup.exact]] survivor set (canonical = min doc_id over
-    // both generations = the stage-0 row), hash-matched against
-    // dd_exact's fingerprint arithmetic verbatim. Event times are
-    // synthesized deterministically from doc_id (1 s per id); the 30-day
-    // delay is >> the replay span, so nothing evicts mid-replay — state
-    // eviction + re-emission arithmetic (expiry = first-seen event time
-    // + delay, ms domain) is measured and pinned in StreamOpsSpec the
-    // way stream_sessionize pinned session eviction.
+    // replays as TWO staged micro-batches: stage 0 the CANONICAL rows
+    // (one row per fingerprint, lowest doc_id — the arrival order a
+    // first crawl defines), stage 1 every intra-corpus duplicate PLUS a
+    // full RE-CRAWL of the corpus (same content, fresh ids +1 M, later
+    // event times). Every stage-1 row must therefore be dropped by
+    // fingerprint STATE CROSSING micro-batches — none of the drops is
+    // intra-batch (stage 0 is duplicate-free BY CONSTRUCTION; an
+    // intra-batch duplicate's surviving row would be partition-order
+    // racey and not oracle-checkable — which is why the corpus' own
+    // duplicates ride in stage 1: the sf0.1 corpus actually has them).
+    // The emitted set is exactly the batch [[graft.ops.Dedup.exact]]
+    // survivor set (canonical = min doc_id over both generations),
+    // hash-matched against dd_exact's fingerprint arithmetic verbatim.
+    // Event times are synthesized deterministically from doc_id (1 s
+    // per id); the 30-day delay is >> the replay span, so nothing
+    // evicts mid-replay — state eviction + re-emission arithmetic
+    // (expiry = first-seen event time + delay, ms domain) is measured
+    // and pinned in StreamOpsSpec the way stream_sessionize pinned
+    // session eviction.
     QuerySpec.sql("stream_dedup_watermark",
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS canonical_id
         |FROM documents GROUP BY fp ORDER BY fp""") {
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        require(docs.groupBy(
-            graft.ops.TextStats.fingerprint(col("text"))).count()
-            .filter(col("count") > 1).isEmpty,
-          "stream_dedup_watermark stages the corpus as the no-intra-batch-" +
-            "duplicate first crawl; this corpus has intra-corpus duplicate " +
-            "fingerprints — restage with the duplicates split across files")
         val base = 1700000000000000L // fixed µs epoch anchor
-        def crawl(idOffset: Long, tOffset: Long) = docs.select(
-          (col("doc_id") + lit(idOffset)).as("doc_id"),
-          timestamp_micros(lit(base) +
-            (col("doc_id") + lit(tOffset)) * lit(1000000L))
-            .as("event_timestamp"),
-          col("text"))
-        val in = Ingest.stageOrderedFiles(s,
-          Seq(crawl(0L, 0L), crawl(1000000L, 1000000L)),
+        def staged(df: org.apache.spark.sql.DataFrame, idOffset: Long) =
+          df.select(
+            (col("doc_id") + lit(idOffset)).as("doc_id"),
+            timestamp_micros(lit(base) +
+              (col("doc_id") + lit(idOffset)) * lit(1000000L))
+              .as("event_timestamp"),
+            col("text"))
+        val ranked = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(graft.ops.TextStats.fingerprint(col("text")))
+              .orderBy(col("doc_id"))))
+        val canonical = staged(ranked.filter(col("__rn") === 1), 0L)
+        val replays = staged(ranked.filter(col("__rn") > 1), 0L)
+          .unionByName(staged(ranked, 1000000L))
+        val in = Ingest.stageOrderedFiles(s, Seq(canonical, replays),
           "target/stream_dedup_watermark_in")
         val name = "graft_stream_dedup_wm"
         val q = graft.streaming.StreamOps.dedupExactStream(in, "30 days")
@@ -797,7 +802,7 @@ object Pipeline {
         val out = s.table(name)
           .select(col("fp"), col("doc_id").as("canonical_id"))
           .orderBy(col("fp"))
-        require(!out.isEmpty || docs.isEmpty,
+        require(!out.isEmpty || Tables.documents(s, dir).isEmpty,
           s"stream_dedup_watermark streamed zero survivors from $dir but " +
             "the corpus has documents")
         out
