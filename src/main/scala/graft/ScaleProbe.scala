@@ -1303,6 +1303,20 @@ object ScaleProbe {
                 ev.filter(col("event_id") % 2 === 1), "event_type",
                 "user_id", k = 64),
               "event_type", k = 64).count())),
+        // mergeable quantile sketch (sketch_kmv_quantiles registry shape):
+        // two half-corpus packed-word DISTINCTs + sketch-sized merge +
+        // order-statistic reads — the sketch_kmv_merge cost class
+        "sketch_kmv_quantiles" -> (() =>
+          time(s"$tag/sketch_kmv_quantiles")({
+            def half(rem: Int) = graft.ops.Sketches.kmvQuantileSketch(
+              ev.filter(col("event_id") % 2 === rem), "event_type",
+              "event_id", floor(col("value") * lit(100)).cast("long"),
+              k = 128)
+            graft.ops.Sketches.kmvQuantiles(
+              graft.ops.Sketches.kmvMergeSketches(half(0), half(1),
+                "event_type", k = 128),
+              "event_type", Seq(25, 50, 75, 99)).count()
+          })),
         // streaming exact dedup with watermark state
         // (stream_dedup_watermark registry shape): canonical rows staged
         // as batch 0, intra-corpus duplicates + full re-crawl as batch 1

@@ -89,15 +89,80 @@ object Sketches {
   def kmvMergeAgainst(store: DataFrame, batch: DataFrame, groupCol: String,
                       k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    withEstimate(kmvMergeSketches(store, batch, groupCol, k), "sk", k)
+  }
+
+  /** The raw store merge shared by [[kmvMergeAgainst]] and the quantile
+    * family: per-group bottom-k(bottom-k ∪ bottom-k) over two
+    * [[kmvSketch]]-shaped relations. ONE full-outer equi-join between
+    * sketch-sized sides + a narrow array merge; a group seen by only one
+    * side passes through via the empty-array coalesce. */
+  def kmvMergeSketches(store: DataFrame, batch: DataFrame, groupCol: String,
+                       k: Int): DataFrame = {
     val empty = array().cast("array<bigint>")
-    val merged = store.select(col(groupCol), col("sk").as("__sk_store"))
+    store.select(col(groupCol), col("sk").as("__sk_store"))
       .join(batch.select(col(groupCol), col("sk").as("__sk_batch")),
         Seq(groupCol), "full_outer")
       .select(col(groupCol),
         slice(array_sort(array_union(
           coalesce(col("__sk_store"), empty),
           coalesce(col("__sk_batch"), empty))), 1, k).as("sk"))
-    withEstimate(merged, "sk", k)
+  }
+
+  /** Mergeable QUANTILE sketch — the second pillar next to mergeable
+    * distinct: a deterministic uniform ROW sample (bottom-k by row-key
+    * hash) carrying the metric value, from which quantiles read as order
+    * statistics. The trick that keeps the WHOLE [[kmvSketch]] algebra
+    * (store shape, [[kmvMergeSketches]], the bounded aggregator): the
+    * (hash, value) pair is PACKED into one 64-bit word —
+    *
+    *   pk = (hashKey(key) mod 2³¹) · 2³² + (value_cents + 2³¹)
+    *
+    * — hash in the high bits, so bottom-k by pk IS bottom-k by hash
+    * (value-biased only inside a hash tie), nonneg and ≤ 2⁶³−1 by
+    * construction. Sampling is over DISTINCT packed words ((hash, value)
+    * collisions fold into the sketch's birthday-bounded error budget,
+    * the [[kmvDistinct]] convention — which is also what makes the
+    * array_union merge exact). Contract: |value_cents| < 2³¹ (a metric in
+    * cents/micros of bounded magnitude) and a unique-per-row key column;
+    * NULL keys/values are dropped on both engines.
+    *
+    * Reference: bottom-k sampling as a uniform sample coordinator —
+    * Cohen & Kaplan, "Summarizing data using bottom-k sketches" (PODC
+    * 2007); order-statistic quantile error O(1/√k). */
+  def kmvQuantileSketch(df: DataFrame, groupCol: String, keyCol: String,
+                        valueCents: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val pk = (Sampling.hashKey(col(keyCol)) % lit(2147483648L)) *
+      lit(4294967296L) + (valueCents + lit(2147483648L))
+    val packed = df
+      .filter(col(keyCol).isNotNull && valueCents.isNotNull)
+      .select(col(groupCol), pk.as("pk"))
+      .distinct()
+    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
+    packed.groupBy(col(groupCol))
+      .agg(bottomK(col("pk"), col("pk")).as("sk"))
+  }
+
+  /** Read quantile estimates from a (merged) quantile-sketch relation:
+    * for each requested integer percent p, the zero-based order statistic
+    * at index (p·(n−1)) div 100 of the sample VALUES (unpacked from the
+    * low 32 bits, value-sorted) — exact integer index arithmetic, so both
+    * engines pick the same element. Groups smaller than k are EXACT
+    * (sample = population). Output: (group, n_kept, p<p>_cents...). */
+  def kmvQuantiles(sketches: DataFrame, groupCol: String,
+                   percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100))
+    val vals = array_sort(transform(col("sk"),
+      p => p % lit(4294967296L) - lit(2147483648L)))
+    val base = sketches.select(col(groupCol), vals.as("__vals"),
+      size(col("sk")).cast("long").as("n_kept"))
+    val qCols = percents.map { p =>
+      element_at(col("__vals"),
+        (expr(s"($p * (n_kept - 1)) div 100") + lit(1)).cast("int"))
+        .as(s"p${p}_cents")
+    }
+    base.select(Seq(col(groupCol), col("n_kept")) ++ qCols: _*)
   }
 
   /** Pairwise set-overlap estimates from MERGED sketches — the KMV set

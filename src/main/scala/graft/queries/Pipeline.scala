@@ -1163,6 +1163,50 @@ object Pipeline {
             col("kth_hash"), col("est_distinct"))
           .orderBy(col("part"))
       }
+    },
+
+    // Mergeable QUANTILE sketch (the second sketch pillar): per-event-type
+    // value quantiles from a deterministic bottom-k-by-hash row sample,
+    // PACKED (hash, cents) words so the whole KMV store/merge algebra
+    // applies verbatim. Like sketch_kmv_merge, the Spark side builds TWO
+    // half-corpus sketches (event_id parity) and MERGES them, while the
+    // oracle computes the whole-corpus sketch directly — the driver gate
+    // checks the mergeability identity end-to-end, then the integer
+    // order-statistic arithmetic picks p25/p50/p75/p99.
+    QuerySpec.sql("sketch_kmv_quantiles",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part,
+        |         (hk % 2147483648) * 4294967296
+        |           + (CAST(floor(value * 100) AS BIGINT) + 2147483648) AS pk
+        |  FROM (SELECT event_type, value,
+        |               list_reduce(list_transform(string_split(substr(md5(event_id::VARCHAR), 1, 8), ''),
+        |                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL)),
+        |b AS (SELECT part, pk, row_number() OVER (PARTITION BY part ORDER BY pk) AS rn FROM h),
+        |sk AS (SELECT part, pk % 4294967296 - 2147483648 AS v FROM b WHERE rn <= 128),
+        |o AS (SELECT part, v, row_number() OVER (PARTITION BY part ORDER BY v) AS vr,
+        |             count(*) OVER (PARTITION BY part) AS n FROM sk)
+        |SELECT part, CAST(max(n) AS BIGINT) AS n_kept,
+        |       CAST(max(CASE WHEN vr = (25 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p25_cents,
+        |       CAST(max(CASE WHEN vr = (50 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p50_cents,
+        |       CAST(max(CASE WHEN vr = (75 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p75_cents,
+        |       CAST(max(CASE WHEN vr = (99 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p99_cents
+        |FROM o GROUP BY part ORDER BY part""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cents = floor(col("value") * lit(100)).cast("long")
+        def half(rem: Int) = Sketches.kmvQuantileSketch(
+          ev.filter(col("event_id") % 2 === rem), "event_type", "event_id",
+          cents, k = 128)
+        Sketches.kmvQuantiles(
+            Sketches.kmvMergeSketches(half(0), half(1), "event_type",
+              k = 128),
+            "event_type", Seq(25, 50, 75, 99))
+          .select(col("event_type").as("part"), col("n_kept"),
+            col("p25_cents"), col("p50_cents"), col("p75_cents"),
+            col("p99_cents"))
+          .orderBy(col("part"))
+      }
     }
   )
 }

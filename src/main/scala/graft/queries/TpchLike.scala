@@ -997,5 +997,49 @@ object TpchLike {
       }
     },
 
+    // TPC-H Q16 shape (adapted: the corpus has no partsupp, but lineitem
+    // IS a part-supplier relationship — SELECT DISTINCT (l_partkey,
+    // l_suppkey) reconstructs it; "customer complaints" becomes the
+    // negative-balance supplier blacklist). Count suppliers per part
+    // attribute triple, excluding blacklisted suppliers via NOT IN.
+    //
+    // Plan: the attribute-pruned part relation broadcasts FIRST (8 sizes +
+    // brand/type prunes cut parts ~6×), the surviving (part attrs,
+    // suppkey) pairs dedup in ONE hash aggregate (the only fact-shaped
+    // exchange), and the NOT IN is a true LEFT-ANTI against a
+    // handful-of-rows broadcast (suppkeys are non-null, so NOT IN ≡
+    // anti-join — the NULL-poisoned NOT IN hazard cannot arise). The
+    // count(DISTINCT suppkey) then runs over already-pair-deduped rows.
+    QuerySpec.sql("q16_parts_supplier_cnt",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#3'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""") {
+      (s, dir) =>
+        li(s, dir).select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#3" &&
+              !col("p_type").like("PROMO%") &&
+              col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("p_brand"), col("p_type"), col("p_size"),
+            col("l_partkey"), col("l_suppkey"))
+          .distinct()
+          .join(broadcast(Tables.supplier(s, dir)
+            .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+            col("s_suppkey") === col("l_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+    },
   )
 }

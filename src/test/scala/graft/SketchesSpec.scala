@@ -81,6 +81,47 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(merged("only_batch")._3 === 5L)
   }
 
+  test("quantile sketch: groups under k are EXACT order statistics; merged halves equal the whole-corpus sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val k = 64
+    // group "small": 21 values 0..2000 cents (n < k → exact path):
+    // p50 over 0,100,...,2000 must be exactly 1000
+    val small = (0 to 20).map(i => ("small", 9000L + i, i * 100L))
+    // group "big": 500 values (n > k → sampled path)
+    val big = (1 to 500).map(i => ("big", i.toLong, (i * 7 % 500) * 100L))
+    val df = (small ++ big).toDF("grp", "row_id", "cents")
+    val whole = graft.ops.Sketches.kmvQuantiles(
+        graft.ops.Sketches.kmvQuantileSketch(df, "grp", "row_id",
+          col("cents") * lit(1), k),
+        "grp", Seq(0, 50, 100)).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("p0_cents"),
+          r.getAs[Long]("p50_cents"), r.getAs[Long]("p100_cents"))).toMap
+    assert(whole("small") === ((21L, 0L, 1000L, 2000L)))
+    val (nBig, loBig, midBig, hiBig) = whole("big")
+    assert(nBig === k.toLong)
+    // uniform 0..49900: the k-sample median within a generous 4σ band
+    assert(midBig > 10000L && midBig < 40000L,
+      s"sampled median $midBig far from ~25000")
+    assert(loBig >= 0L && hiBig <= 49900L)
+    // merge identity: half-sketches merged == whole-corpus sketch
+    val halves = graft.ops.Sketches.kmvQuantiles(
+        graft.ops.Sketches.kmvMergeSketches(
+          graft.ops.Sketches.kmvQuantileSketch(
+            df.filter(col("row_id") % 2 === 0), "grp", "row_id",
+            col("cents") * lit(1), k),
+          graft.ops.Sketches.kmvQuantileSketch(
+            df.filter(col("row_id") % 2 === 1), "grp", "row_id",
+            col("cents") * lit(1), k),
+          "grp", k),
+        "grp", Seq(0, 50, 100)).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("p0_cents"),
+          r.getAs[Long]("p50_cents"), r.getAs[Long]("p100_cents"))).toMap
+    assert(halves === whole)
+  }
+
   test("overlap estimates recover disjoint, nested, and identical audiences") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"u_$i")

@@ -68,4 +68,25 @@ class TpchPlanSpec extends AnyFunSuite with SparkFixture {
     for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
       assert(!plan.contains(bad), s"$bad in q21's plan:\n$plan")
   }
+
+  test("q5_local: the cross-dimension nation equality rides in the broadcast join, never a non-key shuffle") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q5_local_supplier_volume")
+    // the supplier leg must broadcast; no exchange may hash-partition on
+    // a nationkey (the cross-dimension predicate is a join residual)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    val nationShuffle = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("nationkey"))
+    assert(!nationShuffle, s"a nationkey shuffle appeared:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in q5_local's plan:\n$plan")
+  }
+
+  test("q16: the supplier blacklist NOT IN plans as a broadcast anti join; no cartesian") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q16_parts_supplier_cnt")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in q16's plan:\n$plan")
+  }
 }
