@@ -1303,6 +1303,35 @@ object ScaleProbe {
                 ev.filter(col("event_id") % 2 === 1), "event_type",
                 "user_id", k = 64),
               "event_type", k = 64).count())),
+        // STREAMING stored-sketch maintenance (stream_kmv_update registry
+        // shape): four staged micro-batches (event_id mod 4), each batch
+        // sketched (batch-shaped 12-byte DISTINCT) and folded into the
+        // versioned parquet store — three cross-batch sketch-sized merges.
+        // Expected: the sketch_kmv_merge cost class + the staging writes
+        // (corpus-linear) + 4 micro-batch scheduling; no Spark state.
+        "stream_kmv_update" -> (() => {
+          val stages = (0 to 3).map(r =>
+            ev.filter(col("event_id") % 4 === r)
+              .select(col("event_type"), col("user_id")))
+          val storeDir = s"target/scaleprobe/kmv_store_$tag"
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(storeDir))
+          time(s"$tag/stream_kmv_update")({
+            val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+              s"target/scaleprobe/kmv_stream_$tag")
+            val q = graft.streaming.StreamOps.kmvUpdateStream(in,
+                "event_type", "user_id", k = 64, storeDir)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.ops.Sketches.kmvEstimates(
+              graft.streaming.StreamOps.kmvStoreRead(spark, storeDir),
+              k = 64).count()
+          })
+        }),
         // mergeable quantile sketch (sketch_kmv_quantiles registry shape):
         // two half-corpus packed-word DISTINCTs + sketch-sized merge +
         // order-statistic reads — the sketch_kmv_merge cost class

@@ -60,6 +60,15 @@ object Sketches {
       .agg(bottomK(col("hk"), col("hk")).as("sk"))
   }
 
+  /** Read estimates from a [[kmvSketch]]-shaped store relation — the
+    * query-time half of the store/update split ([[kmvMergeAgainst]]
+    * merges; this reads): (group, sk, n_kept, kth_hash, est_distinct).
+    * Sketch-sized input, narrow codegen'd arithmetic — no corpus touch. */
+  def kmvEstimates(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    withEstimate(sketches, "sk", k)
+  }
+
   /** Append the estimator columns for a bottom-k array column `skCol`:
     * (n_kept, kth_hash, est_distinct) — exact count below k, the integer
     * Bar-Yossef estimator at k. */

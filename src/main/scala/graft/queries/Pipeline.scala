@@ -1165,6 +1165,63 @@ object Pipeline {
       }
     },
 
+    // STREAMING stored-sketch maintenance — the KMV deployment loop run
+    // as a stream (StreamOps.kmvUpdateStream): events replay as FOUR
+    // staged micro-batches (event_id mod 4), each batch sketched and
+    // folded into a versioned parquet store — three CROSS-BATCH merges
+    // with no Spark state (the store IS the state, durable and queryable
+    // mid-stream). The oracle is the WHOLE-CORPUS sketch: by the
+    // mergeability identity the four-way fold equals it exactly, so the
+    // driver gate hash-checks the streaming store maintenance end-to-end
+    // the way sketch_kmv_merge checks a single merge. Idempotence under
+    // batch retry is the sketch algebra's (set semantics), pinned in
+    // SketchesSpec.
+    QuerySpec.sql("stream_kmv_update",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part,
+        |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT part, hk, row_number() OVER (PARTITION BY part ORDER BY hk) AS rn FROM h),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n_kept, max(hk) AS kth_hash
+        |      FROM b WHERE rn <= 64 GROUP BY part)
+        |SELECT part, n_kept, kth_hash,
+        |       CASE WHEN n_kept < 64 THEN n_kept
+        |            ELSE (63 * 4294967296) // kth_hash END AS est_distinct
+        |FROM g ORDER BY part""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stages = (0 to 3).map(r =>
+          ev.filter(col("event_id") % 4 === r)
+            .select(col("event_type"), col("user_id")))
+        val in = Ingest.stageOrderedFiles(s, stages,
+          "target/stream_kmv_update_in")
+        // cold replay: fresh store (a warm start resuming a prior store is
+        // the helper's contract — SketchesSpec pins it; the registry
+        // surface pins the cold four-batch fold against the corpus)
+        val storeDir = "target/stream_kmv_update_store"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(storeDir))
+        val q = graft.streaming.StreamOps.kmvUpdateStream(in,
+            "event_type", "user_id", k = 64, storeDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = Sketches.kmvEstimates(
+            graft.streaming.StreamOps.kmvStoreRead(s, storeDir), k = 64)
+          .select(col("event_type").as("part"), col("n_kept"),
+            col("kth_hash"), col("est_distinct"))
+          .orderBy(col("part"))
+        require(!out.isEmpty || Tables.events(s, dir).isEmpty,
+          s"stream_kmv_update streamed zero sketch groups from $dir but " +
+            "the corpus has events")
+        out
+      }
+    },
+
     // Mergeable QUANTILE sketch (the second sketch pillar): per-event-type
     // value quantiles from a deterministic bottom-k-by-hash row sample,
     // PACKED (hash, cents) words so the whole KMV store/merge algebra

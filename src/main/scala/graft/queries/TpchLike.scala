@@ -143,6 +143,46 @@ object TpchLike {
           .orderBy(col("o_orderpriority"))
     },
 
+    // TPC-H Q12 shape: shipping-mode priority split — the deck's one
+    // fact⋈fact join whose AGGREGATE is conditioned on an attribute of
+    // the JOINED row (o_orderpriority), not the grouped one. Adapted:
+    // the corpus lacks l_shipmode/l_commitdate/l_receiptdate, so the
+    // mode class is l_returnflag and "late delivery" = shipped more than
+    // 60 days after the order date (the q21 lateness convention), inside
+    // a one-year shipdate window (Q12's receiptdate-year filter).
+    //
+    // Plan (the 100 TB story): the year window pushes into the lineitem
+    // PARQUET SCAN (pinned in TpchPlanSpec — at 100 TB this is the
+    // partition-pruning predicate); the join is keyed on orderkey (both
+    // sides shuffle on their natural key; the lateness predicate is a
+    // join residual, never a theta join), and the conditional counts are
+    // partial (map-side) before the 3-group exchange.
+    QuerySpec.sql("q12_priority_shipping",
+      """SELECT l_returnflag AS flag_class,
+        |       count(*) FILTER (o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+        |       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""") {
+      (s, dir) =>
+        li(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(ord(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag").as("flag_class"))
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("low_line_count"))
+          .orderBy(col("flag_class"))
+    },
+
     // Anti-join: customers with no HIGH-priority orders (NOT EXISTS ↔
     // left_anti). The subquery is filtered so the result is non-empty —
     // every customer has some order in this corpus, and an always-empty

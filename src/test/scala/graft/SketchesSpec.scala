@@ -122,6 +122,56 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(halves === whole)
   }
 
+  test("kmvUpdateStream folds staged micro-batches into a versioned store equal to the whole-corpus sketch; warm start resumes; replay is absorbed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val k = 16
+    val storeDir = "target/test_kmv_update_store"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(storeDir))
+    def run(stages: Seq[org.apache.spark.sql.DataFrame], inDir: String): Unit = {
+      val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages, inDir)
+      val q = graft.streaming.StreamOps.kmvUpdateStream(
+          in, "grp", "key", k, storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSketch(df, "grp", "key", k).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    def storeNow() = graft.streaming.StreamOps.kmvStoreRead(spark, storeDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    // cold stream: three staged batches with overlap and one-sided groups
+    val s1 = (1 to 120).map(i => ("g", s"k_$i")).toDF("grp", "key")
+    val s2 = ((61 to 180).map(i => ("g", s"k_$i")) ++
+      (1 to 5).map(i => ("solo", s"s_$i"))).toDF("grp", "key")
+    val s3 = (121 to 240).map(i => ("g", s"k_$i")).toDF("grp", "key")
+    run(Seq(s1, s2, s3), "target/test_kmv_update_in1")
+    assert(storeNow() === sketchOf(s1.union(s2).union(s3)),
+      "three-batch fold diverged from the whole-corpus sketch")
+    // warm start: a second stream on the SAME store continues the fold
+    val s4 = (200 to 320).map(i => ("g", s"k_$i")).toDF("grp", "key")
+    run(Seq(s4), "target/test_kmv_update_in2")
+    assert(storeNow() === sketchOf(s1.union(s2).union(s3).union(s4)),
+      "warm-started fold diverged from the whole-corpus sketch")
+    // retry idempotence is the sketch algebra's: re-merging an absorbed
+    // batch changes nothing (set semantics of DISTINCT + array_union)
+    val before = storeNow()
+    val remerged = Sketches.kmvMergeSketches(
+        graft.streaming.StreamOps.kmvStoreRead(spark, storeDir),
+        Sketches.kmvSketch(s4, "grp", "key", k), "grp", k).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    assert(remerged === before, "replayed batch was not absorbed")
+  }
+
   test("overlap estimates recover disjoint, nested, and identical audiences") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"u_$i")

@@ -82,6 +82,22 @@ class TpchPlanSpec extends AnyFunSuite with SparkFixture {
       assert(!plan.contains(bad), s"$bad in q5_local's plan:\n$plan")
   }
 
+  test("q12: the year window pushes into the lineitem scan; the join stays keyed") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("q12_priority_shipping")
+    // at 100 TB the shipdate window is the partition-pruning predicate —
+    // it must reach the parquet scan, not evaluate post-join
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    assert(pushed.contains("l_shipdate"),
+      s"shipdate window not pushed into the lineitem scan:\n$pushed")
+    // the lateness predicate is a residual on the keyed orderkey join —
+    // a theta-join plan (cartesian / nested-loop) would be the scale killer
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in q12's plan:\n$plan")
+  }
+
   test("q16: the supplier blacklist NOT IN plans as a broadcast anti join; no cartesian") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("q16_parts_supplier_cnt")
