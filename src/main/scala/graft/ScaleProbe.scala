@@ -1332,6 +1332,51 @@ object ScaleProbe {
               k = 64).count()
           })
         }),
+        // decomposition variant: staging (4 coalesce(1) parquet writes —
+        // the corpus-linear VERIFICATION-SURFACE cost; a deployment reads
+        // arriving files/Kafka directly) runs UNTIMED, so the timed
+        // section is the operator itself: 4 micro-batch scans + sketches
+        // + 3 sketch-sized store merges
+        "stream_kmv_update_nostage" -> (() => {
+          val stages = (0 to 3).map(r =>
+            ev.filter(col("event_id") % 4 === r)
+              .select(col("event_type"), col("user_id")))
+          val storeDir = s"target/scaleprobe/kmv_store_ns_$tag"
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(storeDir))
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/kmv_stream_ns_$tag")
+          time(s"$tag/stream_kmv_update_nostage")({
+            val q = graft.streaming.StreamOps.kmvUpdateStream(in,
+                "event_type", "user_id", k = 64, storeDir)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.ops.Sketches.kmvEstimates(
+              graft.streaming.StreamOps.kmvStoreRead(spark, storeDir),
+              k = 64).count()
+          })
+        }),
+        // Count-Min frequency sketch (sketch_cms_freq registry shape):
+        // two half-corpus builds (each ONE map-side-combinable aggregate
+        // over the 4×-exploded corpus) + cell-sum merge + probe reads —
+        // everything after the per-half combines is d·w-sized
+        "sketch_cms_freq" -> (() =>
+          time(s"$tag/sketch_cms_freq")({
+            def half(rem: Int) = graft.ops.Sketches.cmsSketch(
+              ev.filter(col("event_id") % 2 === rem), "event_type",
+              "user_id", depth = 4, width = 1024)
+            val store = graft.ops.Sketches.cmsMerge(half(0), half(1),
+              "event_type")
+            val probes = ev
+              .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
+              .select(col("event_type"), col("user_id")).distinct()
+            graft.ops.Sketches.cmsEstimate(store, probes, "event_type",
+              "user_id", depth = 4, width = 1024).count()
+          })),
         // mergeable quantile sketch (sketch_kmv_quantiles registry shape):
         // two half-corpus packed-word DISTINCTs + sketch-sized merge +
         // order-statistic reads — the sketch_kmv_merge cost class

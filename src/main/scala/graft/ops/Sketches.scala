@@ -174,6 +174,81 @@ object Sketches {
     base.select(Seq(col(groupCol), col("n_kept")) ++ qCols: _*)
   }
 
+  /** Mergeable COUNT-MIN frequency sketch — the THIRD sketch pillar next
+    * to mergeable distinct ([[kmvSketch]]) and quantiles
+    * ([[kmvQuantileSketch]]): per-group ROW-FREQUENCY estimation in
+    * d·w integer cells. Deterministic by construction — the d hash rows
+    * are seeded md5 arithmetic (the [[Sampling.hashKey]] convention with
+    * a per-depth seed prefix), every cell a plain BIGINT count — so both
+    * engines replay the sketch bit-for-bit: oracle-exact like the rest
+    * of the family, unlike engine-internal frequency sketches.
+    *
+    * Store shape: (group, d, bucket, cnt), ≤ depth·width rows per group
+    * (sparse — untouched cells are absent ≡ 0). Plan: ONE map-side-
+    * combinable hash aggregate over the depth-exploded corpus (the only
+    * corpus-shaped work, combining down to d·w cells per group before
+    * the exchange); no sort, no window, no per-row state.
+    *
+    * MERGE = elementwise cell sum ([[cmsMerge]]) — counts commute, so
+    * merged-per-partition sketches EQUAL the whole-corpus sketch exactly
+    * (not just distributionally): the same keep-one-sketch-per-
+    * (partition, day) shape as the KMV store, with the stronger identity.
+    *
+    * Reference: Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch and its applications" (J. Algorithms
+    * 2005) — point estimate min over d cells, overestimate-only, error
+    * ≤ N·e/w with probability 1−e^−d. */
+  def cmsSketch(df: DataFrame, groupCol: String, keyCol: String,
+                depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("d"), cmsBucket(col(keyCol), i, width).as("bucket"))
+      ): _*)).as("__cell"))
+      .groupBy(col(groupCol), col("__cell.d").as("d"),
+        col("__cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Seeded CMS hash for depth `i`: the [[Sampling.hashKey]] md5
+    * arithmetic over "cms<i>|<key>" mod width — replayed verbatim by the
+    * DuckDB oracle. */
+  private def cmsBucket(key: Column, i: Int, width: Int): Column =
+    Sampling.hashKey(concat(lit(s"cms$i|"), key.cast("string"))) % width
+
+  /** Merge two CMS stores: elementwise cell sum — EXACTLY the sketch of
+    * the concatenated inputs (counts commute), so per-partition sketches
+    * fold into the global one with no error term. Sketch-sized work:
+    * union of ≤ depth·width-row relations + one combine. */
+  def cmsMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.select(col(groupCol), col("d"), col("bucket"), col("cnt"))
+      .unionByName(b.select(col(groupCol), col("d"), col("bucket"), col("cnt")))
+      .groupBy(col(groupCol), col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates from a CMS store: for each (group, key)
+    * probe row, min over the d cells the key hashes to — the classic
+    * overestimate-only read. The probe relation is expected tiny
+    * (broadcast side); the store is d·w-sized — neither is corpus-shaped,
+    * the whole point of querying the sketch instead of the corpus. */
+  def cmsEstimate(store: DataFrame, probes: DataFrame, groupCol: String,
+                  keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2")
+    val cells = probes.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), col(keyCol),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("d"), cmsBucket(col(keyCol), i, width).as("bucket"))
+        ): _*)).as("__cell"))
+      .select(col(groupCol), col(keyCol),
+        col("__cell.d").as("d"), col("__cell.bucket").as("bucket"))
+    // inner join: a key absent from the corpus may miss cells entirely
+    // (true count 0); coalesce via the left join + 0-fill keeps those at
+    // the overestimate-only floor instead of dropping them
+    cells.join(store, Seq(groupCol, "d", "bucket"), "left")
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Pairwise set-overlap estimates from MERGED sketches — the KMV set
     * algebra (Beyer et al., "On synopses for distinct-value estimation
     * under multiset operations", SIGMOD 2007): for parts a < b, merge

@@ -1264,6 +1264,53 @@ object Pipeline {
             col("p99_cents"))
           .orderBy(col("part"))
       }
+    },
+
+    // Count-Min FREQUENCY sketch (the third sketch pillar: distinct /
+    // quantiles / frequency): per-event-type user-frequency estimates
+    // from d·w integer cells — seeded md5 hashing, so both engines
+    // replay the sketch bit-for-bit. Like the rest of the family, the
+    // Spark side builds TWO half-corpus sketches (event_id parity) and
+    // MERGES them (elementwise cell sum — EXACTLY the whole-corpus
+    // sketch, counts commute), while the oracle computes the whole
+    // sketch directly and reads the same probe set: the driver gate
+    // checks the merge identity AND the min-over-d point reads
+    // end-to-end.
+    QuerySpec.sql("sketch_cms_freq",
+      """WITH d4 AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT event_type AS part, d,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || d::VARCHAR || '|' || user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 1024 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN d4 WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT event_type AS part, user_id
+        |           FROM events WHERE user_id IS NOT NULL AND user_id % 10 = 0),
+        |pc AS (
+        |  SELECT p.part, p.user_id, d,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || d::VARCHAR || '|' || p.user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 1024 AS bucket
+        |  FROM probes p CROSS JOIN d4)
+        |SELECT pc.part, pc.user_id, min(coalesce(c.cnt, 0)) AS est_cnt
+        |FROM pc LEFT JOIN cells c
+        |  ON c.part = pc.part AND c.d = pc.d AND c.bucket = pc.bucket
+        |GROUP BY 1, 2 ORDER BY pc.part, pc.user_id""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def half(rem: Int) = Sketches.cmsSketch(
+          ev.filter(col("event_id") % 2 === rem), "event_type", "user_id",
+          depth = 4, width = 1024)
+        val store = Sketches.cmsMerge(half(0), half(1), "event_type")
+        val probes = ev
+          .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
+          .select(col("event_type"), col("user_id")).distinct()
+        Sketches.cmsEstimate(store, probes, "event_type", "user_id",
+            depth = 4, width = 1024)
+          .select(col("event_type").as("part"), col("user_id"),
+            col("est_cnt"))
+          .orderBy(col("part"), col("user_id"))
+      }
     }
   )
 }

@@ -172,6 +172,49 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(remerged === before, "replayed batch was not absorbed")
   }
 
+  test("count-min sketch: point reads exact without collisions, overestimate-only under forced collisions, absent keys floor at 0") {
+    import spark.implicits._
+    // 3 keys with frequencies 5/3/1 — at w=1024, d=4 a full 4-way
+    // collision among 3 keys is effectively impossible, so reads are EXACT
+    val rows = Seq.fill(5)(("g", "a")) ++ Seq.fill(3)(("g", "b")) ++ Seq(("g", "c"))
+    val df = rows.toDF("grp", "key")
+    val probes = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("g", "absent"))
+      .toDF("grp", "key")
+    val est = Sketches.cmsEstimate(
+        Sketches.cmsSketch(df, "grp", "key", depth = 4, width = 1024),
+        probes, "grp", "key", depth = 4, width = 1024).collect()
+      .map(r => r.getString(1) -> r.getAs[Long]("est_cnt")).toMap
+    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "absent" -> 0L))
+    // forced collisions: width=2, depth=1 squeezes 3 keys into 2 cells —
+    // the classic CMS degradation. The invariant that survives any hash
+    // layout (and any engine) is overestimate-only: est >= true count.
+    val truth = Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "absent" -> 0L)
+    Sketches.cmsEstimate(
+        Sketches.cmsSketch(df, "grp", "key", depth = 1, width = 2),
+        probes, "grp", "key", depth = 1, width = 2).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("est_cnt") >= truth(r.getString(1)),
+          s"CMS under-estimated ${r.getString(1)}")
+      }
+  }
+
+  test("count-min merge is the whole-corpus sketch exactly (counts commute)") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => ("g", s"k_${i % 37}")) ++
+      (1 to 100).map(i => ("h", s"k_${i % 11}"))
+    def cells(store: org.apache.spark.sql.DataFrame) = store.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val whole = cells(Sketches.cmsSketch(rows.toDF("grp", "key"),
+      "grp", "key", 4, 64))
+    val merged = cells(Sketches.cmsMerge(
+      Sketches.cmsSketch(rows.take(250).toDF("grp", "key"), "grp", "key", 4, 64),
+      Sketches.cmsSketch(rows.drop(250).toDF("grp", "key"), "grp", "key", 4, 64),
+      "grp"))
+    assert(merged === whole,
+      "cell-sum merge diverged from the whole-corpus sketch")
+  }
+
   test("overlap estimates recover disjoint, nested, and identical audiences") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"u_$i")
