@@ -1360,6 +1360,39 @@ object ScaleProbe {
               k = 64).count()
           })
         }),
+        // STREAMING frequency-store maintenance (stream_cms_update
+        // registry shape), staging untimed like the kmv variant: four
+        // micro-batch cell-count builds + three cell-sum merges —
+        // expected the sketch_cms_freq cost class + micro-batch
+        // scheduling; staging cost is IDENTICAL to stream_kmv_update's
+        // measured decomposition (same staged input)
+        "stream_cms_update_nostage" -> (() => {
+          val stages = (0 to 3).map(r =>
+            ev.filter(col("event_id") % 4 === r)
+              .select(col("event_type"), col("user_id")))
+          val storeDir = s"target/scaleprobe/cms_store_ns_$tag"
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(storeDir))
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/cms_stream_ns_$tag")
+          time(s"$tag/stream_cms_update_nostage")({
+            val q = graft.streaming.StreamOps.cmsUpdateStream(in,
+                "event_type", "user_id", depth = 4, width = 1024, storeDir)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val probes = ev
+              .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
+              .select(col("event_type"), col("user_id")).distinct()
+            graft.ops.Sketches.cmsEstimate(
+              graft.streaming.StreamOps.sketchStoreRead(spark, storeDir),
+              probes, "event_type", "user_id", depth = 4,
+              width = 1024).count()
+          })
+        }),
         // Count-Min frequency sketch (sketch_cms_freq registry shape):
         // two half-corpus builds (each ONE map-side-combinable aggregate
         // over the 4×-exploded corpus) + cell-sum merge + probe reads —

@@ -1311,6 +1311,71 @@ object Pipeline {
             col("est_cnt"))
           .orderBy(col("part"), col("user_id"))
       }
+    },
+
+    // STREAMING frequency-store maintenance — the CMS configuration of
+    // the generic versioned-store fold (StreamOps.cmsUpdateStream via
+    // sketchUpdateStream, the seam both sketch families configure):
+    // events replay as FOUR staged micro-batches, each batch's cell
+    // counts SUMMED into the stored cells — and because the CMS merge
+    // is an elementwise sum, the folded store equals the whole-corpus
+    // sketch EXACTLY for any micro-batch split (versioning by batchId
+    // is the retry commit unit — counts don't absorb like sets, so the
+    // store version IS the batch). Same probe reads and whole-corpus
+    // oracle as sketch_cms_freq: the driver gate hash-checks the
+    // streaming fold end-to-end.
+    QuerySpec.sql("stream_cms_update",
+      """WITH d4 AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT event_type AS part, d,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || d::VARCHAR || '|' || user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 1024 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN d4 WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT event_type AS part, user_id
+        |           FROM events WHERE user_id IS NOT NULL AND user_id % 10 = 0),
+        |pc AS (
+        |  SELECT p.part, p.user_id, d,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || d::VARCHAR || '|' || p.user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 1024 AS bucket
+        |  FROM probes p CROSS JOIN d4)
+        |SELECT pc.part, pc.user_id, min(coalesce(c.cnt, 0)) AS est_cnt
+        |FROM pc LEFT JOIN cells c
+        |  ON c.part = pc.part AND c.d = pc.d AND c.bucket = pc.bucket
+        |GROUP BY 1, 2 ORDER BY pc.part, pc.user_id""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stages = (0 to 3).map(r =>
+          ev.filter(col("event_id") % 4 === r)
+            .select(col("event_type"), col("user_id")))
+        val in = Ingest.stageOrderedFiles(s, stages,
+          "target/stream_cms_update_in")
+        val storeDir = "target/stream_cms_update_store"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(storeDir))
+        val q = graft.streaming.StreamOps.cmsUpdateStream(in,
+            "event_type", "user_id", depth = 4, width = 1024, storeDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val store = graft.streaming.StreamOps.sketchStoreRead(s, storeDir)
+        val probes = ev
+          .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
+          .select(col("event_type"), col("user_id")).distinct()
+        val out = Sketches.cmsEstimate(store, probes, "event_type",
+            "user_id", depth = 4, width = 1024)
+          .select(col("event_type").as("part"), col("user_id"),
+            col("est_cnt"))
+          .orderBy(col("part"), col("user_id"))
+        require(!out.isEmpty || Tables.events(s, dir).isEmpty,
+          s"stream_cms_update streamed zero probe estimates from $dir " +
+            "but the corpus has events")
+        out
+      }
     }
   )
 }

@@ -511,37 +511,98 @@ object StreamOps {
   def kmvUpdateStream(stream: DataFrame, groupCol: String, keyCol: String,
                       k: Int, storeDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sketchUpdateStream(stream, storeDir,
+      b => graft.ops.Sketches.kmvSketch(b, groupCol, keyCol, k),
+      (store, b) =>
+        graft.ops.Sketches.kmvMergeSketches(store, b, groupCol, k))
+
+  /** The CMS configuration of [[sketchUpdateStream]] — continuous
+    * frequency-store maintenance: each micro-batch's cell counts
+    * ([[graft.ops.Sketches.cmsSketch]]) summed into the stored cells
+    * ([[graft.ops.Sketches.cmsMerge]]). Because the CMS merge is an
+    * ELEMENTWISE SUM, the folded store equals the whole-corpus sketch
+    * EXACTLY for any micro-batch split — but unlike the KMV fold it is
+    * NOT retry-absorbing (counts double where sets dedupe), so the
+    * versioned store is the commit unit: a retried batch re-merges
+    * against the same PRIOR version and overwrites its own output
+    * version — last writer wins, counts never double. Corollary: a CMS
+    * warm RESTART must resume the stream's own batchId sequence (a
+    * persistent checkpointLocation — the production shape); a cold
+    * replay over an existing store would restart at batchId 0 and
+    * orphan it, by design (counts must not double-fold). */
+  def cmsUpdateStream(stream: DataFrame, groupCol: String, keyCol: String,
+                      depth: Int, width: Int, storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sketchUpdateStream(stream, storeDir,
+      b => graft.ops.Sketches.cmsSketch(b, groupCol, keyCol, depth, width),
+      (store, b) => graft.ops.Sketches.cmsMerge(store, b, groupCol),
+      versionByBatchId = true)
+
+  /** The generic versioned-store streaming fold both sketch families
+    * configure (and any future mergeable summary can): per micro-batch,
+    * `sketchFn(batch)` builds the batch summary (the only batch-shaped
+    * work) and `mergeFn(store, batchSketch)` folds it into the latest
+    * parquet version under `storeDir`; the merged result becomes the
+    * next version. The stream holds NO Spark state — the store is the
+    * state, queryable mid-stream ([[sketchStoreRead]]) and durable
+    * across restarts (a warm start resumes from the latest version).
+    *
+    * Retry semantics are the MERGE's: a set-semantics merge (KMV
+    * bottom-k) absorbs a replayed batch at any version numbering, so
+    * the default monotonic next-version is safe; a counting merge (CMS)
+    * needs the version number to BE the batchId
+    * (`versionByBatchId = true`) so a retried batch reads the same
+    * prior version it read the first time and overwrites its own
+    * output — idempotence by commit unit instead of by algebra. */
+  def sketchUpdateStream(stream: DataFrame, storeDir: String,
+                         sketchFn: DataFrame => DataFrame,
+                         mergeFn: (DataFrame, DataFrame) => DataFrame,
+                         versionByBatchId: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val batchSk = graft.ops.Sketches.kmvSketch(batch, groupCol, keyCol, k)
-        val merged = kmvStoreLatest(storeDir) match {
-          case Some(v) => graft.ops.Sketches.kmvMergeSketches(
-            s.read.parquet(s"$storeDir/v$v"), batchSk, groupCol, k)
+        val batchSk = sketchFn(batch)
+        val prev =
+          if (versionByBatchId) sketchStoreVersions(storeDir).filter(_ < batchId)
+            .sorted.lastOption
+          else sketchStoreLatest(storeDir)
+        val merged = prev match {
+          case Some(v) => mergeFn(s.read.parquet(s"$storeDir/v$v"), batchSk)
           case None => batchSk
         }
-        val next = kmvStoreLatest(storeDir).map(_ + 1).getOrElse(0L)
+        val next =
+          if (versionByBatchId) batchId
+          else sketchStoreLatest(storeDir).map(_ + 1).getOrElse(0L)
         merged.write.mode("overwrite").parquet(s"$storeDir/v$next")
       }
 
   /** The current store relation under `storeDir` (its latest version) —
-    * [[graft.ops.Sketches.kmvSketch]]-shaped, ready for
-    * [[graft.ops.Sketches.kmvEstimates]] / further merges. Empty store
-    * (no completed batch yet) is an error: readers gate on stream
-    * progress, not on this accessor. */
-  def kmvStoreRead(spark: org.apache.spark.sql.SparkSession,
-                   storeDir: String): DataFrame = {
-    val v = kmvStoreLatest(storeDir).getOrElse(
+    * sketch-shaped per its family, ready for
+    * [[graft.ops.Sketches.kmvEstimates]] / [[graft.ops.Sketches.cmsEstimate]]
+    * / further merges. Empty store (no completed batch yet) is an error:
+    * readers gate on stream progress, not on this accessor. */
+  def sketchStoreRead(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String): DataFrame = {
+    val v = sketchStoreLatest(storeDir).getOrElse(
       throw new IllegalStateException(s"no committed sketch store under $storeDir"))
     spark.read.parquet(s"$storeDir/v$v")
   }
 
-  private def kmvStoreLatest(storeDir: String): Option[Long] =
+  /** KMV-era name for [[sketchStoreRead]] (the accessor is family-
+    * agnostic — kept for the registry/spec call sites). */
+  def kmvStoreRead(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String): DataFrame =
+    sketchStoreRead(spark, storeDir)
+
+  private def sketchStoreLatest(storeDir: String): Option[Long] =
+    sketchStoreVersions(storeDir).sorted.lastOption
+
+  private def sketchStoreVersions(storeDir: String): Seq[Long] =
     Option(new java.io.File(storeDir).listFiles).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toLong)
-      .sorted.lastOption
 
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,

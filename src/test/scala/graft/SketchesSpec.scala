@@ -215,6 +215,44 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       "cell-sum merge diverged from the whole-corpus sketch")
   }
 
+  test("cmsUpdateStream folds staged micro-batches into the whole-corpus sketch; batchId versioning makes a retry rewrite its own version") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val storeDir = "target/test_cms_update_store"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(storeDir))
+    val s1 = (1 to 150).map(i => ("g", s"k_${i % 13}")).toDF("grp", "key")
+    val s2 = (1 to 90).map(i => ("g", s"k_${i % 7}")).toDF("grp", "key")
+    val s3 = ((1 to 60).map(i => ("g", s"k_${i % 5}")) ++
+      (1 to 20).map(i => ("h", s"x_${i % 3}"))).toDF("grp", "key")
+    val in = graft.streaming.Ingest.stageOrderedFiles(spark,
+      Seq(s1, s2, s3), "target/test_cms_update_in")
+    val q = graft.streaming.StreamOps.cmsUpdateStream(
+        in, "grp", "key", depth = 4, width = 64, storeDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val folded = cells(
+      graft.streaming.StreamOps.sketchStoreRead(spark, storeDir))
+    val whole = cells(Sketches.cmsSketch(s1.union(s2).union(s3),
+      "grp", "key", 4, 64))
+    assert(folded === whole,
+      "streamed cell-sum fold diverged from the whole-corpus sketch")
+    // the commit-unit property behind versionByBatchId: what a retry of
+    // the LAST batch would rewrite — merge(prior version, batch sketch) —
+    // is exactly the version it already wrote; last-writer-wins cannot
+    // double any count
+    val rewrite = cells(Sketches.cmsMerge(
+      spark.read.parquet(s"$storeDir/v1"),
+      Sketches.cmsSketch(s3, "grp", "key", 4, 64), "grp"))
+    assert(rewrite === folded, "a replayed final batch would change the store")
+  }
+
   test("overlap estimates recover disjoint, nested, and identical audiences") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"u_$i")
