@@ -1360,6 +1360,14 @@ object ScaleProbe {
               k = 64).count()
           })
         }),
+        // trailing-window distinct from daily sketches (sketch_kmv_sliding
+        // registry shape): ONE (group, day, hash) DISTINCT is the only
+        // corpus-shaped work; the sliding union is a range-frame window
+        // over sketch rows (≤ 7 arrays × k longs per output row)
+        "sketch_kmv_sliding" -> (() =>
+          time(s"$tag/sketch_kmv_sliding")(
+            graft.ops.Sketches.kmvSlidingDistinct(ev, "event_type", "ts",
+              "user_id", k = 32, windowDays = 7).count())),
         // STREAMING frequency-store maintenance (stream_cms_update
         // registry shape), staging untimed like the kmv variant: four
         // micro-batch cell-count builds + three cell-sum merges —

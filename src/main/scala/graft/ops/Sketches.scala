@@ -174,6 +174,43 @@ object Sketches {
     base.select(Seq(col(groupCol), col("n_kept")) ++ qCols: _*)
   }
 
+  /** Trailing-window distinct counts from DAILY sketches — the canonical
+    * query the per-(partition, day) KMV store exists to answer: "distinct
+    * keys per group over the trailing `windowDays` days, for every day",
+    * WITHOUT re-touching the corpus per window. One (group, day, hash)
+    * DISTINCT builds the daily sketches (the only corpus-shaped work —
+    * the same exchange [[kmvDistinct]] pays once); the sliding union is a
+    * range-frame window over SKETCH ROWS (≤ windowDays arrays of ≤ k
+    * longs per output row — bounded, never corpus-sized), re-cut to
+    * bottom-k. By the mergeability identity the re-cut union EQUALS the
+    * sketch of the window's raw key set, which is what the oracle checks.
+    * The range frame is keyed on the EPOCH-DAY number, so calendar gaps
+    * window correctly (a missing day contributes nothing, not a frame
+    * shift). Output: (group, day, n_kept, kth_hash, est_distinct). */
+  def kmvSlidingDistinct(df: DataFrame, groupCol: String, tsCol: String,
+                         keyCol: String, k: Int,
+                         windowDays: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val hashed = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol), to_date(col(tsCol)).as("day"),
+        Sampling.hashKey(col(keyCol)).as("hk"))
+      .distinct()
+    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
+    val daily = hashed.groupBy(col(groupCol), col("day"))
+      .agg(bottomK(col("hk"), col("hk")).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(windowDays - 1), 0)
+    withEstimate(
+      daily.withColumn("sk",
+        slice(array_sort(array_distinct(flatten(
+          collect_list(col("sk")).over(w)))), 1, k)),
+      "sk", k)
+  }
+
   /** Mergeable COUNT-MIN frequency sketch — the THIRD sketch pillar next
     * to mergeable distinct ([[kmvSketch]]) and quantiles
     * ([[kmvQuantileSketch]]): per-group ROW-FREQUENCY estimation in

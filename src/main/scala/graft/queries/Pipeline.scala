@@ -1313,6 +1313,43 @@ object Pipeline {
       }
     },
 
+    // Trailing-7-day distinct users per (event_type, day) from DAILY
+    // sketches — the canonical query the per-(partition, day) KMV store
+    // exists to answer: the corpus is touched ONCE (the daily (group,
+    // day, hash) DISTINCT); every trailing window is a range-frame
+    // union over sketch rows re-cut to bottom-k, which by the
+    // mergeability identity EQUALS the sketch of the window's raw key
+    // set — the oracle computes that directly, so the driver gate
+    // checks the whole daily-store → sliding-union path end-to-end.
+    // Epoch-day range frame: calendar gaps window correctly.
+    QuerySpec.sql("sketch_kmv_sliding",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part, CAST(ts AS DATE) AS day,
+        |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT part, day FROM h),
+        |j AS (SELECT DISTINCT d.part, d.day, h.hk
+        |      FROM days d JOIN h ON h.part = d.part
+        |        AND h.day >= d.day - 6 AND h.day <= d.day),
+        |b AS (SELECT part, day, hk,
+        |             row_number() OVER (PARTITION BY part, day ORDER BY hk) AS rn
+        |      FROM j),
+        |g AS (SELECT part, day, CAST(count(*) AS BIGINT) AS n_kept, max(hk) AS kth_hash
+        |      FROM b WHERE rn <= 32 GROUP BY 1, 2)
+        |SELECT part, strftime(day, '%Y-%m-%d') AS day, n_kept, kth_hash,
+        |       CASE WHEN n_kept < 32 THEN n_kept
+        |            ELSE (31 * 4294967296) // kth_hash END AS est_distinct
+        |FROM g ORDER BY part, day""") {
+      (s, dir) =>
+        Sketches.kmvSlidingDistinct(Tables.events(s, dir), "event_type",
+            "ts", "user_id", k = 32, windowDays = 7)
+          .select(col("event_type").as("part"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_kept"), col("kth_hash"), col("est_distinct"))
+          .orderBy(col("part"), col("day"))
+    },
+
     // STREAMING frequency-store maintenance — the CMS configuration of
     // the generic versioned-store fold (StreamOps.cmsUpdateStream via
     // sketchUpdateStream, the seam both sketch families configure):

@@ -172,6 +172,44 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(remerged === before, "replayed batch was not absorbed")
   }
 
+  test("sliding distinct from daily sketches equals the direct window sketch; calendar gaps window by date, not by row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group "g": days 1,2,3 then a GAP to day 10 — the day-10 window
+    // (3 trailing days) must cover day 10 alone, not reach across the
+    // gap to day 3 the way a ROWS frame would
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:${i % 60}%02d")
+    val rows =
+      (1 to 50).map(i => ("g", ts(1, i), s"u_$i")) ++
+        (1 to 50).map(i => ("g", ts(2, i), s"u_${i + 25}")) ++
+        (1 to 50).map(i => ("g", ts(3, i), s"u_${i + 50}")) ++
+        (1 to 10).map(i => ("g", ts(10, i), s"w_$i"))
+    val df = rows.toDF("grp", "ts", "key")
+    val k = 16
+    val out = Sketches.kmvSlidingDistinct(df, "grp", "ts", "key", k,
+        windowDays = 3).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("est_distinct"))).toMap
+    // reference: the direct sketch of each window's raw keys — the
+    // mergeability identity says the sliding re-cut union must equal it
+    def direct(days: Seq[Int]) = {
+      val sub = rows.filter { case (_, t, _) =>
+        days.contains(t.toLocalDateTime.getDayOfMonth) }
+        .map { case (g, _, key) => (g, key) }.toDF("grp", "key")
+      val r = Sketches.kmvDistinct(sub, "grp", "key", k).collect().head
+      (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+        r.getAs[Long]("est_distinct"))
+    }
+    assert(out("2024-03-01") === direct(Seq(1)))
+    assert(out("2024-03-02") === direct(Seq(1, 2)))
+    assert(out("2024-03-03") === direct(Seq(1, 2, 3)))
+    // the gap day windows ONLY itself (10 distinct keys, exact path)
+    assert(out("2024-03-10") === direct(Seq(10)))
+    assert(out("2024-03-10")._1 === 10L)
+  }
+
   test("count-min sketch: point reads exact without collisions, overestimate-only under forced collisions, absent keys floor at 0") {
     import spark.implicits._
     // 3 keys with frequencies 5/3/1 — at w=1024, d=4 a full 4-way
