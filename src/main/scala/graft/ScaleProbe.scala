@@ -1401,6 +1401,51 @@ object ScaleProbe {
               width = 1024).count()
           })
         }),
+        // deployment-parallelism decomposition for the CMS streaming
+        // fold: the EXACT foreachBatch body (batch sketch + store merge
+        // + versioned write) run over the same four event_id-quartile
+        // batches as plain parquet-parallel frames — what a deployed
+        // micro-batch costs when its source has native partitioning,
+        // isolating the staged replay's one-file-per-batch
+        // single-task cap as the difference vs stream_cms_update_nostage
+        "stream_cms_update_parbatch" -> (() => {
+          val storeDir = s"target/scaleprobe/cms_store_pb_$tag"
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(storeDir))
+          time(s"$tag/stream_cms_update_parbatch")({
+            (0 to 3).foreach { r =>
+              val batchSk = graft.ops.Sketches.cmsSketch(
+                ev.filter(col("event_id") % 4 === r), "event_type",
+                "user_id", depth = 4, width = 1024)
+              val merged =
+                if (r == 0) batchSk
+                else graft.ops.Sketches.cmsMerge(
+                  spark.read.parquet(s"$storeDir/v${r - 1}"), batchSk,
+                  "event_type")
+              merged.write.mode("overwrite").parquet(s"$storeDir/v$r")
+            }
+            val probes = ev
+              .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
+              .select(col("event_type"), col("user_id")).distinct()
+            graft.ops.Sketches.cmsEstimate(
+              graft.streaming.StreamOps.sketchStoreRead(spark, storeDir),
+              probes, "event_type", "user_id", depth = 4,
+              width = 1024).count()
+          })
+        }),
+        // build-only decomposition of the parbatch fold: the four
+        // quarter-corpus cell builds alone (count-materialized, no store
+        // IO) — the irreducible per-batch compute a deployment pays
+        "stream_cms_update_buildonly" -> (() =>
+          time(s"$tag/stream_cms_update_buildonly")(
+            (0 to 3).map { r =>
+              graft.ops.Sketches.cmsSketch(
+                ev.filter(col("event_id") % 4 === r), "event_type",
+                "user_id", depth = 4, width = 1024).count()
+            }.sum)),
         // Count-Min frequency sketch (sketch_cms_freq registry shape):
         // two half-corpus builds (each ONE map-side-combinable aggregate
         // over the 4×-exploded corpus) + cell-sum merge + probe reads —
