@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Plan pins for the sketch family — like TpchPlanSpec, the PLAN is the
+  * claim here, not just the oracle result: each sketch query's 100 TB
+  * story is "the corpus is scanned exactly N times and everything after
+  * the per-partition partial cut is sketch-sized". A Catalyst change
+  * that silently added a second corpus scan (a lost reuse, a
+  * de-optimized self-join) or dropped the map-side partial would keep
+  * the oracle green while losing exactly that story — these pins make
+  * it loud.
+  */
+class SketchPlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val q = Registry.all.find(_.name == name)
+      .getOrElse(fail(s"$name not in registry"))
+    q.fn(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  private def scans(plan: String): Int =
+    plan.linesIterator.count(_.contains("Scan parquet"))
+
+  test("sketch_kmv_sliding: ONE corpus scan; the sliding union is a window over sketch rows") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_kmv_sliding")
+    assert(scans(plan) === 1,
+      s"expected exactly one corpus scan (daily sketches feed every window):\n$plan")
+    // the range-frame union must plan as a Window over the aggregated
+    // (sketch-sized) relation, and the bounded bottom-k partial must cut
+    // BEFORE its exchange (two ObjectHashAggregate = partial + final)
+    assert(plan.contains("Window"), s"no window operator in:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bottom-k partial/final pair missing — the distinct exchange would " +
+        s"carry uncut rows:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the sliding plan:\n$plan")
+  }
+
+  test("sketch_kmv_distinct: ONE corpus scan with the null guard pushed to it; partial bottom-k before the exchange") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_kmv_distinct")
+    assert(scans(plan) === 1, s"expected exactly one corpus scan:\n$plan")
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    assert(pushed.contains("IsNotNull"),
+      s"NULL-key guard not pushed into the scan:\n$pushed")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bottom-k partial/final pair missing:\n$plan")
+  }
+
+  test("sketch_cms_freq: three corpus scans (two halves + probes), partial cell counts, no cartesian") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_cms_freq")
+    // two half-corpus builds + the probe-set DISTINCT — and nothing more
+    // (a fourth scan would mean a build leg lost its reuse)
+    assert(scans(plan) === 3, s"expected exactly three corpus scans:\n$plan")
+    // cell counts must partial-aggregate map-side (HashAggregate pairs
+    // around the exchange) — the only corpus-shaped work combines to
+    // <= d*w cells per group before shuffling
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"partial/final cell aggregation missing:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the CMS plan:\n$plan")
+  }
+}
