@@ -128,3 +128,63 @@ final case class BoundedTopKDouble(k: Int)
 
 /** Sorted ((key, id) asc) buffer, never more than k pairs — double keys. */
 case class TopKPairsD(items: Seq[(Double, Long)])
+
+/** Bounded per-group top-k COUNT pairs: keeps the k largest
+  * (cnt, key) pairs under (cnt desc, key asc) and emits them as
+  * (cnt, key) structs in that order — the member the Misra-Gries
+  * summary needs, where the sort key is a count and the carried id is
+  * the STRING key itself (the Long-id members can't surface it). The
+  * top-(k+1) count pairs fully determine the canonical MG prune: the
+  * (k+1)-th pair's count IS the prune depth d, and every key with
+  * count > d sorts strictly before any tied-at-d key, so all true
+  * candidates are in the buffer regardless of how ties at the boundary
+  * resolve (they resolve key-asc anyway — determinism hygiene).
+  *
+  * Same buffer discipline, merge shape, and ObjectHashAggregateExec
+  * planning caveat as [[BoundedTopKLong]]. */
+final case class BoundedTopCounts(k: Int)
+    extends Aggregator[(Long, String), TopCntPairs, Array[CntKey]] {
+  require(k >= 1, "k must be >= 1")
+
+  // "a before b" = larger count first, then key ascending
+  private def lt(a: (Long, String), b: (Long, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: TopCntPairs = TopCntPairs(Vector.empty)
+
+  override def reduce(b: TopCntPairs, x: (Long, String)): TopCntPairs = {
+    val items = b.items
+    if (items.length >= k && !lt(x, items.last)) b
+    else {
+      val (lo, hi) = items.span(lt(_, x))
+      TopCntPairs(((lo :+ x) ++ hi).take(k))
+    }
+  }
+
+  override def merge(a: TopCntPairs, b: TopCntPairs): TopCntPairs = {
+    val out = Vector.newBuilder[(Long, String)]
+    var i = 0; var j = 0; var n = 0
+    val (x, y) = (a.items, b.items)
+    while (n < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) {
+        out += x(i); i += 1
+      } else { out += y(j); j += 1 }
+      n += 1
+    }
+    TopCntPairs(out.result())
+  }
+
+  override def finish(b: TopCntPairs): Array[CntKey] =
+    b.items.map { case (c, kk) => CntKey(c, kk) }.toArray
+
+  override def bufferEncoder: Encoder[TopCntPairs] =
+    Encoders.product[TopCntPairs]
+  override def outputEncoder: Encoder[Array[CntKey]] =
+    ExpressionEncoder[Array[CntKey]]()
+}
+
+/** Sorted ((cnt desc, key asc)) buffer, never more than k pairs. */
+case class TopCntPairs(items: Seq[(Long, String)])
+
+/** One emitted (count, key) pair of [[BoundedTopCounts]]. */
+case class CntKey(cnt: Long, key: String)

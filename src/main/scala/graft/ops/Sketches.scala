@@ -286,6 +286,112 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Mergeable HEAVY-HITTERS summary (Misra-Gries) — the FOURTH sketch
+    * pillar (distinct / quantiles / frequency / top-k frequent): the one
+    * canonical store question CMS cannot answer, "WHICH keys are
+    * frequent", needs a candidate-tracking summary ([[cmsEstimate]]'s
+    * probe relation is an input). This is the ORDER-FREE batch form of
+    * Misra-Gries with k counters: exact per-(group, key) counts, then
+    * the canonical prune — subtract the (k+1)-th largest count d (of the
+    * count MULTISET; 0 when the group has ≤ k distinct keys) and keep
+    * the strictly-positive remainders. At most k keys survive (at most k
+    * counts can strictly exceed the (k+1)-th largest), the summary is a
+    * pure function of the multiset (no stream-order dependence — what
+    * makes it oracle-replayable), and the classic MG contract holds with
+    * err = d: for every key, est ≤ true ≤ est + err (absent keys have
+    * true ≤ err), and err ≤ n/(k+1).
+    *
+    * Store shape: ONE row per group — (group, err, counters
+    * map<key, est>) — so a group whose candidates all pruned away still
+    * carries its error budget into the merge (a rows-only shape would
+    * silently drop err with the last candidate).
+    *
+    * Plan shape (ONE corpus scan, no join-back): the per-(group, key)
+    * count is the only corpus-shaped work (one map-side-combinable hash
+    * aggregate); a bounded top-(k+1) (cnt, key) aggregator
+    * ([[graft.functions.BoundedTopCounts]], ≤ (k+1)-pair buffers — no
+    * rank window over the counts relation) reduces each group to the
+    * pairs that FULLY determine the prune: the (k+1)-th pair's count is
+    * d, and every key with count > d sorts strictly before any
+    * tied-at-d key, so the candidate set is exact whichever tied keys
+    * the buffer holds. The map + err then fall out of narrow array
+    * expressions (filter / transform / map_from_entries).
+    *
+    * Reference: Misra & Gries, "Finding repeated elements" (Sci. Comput.
+    * Program. 1982); mergeability per Agarwal et al., "Mergeable
+    * summaries" (PODS 2012). */
+  def mgSummary(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol).cast("string").as("__key"))
+      .agg(count(lit(1)).as("__cnt"))
+    val topPairs = udaf(graft.functions.BoundedTopCounts(k + 1))
+    counts.groupBy(col(groupCol))
+      .agg(topPairs(col("__cnt"), col("__key")).as("__top"))
+      .withColumn("err",
+        when(size(col("__top")) <= k, lit(0L))
+          .otherwise(element_at(col("__top"), k + 1).getField("cnt")))
+      .select(col(groupCol), col("err"),
+        map_from_entries(transform(
+          filter(col("__top"), p => p.getField("cnt") > col("err")),
+          p => struct(p.getField("key"),
+            p.getField("cnt") - col("err")))).as("counters"))
+  }
+
+  private def emptyCounters: Column =
+    map_from_arrays(array().cast("array<string>"),
+      array().cast("array<bigint>"))
+
+  /** Merge two [[mgSummary]]-shaped stores (Agarwal et al.'s MG merge):
+    * sum matching counters, then re-prune with the same (k+1)-th-largest
+    * rule; the merged error budget is err_a + err_b + the new prune
+    * depth, preserving est ≤ true ≤ est + err — so every key with
+    * true count > err survives the merge (the heavy-hitter guarantee;
+    * spec-pinned). Sketch-sized work end-to-end: ONE full-outer
+    * group-keyed join between ≤ (k-entry map)-per-group relations and
+    * narrow map expressions (map_zip_with / map_filter /
+    * transform_values) — the corpus is never re-touched. */
+  def mgMerge(a: DataFrame, b: DataFrame, groupCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val joined = a.select(col(groupCol), col("err").as("__err_a"),
+        col("counters").as("__m_a"))
+      .join(b.select(col(groupCol), col("err").as("__err_b"),
+        col("counters").as("__m_b")), Seq(groupCol), "full_outer")
+      .withColumn("__sum", map_zip_with(
+        coalesce(col("__m_a"), emptyCounters),
+        coalesce(col("__m_b"), emptyCounters),
+        (_, va, vb) => coalesce(va, lit(0L)) + coalesce(vb, lit(0L))))
+      .withColumn("__vals", array_sort(map_values(col("__sum"))))
+      .withColumn("__d",
+        when(size(col("__vals")) <= k, lit(0L))
+          .otherwise(element_at(col("__vals"), size(col("__vals")) - k)))
+    joined.select(col(groupCol),
+      (coalesce(col("__err_a"), lit(0L)) + coalesce(col("__err_b"), lit(0L))
+        + col("__d")).as("err"),
+      transform_values(
+        map_filter(col("__sum"), (_, v) => v > col("__d")),
+        (_, v) => v - col("__d")).as("counters"))
+  }
+
+  /** Ranked top-k read over a (merged) [[mgSummary]] store: candidates
+    * ordered (est desc, key asc — deterministic), each with its
+    * lower-bound estimate and the upper bound est + err. Summary-sized
+    * input (≤ k entries per group), so the rank window is bounded. */
+  def mgTopK(summary: DataFrame, groupCol: String, kOut: Int): DataFrame = {
+    require(kOut >= 1, "kOut must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("est_cnt").desc, col("key"))
+    summary.select(col(groupCol), col("err"), explode(col("counters")))
+      .withColumnRenamed("value", "est_cnt")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col(groupCol), col("rank"), col("key"), col("est_cnt"),
+        (col("est_cnt") + col("err")).as("ub_cnt"))
+  }
+
   /** Pairwise set-overlap estimates from MERGED sketches — the KMV set
     * algebra (Beyer et al., "On synopses for distinct-value estimation
     * under multiset operations", SIGMOD 2007): for parts a < b, merge

@@ -15,6 +15,16 @@ object Pipeline {
   private def obs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Parse.eventsAsObservations(Tables.events(s, dir))
 
+  /** Per-corpus suffix for streaming staging/store directories under
+    * target/ (ADVICE r17): two executions of the same staged-replay query
+    * against DIFFERENT corpora (e.g. the sf0.001 bench warm-up and the
+    * sf0.1 timed run, or a parallelized Verify) must not race on a shared
+    * fixed path. Name + full-path hash: readable and collision-safe
+    * across layouts that share a basename. */
+  private def stagingTag(dir: String): String =
+    new java.io.File(dir).getName + "_" +
+      Integer.toHexString(dir.hashCode)
+
   val all: Seq[QuerySpec] = Seq(
 
     // W4/W5 flattened: rolling 24-row window features + 3 lead targets,
@@ -1194,12 +1204,16 @@ object Pipeline {
         val stages = (0 to 3).map(r =>
           ev.filter(col("event_id") % 4 === r)
             .select(col("event_type"), col("user_id")))
+        // staging/store paths derive from the corpus dir (ADVICE r17):
+        // two concurrent executions against different corpora no longer
+        // race on shared target/ directories
+        val tag = stagingTag(dir)
         val in = Ingest.stageOrderedFiles(s, stages,
-          "target/stream_kmv_update_in")
+          s"target/stream_kmv_update_in_$tag")
         // cold replay: fresh store (a warm start resuming a prior store is
         // the helper's contract — SketchesSpec pins it; the registry
         // surface pins the cold four-batch fold against the corpus)
-        val storeDir = "target/stream_kmv_update_store"
+        val storeDir = s"target/stream_kmv_update_store_$tag"
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -1386,9 +1400,10 @@ object Pipeline {
         val stages = (0 to 3).map(r =>
           ev.filter(col("event_id") % 4 === r)
             .select(col("event_type"), col("user_id")))
+        val tag = stagingTag(dir)
         val in = Ingest.stageOrderedFiles(s, stages,
-          "target/stream_cms_update_in")
-        val storeDir = "target/stream_cms_update_store"
+          s"target/stream_cms_update_in_$tag")
+        val storeDir = s"target/stream_cms_update_store_$tag"
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -1408,10 +1423,74 @@ object Pipeline {
           .select(col("event_type").as("part"), col("user_id"),
             col("est_cnt"))
           .orderBy(col("part"), col("user_id"))
-        require(!out.isEmpty || Tables.events(s, dir).isEmpty,
+        // guard keys on the PROBE set, not the corpus (ADVICE r17): a
+        // corpus with events but no user_id divisible by 10 legitimately
+        // yields an empty probe relation on both engines
+        require(!out.isEmpty || probes.isEmpty,
           s"stream_cms_update streamed zero probe estimates from $dir " +
-            "but the corpus has events")
+            "but the probe set is non-empty")
         out
+      }
+    },
+
+    // HEAVY HITTERS (the fourth mergeable summary, r17 Next #1): top
+    // frequent tokens per language from MERGED Misra-Gries summaries —
+    // the one canonical store question CMS cannot answer ("which keys
+    // are frequent" needs candidate tracking; cmsEstimate's probes are
+    // an input). The corpus splits by doc_id parity, each half gets the
+    // ORDER-FREE MG summary (exact counts pruned by the (k+1)-th largest
+    // — a pure function of the multiset, so DuckDB replays it exactly),
+    // and the halves merge with the Agarwal sum-then-re-prune. The
+    // oracle replays the whole split → summarize → merge → rank path
+    // digit-for-digit: est (lower bound) and est+err (upper bound) are
+    // both hash-checked, so a wrong prune depth, a dropped one-sided
+    // group, or a lost error budget all fail here. Zipf-ish token
+    // frequencies make the candidates real heavy hitters.
+    QuerySpec.sql("sketch_topk_heavy",
+      """WITH t AS (
+        |  SELECT doc_id % 2 AS half, lang,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT half, lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t WHERE tok <> '' GROUP BY 1, 2, 3),
+        |r AS (SELECT half, lang, cnt,
+        |             row_number() OVER (PARTITION BY half, lang ORDER BY cnt DESC) AS rn
+        |      FROM c),
+        |d AS (SELECT half, lang,
+        |             coalesce(max(CASE WHEN rn = 13 THEN cnt END), 0) AS d
+        |      FROM r GROUP BY 1, 2),
+        |s AS (SELECT c.half, c.lang, c.tok, c.cnt - d.d AS est
+        |      FROM c JOIN d ON c.half = d.half AND c.lang = d.lang
+        |      WHERE c.cnt > d.d),
+        |m AS (SELECT lang, tok, CAST(sum(est) AS BIGINT) AS cnt
+        |      FROM s GROUP BY 1, 2),
+        |r2 AS (SELECT lang, cnt,
+        |              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC) AS rn
+        |       FROM m),
+        |d2 AS (SELECT lang, coalesce(max(CASE WHEN rn = 13 THEN cnt END), 0) AS d
+        |       FROM r2 GROUP BY 1),
+        |e AS (SELECT lang, CAST(sum(d) AS BIGINT) AS errs FROM d GROUP BY 1),
+        |f AS (SELECT m.lang, m.tok, m.cnt - d2.d AS est, e.errs + d2.d AS err
+        |      FROM m JOIN d2 USING (lang) JOIN e USING (lang)
+        |      WHERE m.cnt > d2.d)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, tok AS token,
+        |       est AS est_cnt, est + err AS ub_cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY est DESC, tok) AS rank
+        |      FROM f)
+        |WHERE rank <= 8 ORDER BY lang, rank""") {
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .filter(col("text").isNotNull && col("lang").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        def half(rem: Int) = Sketches.mgSummary(
+          toks.filter(col("doc_id") % 2 === rem), "lang", "token", k = 12)
+        Sketches.mgTopK(Sketches.mgMerge(half(0), half(1), "lang", k = 12),
+            "lang", kOut = 8)
+          .select(col("lang"), col("rank"), col("key").as("token"),
+            col("est_cnt"), col("ub_cnt"))
+          .orderBy(col("lang"), col("rank"))
       }
     }
   )

@@ -499,10 +499,11 @@ object StreamOps {
     * sink transactionality: a replayed batch re-merges rows the store
     * already absorbed, and bottom-k(store ∪ batch ∪ batch) =
     * bottom-k(store ∪ batch) (the DISTINCT inside kmvSketch + the
-    * array_union merge are set-semantics). Version files are written
-    * whole (mode=overwrite) before becoming the latest; a production
-    * deployment would swap in a transactional table format for the
-    * version commit, but no arithmetic changes.
+    * array_union merge are set-semantics). A version becomes "latest"
+    * only once its `_SUCCESS` marker lands (the committer writes it
+    * last), so a crash mid-write or a reader racing the writer never
+    * sees a partial version; a production deployment could still swap
+    * in a transactional table format, but no arithmetic changes.
     *
     * Per-batch cost: batch-scan + batch-shaped DISTINCT + a sketch-sized
     * full-outer merge against ≤ |groups|·k longs — at 100 TB/day this is
@@ -563,18 +564,31 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        val versions = sketchStoreVersions(storeDir)
+        // Cold-replay misuse detection (a counting merge must not
+        // double-fold): a stream restarted WITHOUT its checkpoint replays
+        // from batchId 0 while the store already holds higher committed
+        // versions — silently writing v0 under a stale latest would serve
+        // stale reads forever. A legitimate RETRY of the latest batch
+        // (versions ≤ batchId) passes: it re-reads the same prior version
+        // and overwrites its own output.
+        if (versionByBatchId && versions.exists(_ > batchId))
+          throw new IllegalStateException(
+            s"cold replay over a committed store: batchId $batchId but " +
+              s"version v${versions.max} exists under $storeDir — counts " +
+              "would double-fold; resume from the stream's checkpoint or " +
+              "clear the store first")
         val batchSk = sketchFn(batch)
         val prev =
-          if (versionByBatchId) sketchStoreVersions(storeDir).filter(_ < batchId)
-            .sorted.lastOption
-          else sketchStoreLatest(storeDir)
+          if (versionByBatchId) versions.filter(_ < batchId).sorted.lastOption
+          else versions.sorted.lastOption
         val merged = prev match {
           case Some(v) => mergeFn(s.read.parquet(s"$storeDir/v$v"), batchSk)
           case None => batchSk
         }
         val next =
           if (versionByBatchId) batchId
-          else sketchStoreLatest(storeDir).map(_ + 1).getOrElse(0L)
+          else prev.map(_ + 1).getOrElse(0L)
         merged.write.mode("overwrite").parquet(s"$storeDir/v$next")
       }
 
@@ -599,10 +613,25 @@ object StreamOps {
   private def sketchStoreLatest(storeDir: String): Option[Long] =
     sketchStoreVersions(storeDir).sorted.lastOption
 
-  private def sketchStoreVersions(storeDir: String): Seq[Long] =
-    Option(new java.io.File(storeDir).listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong)
+  /** Committed versions under `storeDir`, via the Hadoop FileSystem API —
+    * the store is the family's DEPLOYMENT artifact, so the walk must work
+    * wherever the parquet writes land (HDFS, S3A, `file:` URIs, bare
+    * local paths), not just `java.io.File`'s local view (r17 verdict #1).
+    * A version counts as committed only if it carries the `_SUCCESS`
+    * marker Spark's file committer writes LAST: a crash mid-write (or a
+    * reader racing a writer) leaves a marker-less directory that must not
+    * become "latest" — crash-safe listing by commit marker, no rename
+    * protocol needed. */
+  private def sketchStoreVersions(storeDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong)
+  }
 
   def screenStreamNearDups(docsStream: DataFrame, corpusSig: DataFrame,
                            onPairs: (DataFrame, Long) => Unit,

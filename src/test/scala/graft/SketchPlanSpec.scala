@@ -23,14 +23,18 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
     q.fn(spark, dir).queryExecution.executedPlan.toString
   }
 
+  // Upper-bound pins (ADVICE r17): the 100 TB claim is "no EXTRA corpus
+  // scan", so assert <= N — an exact == would fail cosmetically when AQE
+  // exchange reuse or a plan-string format change collapses a scan line
+  // without any real loss of the property.
   private def scans(plan: String): Int =
     plan.linesIterator.count(_.contains("Scan parquet"))
 
   test("sketch_kmv_sliding: ONE corpus scan; the sliding union is a window over sketch rows") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_kmv_sliding")
-    assert(scans(plan) === 1,
-      s"expected exactly one corpus scan (daily sketches feed every window):\n$plan")
+    assert(scans(plan) <= 1,
+      s"extra corpus scan (daily sketches must feed every window):\n$plan")
     // the range-frame union must plan as a Window over the aggregated
     // (sketch-sized) relation, and the bounded bottom-k partial must cut
     // BEFORE its exchange (two ObjectHashAggregate = partial + final)
@@ -45,7 +49,7 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
   test("sketch_kmv_distinct: ONE corpus scan with the null guard pushed to it; partial bottom-k before the exchange") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_kmv_distinct")
-    assert(scans(plan) === 1, s"expected exactly one corpus scan:\n$plan")
+    assert(scans(plan) <= 1, s"expected at most one corpus scan:\n$plan")
     val pushed = plan.linesIterator
       .filter(_.contains("PushedFilters: ["))
       .mkString("\n")
@@ -55,12 +59,27 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
       s"bottom-k partial/final pair missing:\n$plan")
   }
 
+  test("sketch_topk_heavy: two corpus scans (one per half), bounded pair cut before each exchange, one group-keyed merge join") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_topk_heavy")
+    // one scan per half-corpus summary and NOTHING else: the single-pass
+    // mgSummary (bounded top-(k+1) pair aggregator) must not re-scan for
+    // a threshold join-back — the shape that collapsed 6 scans to 2
+    assert(scans(plan) <= 2, s"expected at most two corpus scans:\n$plan")
+    // the bounded pair aggregator must partial-cut before its exchange
+    // (partial/final ObjectHashAggregate per half = 4 lines)
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 4,
+      s"bounded top-(k+1) partial/final pairs missing:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the heavy-hitters plan:\n$plan")
+  }
+
   test("sketch_cms_freq: three corpus scans (two halves + probes), partial cell counts, no cartesian") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_cms_freq")
     // two half-corpus builds + the probe-set DISTINCT — and nothing more
     // (a fourth scan would mean a build leg lost its reuse)
-    assert(scans(plan) === 3, s"expected exactly three corpus scans:\n$plan")
+    assert(scans(plan) <= 3, s"expected at most three corpus scans:\n$plan")
     // cell counts must partial-aggregate map-side (HashAggregate pairs
     // around the exchange) — the only corpus-shaped work combines to
     // <= d*w cells per group before shuffling

@@ -291,6 +291,182 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(rewrite === folded, "a replayed final batch would change the store")
   }
 
+  test("misra-gries summary: canonical prune by the (k+1)-th largest count; exact regime when distinct keys fit") {
+    import spark.implicits._
+    // hand example, k=2: counts {x:5, y:3, z:1} → d = 3rd largest = 1 →
+    // {x:4, y:2}, err 1
+    val df = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .map(("g", _)).toDF("grp", "key")
+    val out = Sketches.mgSummary(df, "grp", "key", k = 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("err") === 1L)
+    assert(r.getMap[String, Long](r.fieldIndex("counters")).toMap ===
+      Map("x" -> 4L, "y" -> 2L))
+    // exact regime: 3 distinct keys fit k=8 → err 0, counters = exact counts
+    val exact = Sketches.mgSummary(df, "grp", "key", k = 8).collect().head
+    assert(exact.getAs[Long]("err") === 0L)
+    assert(exact.getMap[String, Long](exact.fieldIndex("counters")).toMap ===
+      Map("x" -> 5L, "y" -> 3L, "z" -> 1L))
+  }
+
+  test("misra-gries summary keeps a fully-pruned group alive (empty counters, live err)") {
+    import spark.implicits._
+    // 4 keys all with count 3 and k=2: d = 3rd largest = 3, nothing is
+    // strictly greater → zero candidates, but the group row must survive
+    // with err = 3 or the merge would understate the error budget
+    val df = (1 to 4).flatMap(i => Seq.fill(3)(s"k$i"))
+      .map(("g", _)).toDF("grp", "key")
+    val out = Sketches.mgSummary(df, "grp", "key", k = 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("err") === 3L)
+    assert(r.getMap[String, Long](r.fieldIndex("counters")).isEmpty)
+  }
+
+  test("misra-gries merge: MG contract holds (est ≤ true ≤ est + err), heavy keys survive, one-sided groups coalesce err 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val k = 8
+    // Zipf-ish corpus: key i appears ~ 600/i times; split by a row index
+    val rows = (1 to 40).flatMap(i => (1 to 600 / i).map(j => (i, j)))
+      .zipWithIndex
+      .map { case ((i, _), idx) => ("g", s"key_$i", idx) } ++
+      (1 to 5).map(i => ("solo", s"s_$i", i)) // one-sided group (even idx only)
+    val df = rows.toDF("grp", "key", "idx")
+    val merged = Sketches.mgMerge(
+        Sketches.mgSummary(df.filter(col("idx") % 2 === 0), "grp", "key", k),
+        Sketches.mgSummary(df.filter(col("idx") % 2 === 1), "grp", "key", k),
+        "grp", k).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("err"),
+          r.getMap[String, Long](r.fieldIndex("counters")).toMap)).toMap
+    val truth = rows.filter(_._1 == "g").groupBy(_._2).map { case (kk, v) =>
+      kk -> v.size.toLong }
+    val (err, counters) = merged("g")
+    assert(counters.size <= k)
+    assert(err > 0L)
+    for ((kk, est) <- counters) {
+      val t = truth(kk)
+      assert(est <= t && t <= est + err,
+        s"MG contract broken for $kk: est $est, true $t, err $err")
+    }
+    // absent keys are bounded by err too
+    for ((kk, t) <- truth if !counters.contains(kk))
+      assert(t <= err, s"absent key $kk has true count $t > err $err")
+    // heavy-hitter guarantee: every key with true > err is present
+    for ((kk, t) <- truth if t > err)
+      assert(counters.contains(kk), s"heavy key $kk (true $t > err $err) missing")
+    // the one-sided group passes through with its own err (other side
+    // contributes a coalesced 0, its 5 singletons fit k exactly)
+    assert(merged("solo") === ((0L,
+      (1 to 5).map(i => s"s_$i" -> 1L).toMap)))
+  }
+
+  test("misra-gries exact-regime merge equals whole-corpus counts; mgTopK ranks deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val k = 16
+    // few distinct keys (≤ k on both sides and combined): the merge is
+    // EXACT — identical to whole-corpus counts with err 0
+    val rows = (1 to 200).map(i => ("g", s"k_${i % 6}", i))
+    val df = rows.toDF("grp", "key", "idx")
+    val whole = Sketches.mgSummary(df, "grp", "key", k).collect().head
+    val merged = Sketches.mgMerge(
+        Sketches.mgSummary(df.filter(col("idx") % 2 === 0), "grp", "key", k),
+        Sketches.mgSummary(df.filter(col("idx") % 2 === 1), "grp", "key", k),
+        "grp", k).collect().head
+    assert(merged.getAs[Long]("err") === 0L)
+    assert(merged.getMap[String, Long](merged.fieldIndex("counters")).toMap ===
+      whole.getMap[String, Long](whole.fieldIndex("counters")).toMap)
+    // ranked read: est desc, key asc — i ∈ 1..200 mod 6 puts 34 on k_1/k_2
+    // (the two leftover residues) and 33 on the rest; ties break key-asc
+    val top = Sketches.mgTopK(
+        Sketches.mgSummary(df, "grp", "key", k), "grp", kOut = 4).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("key"),
+        r.getAs[Long]("est_cnt"), r.getAs[Long]("ub_cnt")))
+    assert(top.toSeq === Seq((1L, "k_1", 34L, 34L), (2L, "k_2", 34L, 34L),
+      (3L, "k_0", 33L, 33L), (4L, "k_3", 33L, 33L)))
+  }
+
+  test("store walker is Hadoop-FS-backed: file:-scheme URIs work and a marker-less (crashed) version is invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val k = 16
+    val local = new java.io.File("target/test_fs_store").getAbsoluteFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(local)
+    // an explicit file:-scheme URI — java.io.File would have listed the
+    // RELATIVE path "file:..." as a (missing) local name and returned
+    // nothing (the r17 verdict #1 failure mode, local-FS edition)
+    val storeDir = "file:" + local.getPath
+    val s1 = (1 to 80).map(i => ("g", s"k_$i")).toDF("grp", "key")
+    val in = graft.streaming.Ingest.stageOrderedFiles(spark, Seq(s1),
+      "target/test_fs_store_in")
+    val q = graft.streaming.StreamOps.kmvUpdateStream(
+        in, "grp", "key", k, storeDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def storeNow() = graft.streaming.StreamOps.sketchStoreRead(spark, storeDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    val expected = Sketches.kmvSketch(s1, "grp", "key", k).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    assert(storeNow() === expected, "file:-URI store fold diverged")
+    // simulate a crash mid-write of a later version: a v99 directory with
+    // data but NO _SUCCESS marker must not become "latest" (ADVICE r17:
+    // crash-atomic version listing by commit marker)
+    val v99 = new java.io.File(local, "v99")
+    assert(v99.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(v99, "part-00000.parquet").toPath, "garbage")
+    assert(storeNow() === expected,
+      "a marker-less partial version was served as latest")
+  }
+
+  test("cmsUpdateStream refuses a cold replay over a committed store (batchId 0 under higher versions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val storeDir = "target/test_cms_cold_replay_store"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(storeDir))
+    val s1 = (1 to 40).map(i => ("g", s"k_${i % 5}")).toDF("grp", "key")
+    val s2 = (1 to 30).map(i => ("g", s"k_${i % 3}")).toDF("grp", "key")
+    def run(stages: Seq[org.apache.spark.sql.DataFrame], inDir: String): Unit = {
+      val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages, inDir)
+      val q = graft.streaming.StreamOps.cmsUpdateStream(
+          in, "grp", "key", depth = 2, width = 32, storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(Seq(s1, s2), "target/test_cms_cold_replay_in1")
+    // a SECOND stream on the same store replays from batchId 0 while v1
+    // is committed: counts would double-fold — must fail loudly (ADVICE
+    // r17), not silently write v0 under a stale latest
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq(s1), "target/test_cms_cold_replay_in2")
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("cold replay")),
+      s"expected the cold-replay guard, got: ${rootMessages(e).mkString(" | ")}")
+    // the guarded store is untouched: latest is still v1 with the two-batch fold
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(cells(graft.streaming.StreamOps.sketchStoreRead(spark, storeDir)) ===
+      cells(Sketches.cmsSketch(s1.union(s2), "grp", "key", 2, 32)))
+  }
+
   test("overlap estimates recover disjoint, nested, and identical audiences") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"u_$i")
