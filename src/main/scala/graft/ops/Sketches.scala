@@ -286,6 +286,78 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Trailing-window FREQUENCY cells from DAILY Count-Min sketches — the
+    * frequency twin of [[kmvSlidingDistinct]]: "how often did key X occur
+    * per group over the trailing `windowDays` days, for every day",
+    * WITHOUT re-touching the corpus per window. Because CMS cells are
+    * plain counts, the windowed cell SUM **is** the window's sketch —
+    * EXACT (counts commute; the same identity behind [[cmsMerge]]), not
+    * just error-bounded — so the per-(group, day) stored cells union
+    * into any trailing window by addition alone.
+    *
+    * Plan shape: ONE corpus-shaped aggregate builds the daily cells
+    * ((group, day, d, bucket) partial-combined map-side); the sliding
+    * union joins the group's ACTIVE-DAY relation (sketch-sized, derived
+    * from the daily cells) back to the cells group-keyed with the day
+    * range as a join residual — per output row ≤ windowDays·depth·width
+    * cells, never corpus-shaped. Day arithmetic is calendar-true: a gap
+    * day contributes nothing (it has no cell rows), and windows anchor
+    * on each active day's own date. Output: (group, day, d, bucket,
+    * cnt) — the windowed store [[cmsSlidingEstimate]] reads. */
+  def cmsSlidingSketch(df: DataFrame, groupCol: String, tsCol: String,
+                       keyCol: String, depth: Int, width: Int,
+                       windowDays: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2")
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol), to_date(col(tsCol)).as("day"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("d"), cmsBucket(col(keyCol), i, width).as("bucket"))
+        ): _*)).as("__cell"))
+      .groupBy(col(groupCol), col("day"), col("__cell.d").as("d"),
+        col("__cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.select(col(groupCol), col("day")).distinct()
+    val cells = daily.withColumnRenamed("day", "__cell_day")
+    // group-keyed equi-join with the trailing-day range as a residual:
+    // the window side is the group's active days (sketch-sized), never
+    // a corpus relation
+    days.alias("w").join(cells.alias("c"),
+        col(s"w.`$groupCol`") === col(s"c.`$groupCol`") &&
+          col("c.__cell_day")
+            .between(date_sub(col("w.day"), windowDays - 1), col("w.day")))
+      .groupBy(col(s"w.`$groupCol`"), col("w.day"), col("c.d"),
+        col("c.bucket"))
+      .agg(sum(col("c.cnt")).as("cnt"))
+  }
+
+  /** Point-frequency estimates over a [[cmsSlidingSketch]] windowed
+    * store: for every probe key and every ACTIVE day of its group, min
+    * over the d windowed cells — the [[cmsEstimate]] read extended with
+    * the day axis. The probe×day grid is built first (days from the
+    * store, ≤ |probes|·|days|·depth rows — sketch-shaped) so a cell
+    * untouched in a window reads as 0 (the overestimate-only floor),
+    * exactly like the single-store read. Output: (group, day, key,
+    * est_cnt). */
+  def cmsSlidingEstimate(store: DataFrame, probes: DataFrame,
+                         groupCol: String, keyCol: String, depth: Int,
+                         width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2")
+    val days = store.select(col(groupCol), col("day")).distinct()
+    val probeCells = probes.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), col(keyCol),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("d"), cmsBucket(col(keyCol), i, width).as("bucket"))
+        ): _*)).as("__cell"))
+      .select(col(groupCol), col(keyCol),
+        col("__cell.d").as("d"), col("__cell.bucket").as("bucket"))
+    days.join(probeCells, Seq(groupCol))
+      .join(store, Seq(groupCol, "day", "d", "bucket"), "left")
+      .groupBy(col(groupCol), col("day"), col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Mergeable HEAVY-HITTERS summary (Misra-Gries) — the FOURTH sketch
     * pillar (distinct / quantiles / frequency / top-k frequent): the one
     * canonical store question CMS cannot answer, "WHICH keys are

@@ -1433,6 +1433,128 @@ object Pipeline {
       }
     },
 
+    // STREAMING quantile-store maintenance (r17 verdict "what's wrong"
+    // #3): the QUANTILE configuration of the generic versioned-store
+    // fold — the quantile sketch packs (hash, cents) into one 64-bit
+    // word precisely so it rides the SAME store shape and
+    // kmvMergeSketches fold as the KMV family, and this surface makes
+    // that claim driver-checked instead of spec-argued: events replay
+    // as FOUR staged micro-batches folded into a versioned store, and
+    // the refreshed store's order statistics are hash-checked against
+    // the whole-corpus sketch (the mergeability identity — same oracle
+    // as sketch_kmv_quantiles). If the seam ever diverges, this fails.
+    QuerySpec.sql("stream_quantile_update",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part,
+        |         (hk % 2147483648) * 4294967296
+        |           + (CAST(floor(value * 100) AS BIGINT) + 2147483648) AS pk
+        |  FROM (SELECT event_type, value,
+        |               list_reduce(list_transform(string_split(substr(md5(event_id::VARCHAR), 1, 8), ''),
+        |                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL)),
+        |b AS (SELECT part, pk, row_number() OVER (PARTITION BY part ORDER BY pk) AS rn FROM h),
+        |sk AS (SELECT part, pk % 4294967296 - 2147483648 AS v FROM b WHERE rn <= 128),
+        |o AS (SELECT part, v, row_number() OVER (PARTITION BY part ORDER BY v) AS vr,
+        |             count(*) OVER (PARTITION BY part) AS n FROM sk)
+        |SELECT part, CAST(max(n) AS BIGINT) AS n_kept,
+        |       CAST(max(CASE WHEN vr = (25 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p25_cents,
+        |       CAST(max(CASE WHEN vr = (50 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p50_cents,
+        |       CAST(max(CASE WHEN vr = (75 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p75_cents,
+        |       CAST(max(CASE WHEN vr = (99 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p99_cents
+        |FROM o GROUP BY part ORDER BY part""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stages = (0 to 3).map(r =>
+          ev.filter(col("event_id") % 4 === r)
+            .select(col("event_type"), col("event_id"), col("value")))
+        val tag = stagingTag(dir)
+        val in = Ingest.stageOrderedFiles(s, stages,
+          s"target/stream_quantile_update_in_$tag")
+        val storeDir = s"target/stream_quantile_update_store_$tag"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(storeDir))
+        val cents = floor(col("value") * lit(100)).cast("long")
+        val q = graft.streaming.StreamOps.sketchUpdateStream(in, storeDir,
+            b => Sketches.kmvQuantileSketch(b, "event_type", "event_id",
+              cents, k = 128),
+            (store, b) =>
+              Sketches.kmvMergeSketches(store, b, "event_type", k = 128))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = Sketches.kmvQuantiles(
+            graft.streaming.StreamOps.sketchStoreRead(s, storeDir),
+            "event_type", Seq(25, 50, 75, 99))
+          .select(col("event_type").as("part"), col("n_kept"),
+            col("p25_cents"), col("p50_cents"), col("p75_cents"),
+            col("p99_cents"))
+          .orderBy(col("part"))
+        require(!out.isEmpty ||
+          ev.filter(col("event_id").isNotNull && col("value").isNotNull).isEmpty,
+          s"stream_quantile_update streamed zero sketch groups from $dir " +
+            "but the corpus has quantile-eligible events")
+        out
+      }
+    },
+
+    // SLIDING-WINDOW CMS (r17 Next #4) — the frequency twin of
+    // sketch_kmv_sliding: trailing-7-day per-user frequency estimates
+    // per (event_type, day) from DAILY Count-Min cells. Counts commute,
+    // so the windowed cell sum IS the window's sketch EXACTLY — the
+    // oracle recomputes daily cells, the calendar-true trailing-day
+    // join, and the min-over-d probe reads with the same seeded md5
+    // arithmetic, hash-checking the whole daily-store → sliding-union →
+    // read path end-to-end (gap days covered: January has none, but the
+    // date-anchored join is spec-pinned against a gapped corpus).
+    QuerySpec.sql("sketch_cms_sliding",
+      """WITH d3 AS (SELECT unnest([0, 1, 2]) AS d),
+        |cells AS (
+        |  SELECT event_type AS part, CAST(ts AS DATE) AS day, d,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || d::VARCHAR || '|' || user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 256 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN d3
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4),
+        |days AS (SELECT DISTINCT part, day FROM cells),
+        |win AS (SELECT dy.part, dy.day, c.d, c.bucket,
+        |               CAST(sum(c.cnt) AS BIGINT) AS cnt
+        |        FROM days dy JOIN cells c ON c.part = dy.part
+        |          AND c.day >= dy.day - 6 AND c.day <= dy.day
+        |        GROUP BY 1, 2, 3, 4),
+        |probes AS (SELECT DISTINCT event_type AS part, user_id
+        |           FROM events WHERE user_id IS NOT NULL AND user_id % 20 = 0),
+        |pc AS (
+        |  SELECT p.part, p.user_id, d,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || d::VARCHAR || '|' || p.user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 256 AS bucket
+        |  FROM probes p CROSS JOIN d3),
+        |grid AS (SELECT dy.part, dy.day, pc.user_id, pc.d, pc.bucket
+        |         FROM days dy JOIN pc ON pc.part = dy.part)
+        |SELECT g.part, strftime(g.day, '%Y-%m-%d') AS day, g.user_id,
+        |       min(coalesce(w.cnt, 0)) AS est_cnt
+        |FROM grid g LEFT JOIN win w
+        |  ON w.part = g.part AND w.day = g.day AND w.d = g.d AND w.bucket = g.bucket
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val store = Sketches.cmsSlidingSketch(ev, "event_type", "ts",
+          "user_id", depth = 3, width = 256, windowDays = 7)
+        val probes = ev
+          .filter(col("user_id").isNotNull && col("user_id") % 20 === 0)
+          .select(col("event_type"), col("user_id")).distinct()
+        Sketches.cmsSlidingEstimate(store, probes, "event_type", "user_id",
+            depth = 3, width = 256)
+          .select(col("event_type").as("part"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("user_id"), col("est_cnt"))
+          .orderBy(col("part"), col("day"), col("user_id"))
+      }
+    },
+
     // HEAVY HITTERS (the fourth mergeable summary, r17 Next #1): top
     // frequent tokens per language from MERGED Misra-Gries summaries —
     // the one canonical store question CMS cannot answer ("which keys

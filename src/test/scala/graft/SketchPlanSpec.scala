@@ -74,6 +74,23 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
       assert(!plan.contains(bad), s"$bad in the heavy-hitters plan:\n$plan")
   }
 
+  test("sketch_cms_sliding: group-keyed range join (no nested loop), bounded scan fan-out, partial cell counts") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_cms_sliding")
+    // the static plan re-states the daily-cells aggregate in each branch
+    // (days/cells/estimate-days/store legs + probes = 5) — identical
+    // subtrees whose exchanges AQE reuses at runtime; the pin guards
+    // against a NEW corpus leg sneaking in, not the branch count
+    assert(scans(plan) <= 5, s"unexpected extra corpus scan:\n$plan")
+    // the trailing-day window must plan as an equi-join on the group key
+    // with the day range as a residual — a date-range nested loop over
+    // the cells relation would be the scale killer
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the sliding-CMS plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"partial/final cell aggregation missing:\n$plan")
+  }
+
   test("sketch_cms_freq: three corpus scans (two halves + probes), partial cell counts, no cartesian") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_cms_freq")

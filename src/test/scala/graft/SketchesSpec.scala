@@ -236,6 +236,59 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("sliding CMS: windowed cells equal the direct window sketch exactly; calendar gaps window by date") {
+    import spark.implicits._
+    // days 1,2,3 then a GAP to day 10 (3-day trailing window): the
+    // windowed sum at each day must equal cmsSketch over that window's
+    // raw rows EXACTLY (counts commute), and day 10 must cover itself
+    // alone, not reach across the gap
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:${i % 60}%02d")
+    val rows =
+      (1 to 30).map(i => ("g", ts(1, i), s"u_${i % 7}")) ++
+        (1 to 30).map(i => ("g", ts(2, i), s"u_${i % 5}")) ++
+        (1 to 30).map(i => ("g", ts(3, i), s"u_${i % 3}")) ++
+        (1 to 8).map(i => ("g", ts(10, i), s"w_${i % 2}"))
+    val df = rows.toDF("grp", "ts", "key")
+    val (depth, width) = (3, 64)
+    val out = Sketches.cmsSlidingSketch(df, "grp", "ts", "key", depth,
+        width, windowDays = 3).collect()
+      .groupBy(_.getAs[java.sql.Date]("day").toString)
+      .map { case (day, rs) =>
+        day -> rs.map(r => (r.getAs[Int]("d"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("cnt")).toMap
+      }
+    def direct(days: Seq[Int]) = Sketches.cmsSketch(
+        rows.filter { case (_, t, _) =>
+          days.contains(t.toLocalDateTime.getDayOfMonth) }
+          .map { case (g, _, key) => (g, key) }.toDF("grp", "key"),
+        "grp", "key", depth, width).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(out("2024-03-01") === direct(Seq(1)))
+    assert(out("2024-03-02") === direct(Seq(1, 2)))
+    assert(out("2024-03-03") === direct(Seq(1, 2, 3)))
+    assert(out("2024-03-10") === direct(Seq(10)),
+      "gap day must window only itself")
+    // the windowed read: estimates are >= the true trailing-window count
+    // (overestimate-only), and exact here (width 64 >> 9 keys)
+    val probes = Seq(("g", "u_1"), ("g", "w_1"), ("g", "absent"))
+      .toDF("grp", "key")
+    val est = Sketches.cmsSlidingEstimate(
+        Sketches.cmsSlidingSketch(df, "grp", "ts", "key", depth, width, 3),
+        probes, "grp", "key", depth, width).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getString(2)) ->
+        r.getAs[Long]("est_cnt")).toMap
+    // u_1 appears on day1 at i%7==1 (5 times: i=1,8,15,22,29) and day2 at
+    // i%5==1 (6 times: 1,6,11,16,21,26); day3 i%3==1 (10 times)
+    assert(est(("2024-03-01", "u_1")) === 5L)
+    assert(est(("2024-03-02", "u_1")) === 11L)
+    assert(est(("2024-03-03", "u_1")) === 21L)
+    assert(est(("2024-03-10", "u_1")) === 0L, "gap day must not see old rows")
+    assert(est(("2024-03-10", "w_1")) === 4L)
+    assert(est(("2024-03-01", "absent")) === 0L)
+  }
+
   test("count-min merge is the whole-corpus sketch exactly (counts commute)") {
     import spark.implicits._
     val rows = (1 to 400).map(i => ("g", s"k_${i % 37}")) ++
