@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * [[Multimodal.encodeWavPcm16]] as its writer half) and
   * [[Multimodal.decodeImage]] (PNG/JPEG/BMP/GIF via the JDK's built-in
   * `javax.imageio` readers, with [[Multimodal.encodePng]] as the lossless
+  * writer half) and [[Multimodal.decodeY4m]] (YUV4MPEG2 uncompressed
+  * video: header parse + frame walk, with [[Multimodal.encodeY4m]] as the
   * writer half) are REAL dependency-free codecs, dispatched by format
-  * through [[Multimodal.decode]]; the remaining formats (video containers,
-  * compressed audio) fall back to [[Multimodal.decodeStub]], a
+  * through [[Multimodal.decode]]; the remaining formats (COMPRESSED video
+  * and audio — mp4/webm/mp3/...) fall back to [[Multimodal.decodeStub]], a
   * deterministic fake that treats the payload bytes as the "decoded frame"
   * (no ffmpeg-class library exists in this container). Everything around
   * the codecs — the Dataset schemas, the mapPartitions batch shape (the
@@ -205,6 +207,99 @@ object Multimodal {
     out.array()
   }
 
+  /** A decoded Y4M video: header geometry + colorspace + the raw plane
+    * bytes of every frame (Y, then U, then V, concatenated — luma-first,
+    * so `frames(i).take(width*height)` is always the grayscale frame). */
+  case class Y4mVideo(width: Int, height: Int, colorspace: String,
+                      frames: Array[Array[Byte]])
+
+  /** Frame byte size for a Y4M colorspace — the container carries NO
+    * per-frame length, so the colorspace IS the framing contract. */
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = cs match {
+    case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+      require(w % 2 == 0 && h % 2 == 0,
+        s"4:2:0 needs even dimensions (${w}x$h)")
+      w * h + 2 * (w / 2) * (h / 2)
+    case "422" =>
+      require(w % 2 == 0, s"4:2:2 needs even width ($w)")
+      w * h + 2 * (w / 2) * h
+    case "444" => 3 * w * h
+    case "mono" => w * h
+    case other => throw new IllegalArgumentException(
+      s"unsupported y4m colorspace C$other")
+  }
+
+  /** Real YUV4MPEG2 (.y4m) decode — dependency-free, closing the LAST
+    * documented multimodal stub (video containers; r17 verdict Next #3):
+    * Y4M is the uncompressed interchange container (plain-text stream
+    * header `YUV4MPEG2 W<w> H<h> F<n>:<d> [I?] [A?:?] [C<cs>] [X...]`,
+    * then per frame a `FRAME[ params]\n` marker followed by raw YUV
+    * planes), so a whole-file chunk walk decodes it exactly like
+    * [[decodeWav]] walks RIFF — no codec library involved. Supported
+    * colorspaces: C420(+jpeg/mpeg2/paldv variants — identical plane
+    * sizes; chroma siting doesn't change framing), C422, C444, Cmono;
+    * the spec default when no C tag is present is 4:2:0. Truncated
+    * frames, bad magic, and unknown colorspaces fail fast — the same
+    * "real codec for self-describing formats" contract as the netpbm /
+    * RIFF legs. Compressed video (mp4/webm/...) remains out of scope: it
+    * needs an ffmpeg-class dependency this container doesn't have. */
+  def decodeY4m(payload: Array[Byte]): Y4mVideo = {
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length, "truncated y4m header line")
+      val s = new String(payload, start, i - start, "US-ASCII")
+      i += 1 // consume the newline
+      s
+    }
+    val header = line()
+    val parts = header.split(' ')
+    require(parts.headOption.contains("YUV4MPEG2"), "not a YUV4MPEG2 payload")
+    var w = -1; var h = -1; var cs = "420"
+    parts.drop(1).filter(_.nonEmpty).foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.drop(1).toInt
+        case 'H' => h = p.drop(1).toInt
+        case 'C' => cs = p.drop(1)
+        case _ => // F<rate> I<interlace> A<aspect> X<app>: no framing impact
+      }
+    }
+    require(w > 0 && h > 0, s"missing or bad y4m dimensions ${w}x$h")
+    val fb = y4mFrameBytes(w, h, cs)
+    val frames = Array.newBuilder[Array[Byte]]
+    while (i < payload.length) {
+      val marker = line()
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"expected FRAME marker, got '${marker.take(16)}'")
+      require(fb <= payload.length - i, "truncated y4m frame raster")
+      frames += java.util.Arrays.copyOfRange(payload, i, i + fb)
+      i += fb
+    }
+    Y4mVideo(w, h, cs, frames.result())
+  }
+
+  /** Dependency-free Y4M writer — the encode half ([[encodeWavPcm16]] /
+    * [[encodePng]] contract): every frame must be exactly the
+    * colorspace's plane size, so the emitted payload re-enters
+    * [[decodeY4m]] losslessly. */
+  def encodeY4m(width: Int, height: Int, frames: Seq[Array[Byte]],
+                colorspace: String = "mono", fpsNum: Int = 25,
+                fpsDen: Int = 1): Array[Byte] = {
+    val fb = y4mFrameBytes(width, height, colorspace)
+    frames.foreach(f => require(f.length == fb,
+      s"frame length ${f.length} != $fb for ${width}x$height C$colorspace"))
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames.map(marker.length + _.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+
   /** Real PNG/JPEG/BMP/GIF decode via the JDK's built-in `javax.imageio`
     * readers — zero new dependencies (`java.desktop` ships with every JDK
     * and runs fully headless), so the common web-crawl image formats do NOT
@@ -332,6 +427,74 @@ object Multimodal {
       }))
   }
 
+  /** Extracted features per video row: container geometry + exact
+    * integer byte statistics over ALL decoded frame planes (all-long, so
+    * hash-compared outputs stay exact — the [[AudioFeatures]] contract). */
+  case class VideoFeatures(doc_id: Long, width: Long, height: Long,
+                           n_frames: Long, n_bytes: Long, sum_bytes: Long)
+
+  /** Adapt documents to VIDEO media rows: UTF-8 text bytes become the
+    * luma planes of 4×2 mono frames (8 bytes per frame, the last frame
+    * zero-padded; empty text → one all-zero frame, since a Y4M stream
+    * with zero frames carries no content), written through the REAL Y4M
+    * encoder — so downstream queries exercise encode → header parse →
+    * frame walk end-to-end while staying recomputable from the text
+    * bytes by an independent engine (the `mm_video_stats` oracle; same
+    * construction discipline as [[asImagePng]]/[[asAudio]]). */
+  def asVideo(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val nFrames = math.max(1, (bytes.length + 7) / 8)
+          val frames = (0 until nFrames).map { f =>
+            val fr = new Array[Byte](8)
+            var j = 0
+            while (j < 8 && f * 8 + j < bytes.length) {
+              fr(j) = bytes(f * 8 + j); j += 1
+            }
+            fr
+          }
+          MediaRecord(id, "video", encodeY4m(4, 2, frames), "y4m",
+            4, 2, nFrames)
+      }))
+  }
+
+  /** REAL per-frame fan-out for y4m media rows: one [[Frame]] row per
+    * container frame via the real frame walk — the video-keyframe access
+    * pattern [[frameSample]] approximates byte-wise for formats without
+    * a codec. Explodes distributed, no shuffle. */
+  def videoFrames(media: Dataset[MediaRecord]): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      require(r.format == "y4m", s"not a y4m payload (${r.format})")
+      decodeY4m(r.payload).frames.iterator.zipWithIndex.map {
+        case (f, i) => Frame(r.doc_id, i, f)
+      }
+    }
+  }
+
+  /** Video feature extraction over y4m media rows: real header parse +
+    * frame walk, exact integer statistics — the video analogue of
+    * [[extractAudioFeatures]], same batched mapPartitions seam. */
+  def extractVideoFeatures(media: Dataset[MediaRecord],
+                           batchSize: Int = 64): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      require(r.format == "y4m", s"not a video payload (${r.format})")
+      val v = decodeY4m(r.payload)
+      var sum = 0L
+      var n = 0L
+      v.frames.foreach(_.foreach { b => sum += (b & 0xff); n += 1 })
+      VideoFeatures(r.doc_id, v.width.toLong, v.height.toLong,
+        v.frames.length.toLong, n, sum)
+    }))
+  }
+
   /** Audio feature extraction over wav media rows: exact integer sample
     * count and sum plus the decoded header metadata — the audio analogue of
     * [[extractFeatures]], same batched mapPartitions seam. */
@@ -368,14 +531,17 @@ object Multimodal {
 
   /** Format dispatch: `ppm`/`pgm` decode for real ([[decodePpm]] /
     * [[decodePgm]]), `png`/`jpg`/`jpeg`/`bmp`/`gif` through the JDK's
-    * ImageIO readers ([[decodeImage]]); everything else keeps the
-    * documented stub. Every batched operator below routes through here, so
-    * a new codec is one new case. */
+    * ImageIO readers ([[decodeImage]]), `wav` through the RIFF walk,
+    * `y4m` through the real container frame walk (decoded bytes = the
+    * concatenated frame planes); everything else (compressed video /
+    * audio containers) keeps the documented stub. Every batched operator
+    * below routes through here, so a new codec is one new case. */
   def decode(payload: Array[Byte], format: String): Array[Byte] =
     format match {
       case "ppm" => decodePpm(payload)._3
       case "pgm" => decodePgm(payload)._3
       case "wav" => decodeWav(payload).data // decoded frame = raw PCM bytes
+      case "y4m" => decodeY4m(payload).frames.flatten
       case f if imageIoFormats(f) => decodeImage(payload)._3
       case _     => decodeStub(payload, format)
     }
@@ -394,6 +560,13 @@ object Multimodal {
     format match {
       case "ppm" => val (w, h, px) = decodePpm(payload); (w, h, 3, px)
       case "pgm" => val (w, h, px) = decodePgm(payload); (w, h, 1, px)
+      case "y4m" =>
+        // first frame's LUMA plane as a grayscale raster (every supported
+        // colorspace stores Y first) — the keyframe a perceptual hash
+        // ([[imageDHash]]) of a video row should fingerprint
+        val v = decodeY4m(payload)
+        require(v.frames.nonEmpty, "y4m payload has no frames")
+        (v.width, v.height, 1, v.frames(0).take(v.width * v.height))
       case f if imageIoFormats(f) =>
         val (w, h, px) = decodeImage(payload); (w, h, 3, px)
       case f => throw new IllegalArgumentException(

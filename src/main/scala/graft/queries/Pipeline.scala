@@ -1071,6 +1071,39 @@ object Pipeline {
           .orderBy(col("doc_id"))
     },
 
+    // Multimodal VIDEO slice through the REAL Y4M codec (the last
+    // documented multimodal stub, closed r18): each doc's text bytes
+    // become the luma planes of 4×2 mono frames (8 bytes per frame,
+    // zero-padded; empty text → one zero frame) written through the
+    // real YUV4MPEG2 encoder, then decoded back through the real header
+    // parse + frame walk and reduced to exact integer features. The
+    // oracle recomputes geometry and byte statistics straight from the
+    // text bytes — so a wrong frame size, a missed FRAME marker, or a
+    // padding leak breaks the hash.
+    QuerySpec.sql("mm_video_stats",
+      """WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(u) AS BIGINT) AS sum_bytes
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT b.doc_id, 4::BIGINT AS width, 2::BIGINT AS height,
+        |       greatest(1, (b.n + 7) // 8)::BIGINT AS n_frames,
+        |       CAST(8 * greatest(1, (b.n + 7) // 8) AS BIGINT) AS n_bytes,
+        |       coalesce(agg.sum_bytes, 0) AS sum_bytes
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""") {
+      (s, dir) =>
+        Multimodal.extractVideoFeatures(
+          Multimodal.asVideo(Tables.documents(s, dir))).toDF()
+          .orderBy(col("doc_id"))
+    },
+
     // Mergeable KMV (bottom-k) distinct sketch per language — the
     // oracle-checkable stand-in for approx_count_distinct (HLL internals
     // are engine-specific; bottom-k md5 arithmetic replays exactly).

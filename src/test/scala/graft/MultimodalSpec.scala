@@ -392,4 +392,81 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(frames(0).frame_bytes.length === 16)
     assert(frames(1).frame_bytes.length === 6)
   }
+
+  test("decodeY4m parses the golden 4:2:0 stream: header tags, plane framing, per-frame walk") {
+    // hand-built 2x2 C420 stream, two frames: planes Y(4) + U(1) + V(1);
+    // F/I/A/X tags must parse (and not affect framing), FRAME params too
+    val hdr = "YUV4MPEG2 W2 H2 F30000:1001 It A128:117 C420jpeg Xgolden\n"
+    val f0 = Array[Byte](10, 20, 30, 40, 50, 60)
+    val f1 = Array[Byte](11, 21, 31, 41, 51, 61)
+    val payload = hdr.getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ f0 ++
+      "FRAME Xsome-param\n".getBytes("US-ASCII") ++ f1
+    val v = Multimodal.decodeY4m(payload)
+    assert(v.width === 2 && v.height === 2 && v.colorspace === "420jpeg")
+    assert(v.frames.length === 2)
+    assert(v.frames(0).toSeq === f0.toSeq)
+    assert(v.frames(1).toSeq === f1.toSeq)
+    // no C tag → the spec default 4:2:0
+    val dflt = Multimodal.decodeY4m(
+      "YUV4MPEG2 W2 H2 F25:1\n".getBytes("US-ASCII") ++
+        "FRAME\n".getBytes("US-ASCII") ++ f0)
+    assert(dflt.colorspace === "420" && dflt.frames.length === 1)
+    // truncated raster and bad magic fail fast
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(hdr.getBytes("US-ASCII") ++
+        "FRAME\n".getBytes("US-ASCII") ++ f0.take(5))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("JUNK W2 H2\nFRAME\n".getBytes("US-ASCII"))
+    }
+    // odd dimensions cannot be 4:2:0
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("YUV4MPEG2 W3 H2 C420\nFRAME\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("encodeY4m → decodeY4m roundtrips mono and C444 exactly; decodeRaster surfaces the first luma plane") {
+    val frames = Seq(Array[Byte](1, 2, 3, 4, 5, 6), Array[Byte](7, 8, 9, 10, 11, 12))
+    val v = Multimodal.decodeY4m(Multimodal.encodeY4m(3, 2, frames, "mono"))
+    assert(v.width === 3 && v.height === 2 && v.colorspace === "mono")
+    assert(v.frames.map(_.toSeq).toSeq === frames.map(_.toSeq))
+    val rgb = Seq(Array.tabulate(12)(i => (i * 10).toByte))
+    val v444 = Multimodal.decodeY4m(Multimodal.encodeY4m(2, 2, rgb, "444"))
+    assert(v444.frames.head.toSeq === rgb.head.toSeq)
+    // a frame of the wrong plane size must not encode
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeY4m(3, 2, Seq(Array[Byte](1, 2, 3)), "mono")
+    }
+    // decodeRaster: first frame's luma as a 1-channel raster (the
+    // perceptual-hash keyframe seam) — for mono the whole frame is luma
+    val (w, h, ch, px) = Multimodal.decodeRaster(
+      Multimodal.encodeY4m(3, 2, frames, "mono"), "y4m")
+    assert((w, h, ch) === ((3, 2, 1)))
+    assert(px.toSeq === frames.head.toSeq)
+  }
+
+  test("asVideo → extractVideoFeatures / videoFrames are exact over the text bytes") {
+    val recs = Multimodal.asVideo(docs)
+    val feats = Multimodal.extractVideoFeatures(recs).collect()
+      .map(f => f.doc_id -> f).toMap
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- byId) {
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = math.max(1, (bytes.length + 7) / 8)
+      val f = feats(id)
+      assert(f.width === 4L && f.height === 2L)
+      assert(f.n_frames === nFrames.toLong, s"doc $id frame count")
+      assert(f.n_bytes === nFrames * 8L, s"doc $id plane bytes")
+      assert(f.sum_bytes === bytes.map(_ & 0xff).map(_.toLong).sum,
+        s"doc $id byte sum (zero padding must add nothing)")
+    }
+    // real per-frame fan-out: frame 0 of doc 1 is its first 8 text bytes
+    val fr = Multimodal.videoFrames(recs).collect()
+      .filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    val b1 = byId(1L).getBytes("UTF-8")
+    assert(fr.length === math.max(1, (b1.length + 7) / 8))
+    assert(fr.head.frame_bytes.toSeq === b1.take(8).toSeq)
+    assert(fr.forall(_.frame_bytes.length === 8))
+  }
 }
