@@ -38,6 +38,38 @@ object Bench {
       System.gc()
       dropped
     }
+    // Quiet-window gate (r17 verdict Next #5): BENCH_r17's dd_* tail ran
+    // 3-5x its pair-mins purely from ambient host load. Gate the LAUNCH
+    // on the 1-min loadavg — sampled HERE, before the warm-up adds any
+    // self-load (the envelope-pair recipe's shell-gate instant; loadavg
+    // sampled after warm-up would count our own work) — waiting up to
+    // SPARK_GRAFT_LOAD_GATE_WAIT seconds (default 300, bounded so a
+    // driver timeout can't trip) for it to drop under
+    // SPARK_GRAFT_LOAD_GATE (default 4.0 on this 32-thread box; 0
+    // disables). If the box never quiets, proceed anyway: the per-query
+    // loadavg_1m attr column self-attributes the contention.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val gateThreshold =
+      sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(4.0)
+    val gateMaxWait =
+      sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT").map(_.toInt).getOrElse(300)
+    val gateLoad0 = loadAvg()
+    var gateWait = 0
+    while (gateThreshold > 0 && loadAvg() > gateThreshold &&
+        gateWait < gateMaxWait) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-gate] 1-min loadavg %.2f > %.1f — waiting (%ds of max %ds)",
+        Double.box(loadAvg()), Double.box(gateThreshold),
+        Integer.valueOf(gateWait), Integer.valueOf(gateMaxWait)))
+      Thread.sleep(15000)
+      gateWait += 15
+    }
+    if (gateWait > 0)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-gate] proceeding at loadavg %.2f after %ds gated",
+        Double.box(loadAvg()), Integer.valueOf(gateWait)))
     // Untimed warm-up: the driver measures a fresh JVM, so cold-start —
     // janino compiles of every query's generated code, C1/C2 of the shared
     // shuffle/agg/window/parquet paths, scheduler init — otherwise lands on
@@ -85,9 +117,6 @@ object Bench {
     // WITH the measurement instead of reconstructed from task_run ratios.
     // On a 32-thread box a quiet envelope run itself contributes a few
     // units; ambient contention shows as start values far above that.
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
     val load0 = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -165,7 +194,8 @@ object Bench {
       s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +
       s""""sched_s":${fmt(results.map(_._5).sum)},""" +
       s""""jvm_gc_s":${fmt(results.map(_._6).sum)},""" +
-      s""""loadavg_start":${fmtLoad(load0)},"loadavg_end":${fmtLoad(loadAvg())}}"""
+      s""""loadavg_start":${fmtLoad(load0)},"loadavg_end":${fmtLoad(loadAvg())},""" +
+      s""""loadavg_pregate":${fmtLoad(gateLoad0)},"gate_wait_s":$gateWait}"""
     // Full-precision, all-query JSON → target/bench.json (the durable
     // artifact; BASELINE.md points the judge here for per-query numbers).
     val fullQs = results.map(r => s"\"" + r._1 + "\":" + r._2)
