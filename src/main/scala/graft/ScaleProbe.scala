@@ -1477,6 +1477,83 @@ object ScaleProbe {
                 "event_type", k = 128),
               "event_type", Seq(25, 50, 75, 99)).count()
           })),
+        // Misra-Gries heavy hitters (sketch_topk_heavy registry shape):
+        // two half-corpus token counts (the only corpus-shaped work, one
+        // map-side-combinable aggregate each) cut to top-(k+1) pairs by
+        // the bounded aggregator, merged sketch-sized. Replication
+        // multiplies counts, not distinct tokens — expect the flat-ratio
+        // signature of vocabulary-shaped work after the count aggregate
+        "sketch_topk_heavy" -> (() =>
+          time(s"$tag/sketch_topk_heavy")({
+            val toks = docs
+              .filter(col("text").isNotNull && col("lang").isNotNull)
+              .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("token"))
+              .filter(col("token") =!= "")
+            def half(rem: Int) = graft.ops.Sketches.mgSummary(
+              toks.filter(col("doc_id") % 2 === rem), "lang", "token",
+              k = 12)
+            graft.ops.Sketches.mgTopK(
+              graft.ops.Sketches.mgMerge(half(0), half(1), "lang", k = 12),
+              "lang", kOut = 8).count()
+          })),
+        // sliding-window CMS (sketch_cms_sliding registry shape): ONE
+        // corpus-shaped daily-cell aggregate; the trailing-day union is
+        // a group-keyed join over ≤ d·w cells per (group, day) — daily
+        // cells saturate at d·w per group-day under replication, so the
+        // windowed join is volume-invariant once saturated
+        "sketch_cms_sliding" -> (() =>
+          time(s"$tag/sketch_cms_sliding")({
+            val store = graft.ops.Sketches.cmsSlidingSketch(ev,
+              "event_type", "ts", "user_id", depth = 3, width = 256,
+              windowDays = 7)
+            val probes = ev
+              .filter(col("user_id").isNotNull && col("user_id") % 20 === 0)
+              .select(col("event_type"), col("user_id")).distinct()
+            graft.ops.Sketches.cmsSlidingEstimate(store, probes,
+              "event_type", "user_id", depth = 3, width = 256).count()
+          })),
+        // streaming quantile-store maintenance (stream_quantile_update
+        // registry shape), staging untimed like the other _nostage
+        // variants: four packed-word micro-batch sketches + three
+        // sketch-sized bottom-k merges — the stream_kmv_update cost
+        // class with the quantile packing
+        "stream_quantile_update_nostage" -> (() => {
+          val stages = (0 to 3).map(r =>
+            ev.filter(col("event_id") % 4 === r)
+              .select(col("event_type"), col("event_id"), col("value")))
+          val storeDir = s"target/scaleprobe/quant_store_ns_$tag"
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(storeDir))
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/quant_stream_ns_$tag")
+          time(s"$tag/stream_quantile_update_nostage")({
+            val cents = floor(col("value") * lit(100)).cast("long")
+            val q = graft.streaming.StreamOps.sketchUpdateStream(in,
+                storeDir,
+                b => graft.ops.Sketches.kmvQuantileSketch(b, "event_type",
+                  "event_id", cents, k = 128),
+                (store, b) => graft.ops.Sketches.kmvMergeSketches(store, b,
+                  "event_type", k = 128))
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.ops.Sketches.kmvQuantiles(
+              graft.streaming.StreamOps.sketchStoreRead(spark, storeDir),
+              "event_type", Seq(25, 50, 75, 99)).count()
+          })
+        }),
+        // real Y4M video codec (mm_video_stats registry shape): encode +
+        // header parse + frame walk + integer reduce, all inside the
+        // batched mapPartitions codec seam — row-linear, no shuffle
+        // beyond the final count
+        "mm_video_stats" -> (() =>
+          time(s"$tag/mm_video_stats")(
+            graft.ops.Multimodal.extractVideoFeatures(
+              graft.ops.Multimodal.asVideo(docs)).count())),
         // streaming exact dedup with watermark state
         // (stream_dedup_watermark registry shape): canonical rows staged
         // as batch 0, intra-corpus duplicates + full re-crawl as batch 1
