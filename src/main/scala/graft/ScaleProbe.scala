@@ -1546,6 +1546,70 @@ object ScaleProbe {
               "event_type", Seq(25, 50, 75, 99)).count()
           })
         }),
+        // trending keys (sketch_topk_sliding registry shape): daily MG
+        // summaries (one corpus-shaped count aggregate) + date-anchored
+        // window sums over ≤ windowDays·k summary rows per output day +
+        // one merge prune — summary-shaped after the daily counts
+        "sketch_topk_sliding" -> (() =>
+          time(s"$tag/sketch_topk_sliding")(
+            graft.ops.Sketches.mgSlidingTopK(
+              ev.withColumn("vbucket", floor(col("value") / 10).cast("long")),
+              "event_type", "ts", "vbucket", k = 16, windowDays = 7,
+              kOut = 5).count())),
+        // CMS-refined heavy hitters (sketch_topk_refined registry
+        // shape): whole-corpus MG summary + whole-corpus CMS build +
+        // candidate-probe reads — two corpus-shaped aggregates, then
+        // everything candidate-sized
+        "sketch_topk_refined" -> (() =>
+          time(s"$tag/sketch_topk_refined")({
+            val evb = ev.withColumn("vbucket",
+              floor(col("value") / 10).cast("long"))
+            val top = graft.ops.Sketches.mgTopK(
+              graft.ops.Sketches.mgSummary(evb, "event_type", "vbucket",
+                k = 16), "event_type", kOut = 8)
+            val store = graft.ops.Sketches.cmsSketch(evb, "event_type",
+              "vbucket", depth = 4, width = 1024)
+            val cms = graft.ops.Sketches.cmsEstimate(store,
+                top.select(col("event_type"), col("key")),
+                "event_type", "key", depth = 4, width = 1024)
+              .withColumnRenamed("est_cnt", "cms_cnt")
+            top.join(cms, Seq("event_type", "key")).count()
+          })),
+        // streaming heavy-hitters store maintenance (stream_topk_update
+        // registry shape), staging untimed: four per-batch MG summaries
+        // (each one count aggregate + bounded pair cut) + three
+        // summary-sized map merges — the versioned-store fold with
+        // candidate-sized state
+        "stream_topk_update_nostage" -> (() => {
+          val evb = ev.withColumn("vbucket",
+            floor(col("value") / 10).cast("long"))
+          val stages = (0 to 3).map(r =>
+            evb.filter(col("event_id") % 4 === r)
+              .select(col("event_type"), col("vbucket")))
+          val storeDir = s"target/scaleprobe/mg_store_ns_$tag"
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(storeDir))
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/mg_stream_ns_$tag")
+          time(s"$tag/stream_topk_update_nostage")({
+            val q = graft.streaming.StreamOps.sketchUpdateStream(in,
+                storeDir,
+                b => graft.ops.Sketches.mgSummary(b, "event_type",
+                  "vbucket", k = 16),
+                (store, b) => graft.ops.Sketches.mgMerge(store, b,
+                  "event_type", k = 16),
+                versionByBatchId = true)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.ops.Sketches.mgTopK(
+              graft.streaming.StreamOps.sketchStoreRead(spark, storeDir),
+              "event_type", kOut = 8).count()
+          })
+        }),
         // real Y4M video codec (mm_video_stats registry shape): encode +
         // header parse + frame walk + integer reduce, all inside the
         // batched mapPartitions codec seam — row-linear, no shuffle

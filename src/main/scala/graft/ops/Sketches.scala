@@ -398,17 +398,27 @@ object Sketches {
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(groupCol), col(keyCol).cast("string").as("__key"))
       .agg(count(lit(1)).as("__cnt"))
+    mgFromCounts(counts, Seq(groupCol), k)
+  }
+
+  /** The shared MG prune over a pre-counted (groupCols..., __key, __cnt)
+    * relation: bounded top-(k+1) pair cut per group, then the canonical
+    * subtract-the-(k+1)-th-largest prune read off the pairs —
+    * (groupCols..., err, counters). Also the seam the WINDOWED form
+    * re-enters with summed daily estimates as the "counts". */
+  private def mgFromCounts(counts: DataFrame, groupCols: Seq[String],
+                           k: Int): DataFrame = {
     val topPairs = udaf(graft.functions.BoundedTopCounts(k + 1))
-    counts.groupBy(col(groupCol))
+    counts.groupBy(groupCols.map(col): _*)
       .agg(topPairs(col("__cnt"), col("__key")).as("__top"))
       .withColumn("err",
         when(size(col("__top")) <= k, lit(0L))
           .otherwise(element_at(col("__top"), k + 1).getField("cnt")))
-      .select(col(groupCol), col("err"),
+      .select(groupCols.map(col) ++ Seq(col("err"),
         map_from_entries(transform(
           filter(col("__top"), p => p.getField("cnt") > col("err")),
           p => struct(p.getField("key"),
-            p.getField("cnt") - col("err")))).as("counters"))
+            p.getField("cnt") - col("err")))).as("counters")): _*)
   }
 
   private def emptyCounters: Column =
@@ -445,6 +455,75 @@ object Sketches {
       transform_values(
         map_filter(col("__sum"), (_, v) => v > col("__d")),
         (_, v) => v - col("__d")).as("counters"))
+  }
+
+  /** TRENDING KEYS — trailing-window top-k frequent keys per (group,
+    * day) from DAILY [[mgSummary]]-shaped summaries: the windowed
+    * composition of the heavy-hitters pillar, pairing with
+    * [[cmsSlidingSketch]] the way [[kmvSlidingDistinct]] pairs with the
+    * KMV store. The N-way MG merge is ORDER-FREE (sum all stored
+    * estimates, prune ONCE by the (k+1)-th largest — associativity
+    * holds because the prune happens once over the summed relation),
+    * so each output day merges its ≤ `windowDays` daily summaries by
+    * plain aggregation: est ≤ true_window ≤ est + err with err = the
+    * window's summed daily errs + the merge prune depth — every key
+    * whose true windowed count exceeds err survives.
+    *
+    * Plan shape: the per-(group, day, key) count is the only
+    * corpus-shaped work; daily summaries are ≤ k entries + one err per
+    * (group, day); the window is a group-keyed equi-join with the
+    * trailing-day range as a residual over those summary rows (≤
+    * windowDays·k per output day — never corpus-shaped, the
+    * [[cmsSlidingSketch]] join discipline), and the merge prune rides
+    * the same bounded pair aggregator. Date-anchored: calendar gaps
+    * contribute nothing. Output: (group, day, rank, key, est_cnt,
+    * ub_cnt) ranked (est desc, key asc), rank ≤ kOut. */
+  def mgSlidingTopK(df: DataFrame, groupCol: String, tsCol: String,
+                    keyCol: String, k: Int, windowDays: Int,
+                    kOut: Int): DataFrame = {
+    require(k >= 1 && kOut >= 1, "k and kOut must be >= 1")
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val counts = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("day"),
+        col(keyCol).cast("string").as("__key"))
+      .agg(count(lit(1)).as("__cnt"))
+    val daily = mgFromCounts(counts, Seq(groupCol, "day"), k)
+    val candRows = daily
+      .select(col(groupCol), col("day").as("__cday"),
+        explode(col("counters")))
+      .withColumnRenamed("value", "__est")
+    val days = daily.select(col(groupCol), col("day"))
+    def trailing(rows: DataFrame): DataFrame =
+      days.alias("w").join(rows.alias("c"),
+        col(s"w.`$groupCol`") === col(s"c.`$groupCol`") &&
+          col("c.__cday")
+            .between(date_sub(col("w.day"), windowDays - 1), col("w.day")))
+    val winKeys = trailing(candRows)
+      .groupBy(col(s"w.`$groupCol`"), col("w.day"), col("c.key"))
+      .agg(sum(col("c.__est")).as("__cnt"))
+      .withColumnRenamed("key", "__key")
+    val winErrs = trailing(
+        daily.select(col(groupCol), col("day").as("__cday"),
+          col("err").as("__derr")))
+      .groupBy(col(s"w.`$groupCol`"), col("w.day"))
+      .agg(sum(col("c.__derr")).as("__errs"))
+    val merged = mgFromCounts(winKeys, Seq(groupCol, "day"), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("day"))
+      .orderBy(col("est_cnt").desc, col("key"))
+    // winErrs covers every (group, day) with ≥ 1 daily summary row, i.e.
+    // every output day — inner group-keyed join, broadcast-sized
+    merged.join(winErrs, Seq(groupCol, "day"))
+      .select(col(groupCol), col("day"),
+        (col("err") + col("__errs")).as("err"), col("counters"))
+      .select(col(groupCol), col("day"), col("err"),
+        explode(col("counters")))
+      .withColumnRenamed("value", "est_cnt")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col(groupCol), col("day"), col("rank"), col("key"),
+        col("est_cnt"), (col("est_cnt") + col("err")).as("ub_cnt"))
   }
 
   /** Ranked top-k read over a (merged) [[mgSummary]] store: candidates

@@ -1588,6 +1588,252 @@ object Pipeline {
       }
     },
 
+    // STREAMING heavy-hitters store maintenance — the MG configuration
+    // of the generic versioned-store fold, completing the family:
+    // every mergeable pillar (KMV / quantiles / CMS / MG) now has its
+    // streaming maintenance loop driver-checked. Like CMS, the MG merge
+    // is not retry-absorbing (summed estimates would double), so the
+    // version IS the batchId. UNLIKE the other folds, the sequential
+    // fold s0⊕s1⊕s2⊕s3 is NOT a whole-corpus identity (MG merges lose
+    // information) — so the oracle replays the EXACT four-stage fold:
+    // per-batch prune, then three sum-then-re-prune stages with the
+    // error budget accumulating (Σ batch prune depths + Σ merge prune
+    // depths), digit-for-digit including both bounds.
+    QuerySpec.sql("stream_topk_update",
+      """WITH base AS (
+        |  SELECT event_type AS part, event_id % 4 AS b,
+        |         CAST(floor(value / 10) AS BIGINT) AS vb
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |c AS (SELECT b, part, vb, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM base GROUP BY 1, 2, 3),
+        |r AS (SELECT b, part, cnt,
+        |             row_number() OVER (PARTITION BY b, part ORDER BY cnt DESC) AS rn
+        |      FROM c),
+        |d AS (SELECT b, part, coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d
+        |      FROM r GROUP BY 1, 2),
+        |s AS (SELECT c.b, c.part, c.vb, c.cnt - d.d AS est
+        |      FROM c JOIN d ON c.b = d.b AND c.part = d.part
+        |      WHERE c.cnt > d.d),
+        |u1 AS (SELECT part, vb, CAST(sum(est) AS BIGINT) AS cnt
+        |       FROM s WHERE b IN (0, 1) GROUP BY 1, 2),
+        |r1 AS (SELECT part, cnt, row_number() OVER (PARTITION BY part ORDER BY cnt DESC) AS rn FROM u1),
+        |dm1 AS (SELECT part, coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d FROM r1 GROUP BY 1),
+        |m1 AS (SELECT u1.part, u1.vb, u1.cnt - dm1.d AS est
+        |       FROM u1 JOIN dm1 ON u1.part = dm1.part WHERE u1.cnt > dm1.d),
+        |u2 AS (SELECT part, vb, CAST(sum(est) AS BIGINT) AS cnt FROM (
+        |         SELECT part, vb, est FROM m1
+        |         UNION ALL SELECT part, vb, est FROM s WHERE b = 2
+        |       ) GROUP BY 1, 2),
+        |r2 AS (SELECT part, cnt, row_number() OVER (PARTITION BY part ORDER BY cnt DESC) AS rn FROM u2),
+        |dm2 AS (SELECT part, coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d FROM r2 GROUP BY 1),
+        |m2 AS (SELECT u2.part, u2.vb, u2.cnt - dm2.d AS est
+        |       FROM u2 JOIN dm2 ON u2.part = dm2.part WHERE u2.cnt > dm2.d),
+        |u3 AS (SELECT part, vb, CAST(sum(est) AS BIGINT) AS cnt FROM (
+        |         SELECT part, vb, est FROM m2
+        |         UNION ALL SELECT part, vb, est FROM s WHERE b = 3
+        |       ) GROUP BY 1, 2),
+        |r3 AS (SELECT part, cnt, row_number() OVER (PARTITION BY part ORDER BY cnt DESC) AS rn FROM u3),
+        |dm3 AS (SELECT part, coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d FROM r3 GROUP BY 1),
+        |m3 AS (SELECT u3.part, u3.vb, u3.cnt - dm3.d AS est
+        |       FROM u3 JOIN dm3 ON u3.part = dm3.part WHERE u3.cnt > dm3.d),
+        |errs AS (
+        |  SELECT p.part,
+        |         coalesce(bd.s, 0) + coalesce(e1.d, 0) + coalesce(e2.d, 0)
+        |           + coalesce(e3.d, 0) AS err
+        |  FROM (SELECT DISTINCT part FROM c) p
+        |  LEFT JOIN (SELECT part, CAST(sum(d) AS BIGINT) AS s FROM d GROUP BY 1) bd
+        |    ON bd.part = p.part
+        |  LEFT JOIN dm1 e1 ON e1.part = p.part
+        |  LEFT JOIN dm2 e2 ON e2.part = p.part
+        |  LEFT JOIN dm3 e3 ON e3.part = p.part)
+        |SELECT m3.part, CAST(rank AS BIGINT) AS rank,
+        |       CAST(vb AS VARCHAR) AS key, est AS est_cnt,
+        |       est + errs.err AS ub_cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY part
+        |              ORDER BY est DESC, CAST(vb AS VARCHAR)) AS rank
+        |      FROM m3) m3
+        |JOIN errs ON errs.part = m3.part
+        |WHERE rank <= 8 ORDER BY m3.part, rank""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("vbucket", floor(col("value") / 10).cast("long"))
+        val stages = (0 to 3).map(r =>
+          ev.filter(col("event_id") % 4 === r)
+            .select(col("event_type"), col("vbucket")))
+        val tag = stagingTag(dir)
+        val in = Ingest.stageOrderedFiles(s, stages,
+          s"target/stream_topk_update_in_$tag")
+        val storeDir = s"target/stream_topk_update_store_$tag"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(storeDir))
+        val q = graft.streaming.StreamOps.sketchUpdateStream(in, storeDir,
+            b => Sketches.mgSummary(b, "event_type", "vbucket", k = 16),
+            (store, b) => Sketches.mgMerge(store, b, "event_type", k = 16),
+            versionByBatchId = true)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = Sketches.mgTopK(
+            graft.streaming.StreamOps.sketchStoreRead(s, storeDir),
+            "event_type", kOut = 8)
+          .select(col("event_type").as("part"), col("rank"), col("key"),
+            col("est_cnt"), col("ub_cnt"))
+          .orderBy(col("part"), col("rank"))
+        require(!out.isEmpty ||
+          ev.filter(col("value").isNotNull && col("event_id").isNotNull).isEmpty,
+          s"stream_topk_update streamed zero candidates from $dir but the " +
+            "corpus has eligible events")
+        out
+      }
+    },
+
+    // CMS-REFINED heavy hitters (the r17 Next #1 refinement note): the
+    // two frequency pillars composed — Misra-Gries finds WHICH keys
+    // are frequent per event type (candidate tracking, lower bound
+    // est + upper bound est+err), then the Count-Min store refines
+    // each candidate's upper bound to least(mg_ub, cms_est): both are
+    // upper bounds (CMS is overestimate-only), so their min is a
+    // strictly tighter one, with the MG lower bound untouched —
+    // est ≤ true ≤ ub_refined. The key is the VALUE-DECADE bucket
+    // (floor(value/10) — exponentially decaying frequencies, so real
+    // heavy hitters exist and SURVIVE corpus replication, unlike the
+    // near-uniform user_id whose top ties saturate the prune at 100×).
+    // The oracle replays both sketches and the min composition
+    // digit-for-digit.
+    QuerySpec.sql("sketch_topk_refined",
+      """WITH c AS (
+        |  SELECT event_type AS part,
+        |         CAST(floor(value / 10) AS BIGINT) AS vb,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT part, cnt,
+        |             row_number() OVER (PARTITION BY part ORDER BY cnt DESC) AS rn
+        |      FROM c),
+        |d AS (SELECT part, coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d
+        |      FROM r GROUP BY 1),
+        |f AS (SELECT c.part, c.vb, c.cnt - d.d AS est, d.d AS err
+        |      FROM c JOIN d ON c.part = d.part WHERE c.cnt > d.d),
+        |top AS (SELECT part, vb, est, err, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY part
+        |                      ORDER BY est DESC, CAST(vb AS VARCHAR)) AS rank
+        |              FROM f)
+        |        WHERE rank <= 8),
+        |d4 AS (SELECT unnest([0, 1, 2, 3]) AS dd),
+        |cells AS (
+        |  SELECT event_type AS part, dd,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || dd::VARCHAR || '|' || CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR)), 1, 8), ''),
+        |           ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 1024 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN d4 WHERE value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |pc AS (
+        |  SELECT t.part, t.vb, dd,
+        |         list_reduce(list_transform(string_split(substr(md5('cms' || dd::VARCHAR || '|' || CAST(t.vb AS VARCHAR)), 1, 8), ''),
+        |           ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)), (x, y) -> x * 16 + y) % 1024 AS bucket
+        |  FROM top t CROSS JOIN d4),
+        |cms AS (SELECT pc.part, pc.vb, min(coalesce(cl.cnt, 0)) AS cms_cnt
+        |        FROM pc LEFT JOIN cells cl
+        |          ON cl.part = pc.part AND cl.dd = pc.dd AND cl.bucket = pc.bucket
+        |        GROUP BY 1, 2)
+        |SELECT t.part, CAST(t.rank AS BIGINT) AS rank,
+        |       CAST(t.vb AS VARCHAR) AS key, t.est AS est_cnt,
+        |       t.est + t.err AS ub_cnt, cms.cms_cnt,
+        |       least(t.est + t.err, cms.cms_cnt) AS ub_refined
+        |FROM top t JOIN cms ON cms.part = t.part AND cms.vb = t.vb
+        |ORDER BY t.part, t.rank""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("vbucket", floor(col("value") / 10).cast("long"))
+        val top = Sketches.mgTopK(
+          Sketches.mgSummary(ev, "event_type", "vbucket", k = 16),
+          "event_type", kOut = 8)
+        val store = Sketches.cmsSketch(ev, "event_type", "vbucket",
+          depth = 4, width = 1024)
+        val cms = Sketches.cmsEstimate(store,
+            top.select(col("event_type"), col("key")),
+            "event_type", "key", depth = 4, width = 1024)
+          .withColumnRenamed("est_cnt", "cms_cnt")
+        top.join(cms, Seq("event_type", "key"))
+          .select(col("event_type").as("part"), col("rank"), col("key"),
+            col("est_cnt"), col("ub_cnt"), col("cms_cnt"),
+            least(col("ub_cnt"), col("cms_cnt")).as("ub_refined"))
+          .orderBy(col("part"), col("rank"))
+      }
+    },
+
+    // TRENDING KEYS — windowed heavy hitters (the r17 Next #1 + #4
+    // pairing): trailing-7-day top-5 VALUE-DECADE buckets per
+    // (event_type, day) from DAILY Misra-Gries summaries (buckets decay
+    // exponentially, so daily heavy hitters are real and survive corpus
+    // replication — the same key choice as sketch_topk_refined). The N-way MG merge is order-free
+    // (sum all stored daily estimates, prune ONCE by the (k+1)-th
+    // largest), so each day's window is one aggregation over ≤ 7·k
+    // summary rows — never the corpus. The oracle replays daily
+    // counts → daily prune → date-anchored window sums (+ summed daily
+    // errs) → merge prune → rank, digit-for-digit including both
+    // bounds; a wrong prune depth, frame shift, or lost daily error
+    // budget all hash-fail.
+    QuerySpec.sql("sketch_topk_sliding",
+      """WITH c AS (
+        |  SELECT event_type AS part, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value / 10) AS BIGINT) AS vb,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT part, day, cnt,
+        |             row_number() OVER (PARTITION BY part, day ORDER BY cnt DESC) AS rn
+        |      FROM c),
+        |d AS (SELECT part, day,
+        |             coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d
+        |      FROM r GROUP BY 1, 2),
+        |s AS (SELECT c.part, c.day, c.vb, c.cnt - d.d AS est
+        |      FROM c JOIN d ON c.part = d.part AND c.day = d.day
+        |      WHERE c.cnt > d.d),
+        |days AS (SELECT DISTINCT part, day FROM d),
+        |wk AS (SELECT dy.part, dy.day, s.vb,
+        |              CAST(sum(s.est) AS BIGINT) AS cnt
+        |       FROM days dy JOIN s ON s.part = dy.part
+        |         AND s.day >= dy.day - 6 AND s.day <= dy.day
+        |       GROUP BY 1, 2, 3),
+        |we AS (SELECT dy.part, dy.day, CAST(sum(d.d) AS BIGINT) AS errs
+        |       FROM days dy JOIN d ON d.part = dy.part
+        |         AND d.day >= dy.day - 6 AND d.day <= dy.day
+        |       GROUP BY 1, 2),
+        |r2 AS (SELECT part, day, cnt,
+        |              row_number() OVER (PARTITION BY part, day ORDER BY cnt DESC) AS rn
+        |       FROM wk),
+        |d2 AS (SELECT part, day,
+        |              coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS d
+        |       FROM r2 GROUP BY 1, 2),
+        |f AS (SELECT wk.part, wk.day, wk.vb, wk.cnt - d2.d AS est,
+        |             we.errs + d2.d AS err
+        |      FROM wk JOIN d2 ON wk.part = d2.part AND wk.day = d2.day
+        |      JOIN we ON wk.part = we.part AND wk.day = we.day
+        |      WHERE wk.cnt > d2.d)
+        |SELECT part, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(rank AS BIGINT) AS rank,
+        |       CAST(vb AS VARCHAR) AS key,
+        |       est AS est_cnt, est + err AS ub_cnt
+        |-- tie-break on the STRING key: the summary stores keys as
+        |-- strings, so Spark ranks "10" < "2" — the oracle must too
+        |FROM (SELECT *, row_number() OVER (PARTITION BY part, day
+        |                ORDER BY est DESC, CAST(vb AS VARCHAR)) AS rank
+        |      FROM f)
+        |WHERE rank <= 5 ORDER BY part, day, rank""") {
+      (s, dir) =>
+        Sketches.mgSlidingTopK(
+            Tables.events(s, dir)
+              .withColumn("vbucket", floor(col("value") / 10).cast("long")),
+            "event_type", "ts", "vbucket", k = 16, windowDays = 7, kOut = 5)
+          .select(col("event_type").as("part"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("rank"), col("key"), col("est_cnt"), col("ub_cnt"))
+          .orderBy(col("part"), col("day"), col("rank"))
+    },
+
     // HEAVY HITTERS (the fourth mergeable summary, r17 Next #1): top
     // frequent tokens per language from MERGED Misra-Gries summaries —
     // the one canonical store question CMS cannot answer ("which keys

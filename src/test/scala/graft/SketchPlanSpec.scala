@@ -91,6 +91,32 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
       s"partial/final cell aggregation missing:\n$plan")
   }
 
+  test("sketch_topk_sliding: bounded scan fan-out, no nested-loop range join, bounded pair cuts") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_topk_sliding")
+    // daily-summary branches (candidates / days / errs legs) + the merge
+    // prune re-statement = 4 static scans; AQE reuses the identical
+    // daily-count exchanges at runtime — the pin guards a NEW corpus leg
+    assert(scans(plan) <= 4, s"unexpected extra corpus scan:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the trending-keys plan:\n$plan")
+    // daily prune + merge prune both ride the bounded pair aggregator,
+    // partial-cut before their exchanges
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 4,
+      s"bounded pair partial/final cuts missing:\n$plan")
+  }
+
+  test("sketch_topk_refined: MG + CMS composition stays equi-joined, no cartesian, bounded cuts") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_topk_refined")
+    // MG summary + CMS cell build + the probe leg (MG candidates) = 3
+    assert(scans(plan) <= 3, s"unexpected extra corpus scan:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the refined plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bounded pair partial/final cut missing:\n$plan")
+  }
+
   test("sketch_cms_freq: three corpus scans (two halves + probes), partial cell counts, no cartesian") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_cms_freq")

@@ -442,6 +442,93 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       (3L, "k_0", 33L, 33L), (4L, "k_3", 33L, 33L)))
   }
 
+  test("sliding misra-gries: exact regime equals true windowed counts; gap days isolate; MG contract holds under pruning") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:${i % 60}%02d")
+    // EXACT regime (3 distinct keys << k): day1 a×3 b×1, day2 a×2 c×4,
+    // then a GAP to day 9 (b×5) — 3-day windows
+    val rows =
+      (1 to 3).map(i => ("g", ts(1, i), "a")) ++ Seq(("g", ts(1, 4), "b")) ++
+        (1 to 2).map(i => ("g", ts(2, i), "a")) ++
+        (1 to 4).map(i => ("g", ts(2, i + 10), "c")) ++
+        (1 to 5).map(i => ("g", ts(9, i), "b"))
+    val out = Sketches.mgSlidingTopK(rows.toDF("grp", "ts", "key"),
+        "grp", "ts", "key", k = 8, windowDays = 3, kOut = 8).collect()
+      .groupBy(_.getAs[java.sql.Date]("day").toString)
+      .map { case (d, rs) => d -> rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("est_cnt"),
+          r.getAs[Long]("ub_cnt"))).toSeq }
+    // every daily summary is exact (err 0) and the one-prune merge of
+    // exact summaries is exact: windowed counts, ranked est desc/key asc
+    assert(out("2024-03-01") === Seq(("a", 3L, 3L), ("b", 1L, 1L)))
+    assert(out("2024-03-02") === Seq(("a", 5L, 5L), ("c", 4L, 4L), ("b", 1L, 1L)))
+    assert(out("2024-03-09") === Seq(("b", 5L, 5L)),
+      "gap day must window only itself")
+    // PRUNED regime: 12 keys on k=2 over two days in one window — the MG
+    // contract must survive the window merge: est ≤ true ≤ ub, and the
+    // dominant key (true 40 > any possible err) is rank 1 both days
+    val zipf = (1 to 12).flatMap(kk => (1 to (if (kk == 1) 20 else 14 - kk))
+      .map(j => ("h", ts(j % 2 + 3, j), s"k_$kk")))
+    val truth = zipf.groupBy(_._3).map { case (kk, v) => kk -> v.size.toLong }
+    val pruned = Sketches.mgSlidingTopK(zipf.toDF("grp", "ts", "key"),
+        "grp", "ts", "key", k = 2, windowDays = 3, kOut = 2).collect()
+      .filter(_.getAs[java.sql.Date]("day").toString == "2024-03-04")
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("est_cnt"),
+        r.getAs[Long]("ub_cnt")))
+    // day 4's window covers both active days (3 and 4) = the whole corpus
+    assert(pruned.nonEmpty && pruned.head._1 === "k_1",
+      s"dominant key not rank 1: ${pruned.toSeq}")
+    for ((kk, est, ub) <- pruned) {
+      val t = truth(kk)
+      assert(est <= t && t <= ub, s"windowed MG contract broken for $kk: " +
+        s"est $est, true $t, ub $ub")
+    }
+  }
+
+  test("MG streaming fold equals the sequential driver-side merge; batchId versioning makes a retry rewrite its own version") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val k = 4
+    val storeDir = "target/test_mg_update_store"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(storeDir))
+    // Zipf-ish batches with churn so the prune is active at k=4
+    def batch(seed: Int) = (1 to 10).flatMap(i =>
+      (1 to (12 - i + seed % 3)).map(_ => ("g", s"k_${(i + seed) % 8}")))
+      .toDF("grp", "key")
+    val bs = Seq(batch(0), batch(1), batch(5))
+    val in = graft.streaming.Ingest.stageOrderedFiles(spark, bs,
+      "target/test_mg_update_in")
+    val q = graft.streaming.StreamOps.sketchUpdateStream(in, storeDir,
+        b => Sketches.mgSummary(b, "grp", "key", k),
+        (store, b) => Sketches.mgMerge(store, b, "grp", k),
+        versionByBatchId = true)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def summap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("err"),
+        r.getMap[String, Long](r.fieldIndex("counters")).toMap)).toMap
+    val folded = summap(
+      graft.streaming.StreamOps.sketchStoreRead(spark, storeDir))
+    // reference: the same fold run directly (the sequential MG merge is
+    // the DEFINED semantics — MG folds are not whole-corpus identities)
+    val direct = summap(bs.map(Sketches.mgSummary(_, "grp", "key", k))
+      .reduce(Sketches.mgMerge(_, _, "grp", k)))
+    assert(folded === direct,
+      "streamed MG fold diverged from the sequential driver-side merge")
+    // retry commit unit: re-merging the LAST batch against v1 must equal
+    // the v2 the stream wrote — last-writer-wins cannot double estimates
+    val rewrite = summap(Sketches.mgMerge(
+      spark.read.parquet(s"$storeDir/v1"),
+      Sketches.mgSummary(bs(2), "grp", "key", k), "grp", k))
+    assert(rewrite === folded, "a replayed final batch would change the store")
+  }
+
   test("store walker is Hadoop-FS-backed: file:-scheme URIs work and a marker-less (crashed) version is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
