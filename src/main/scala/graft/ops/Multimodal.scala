@@ -214,19 +214,24 @@ object Multimodal {
                       frames: Array[Array[Byte]])
 
   /** Frame byte size for a Y4M colorspace — the container carries NO
-    * per-frame length, so the colorspace IS the framing contract. */
-  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = cs match {
-    case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
-      require(w % 2 == 0 && h % 2 == 0,
-        s"4:2:0 needs even dimensions (${w}x$h)")
-      w * h + 2 * (w / 2) * (h / 2)
-    case "422" =>
-      require(w % 2 == 0, s"4:2:2 needs even width ($w)")
-      w * h + 2 * (w / 2) * h
-    case "444" => 3 * w * h
-    case "mono" => w * h
-    case other => throw new IllegalArgumentException(
-      s"unsupported y4m colorspace C$other")
+    * per-frame length, so the colorspace IS the framing contract.
+    * Long guard like [[decodeNetpbm]]/[[decodeImage]]: a crafted
+    * 65536×65536 header must fail fast, not wrap Int and mis-frame. */
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = {
+    require(w.toLong * h * 3 <= Int.MaxValue, s"frame too large (${w}x$h)")
+    cs match {
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+        require(w % 2 == 0 && h % 2 == 0,
+          s"4:2:0 needs even dimensions (${w}x$h)")
+        w * h + 2 * (w / 2) * (h / 2)
+      case "422" =>
+        require(w % 2 == 0, s"4:2:2 needs even width ($w)")
+        w * h + 2 * (w / 2) * h
+      case "444" => 3 * w * h
+      case "mono" => w * h
+      case other => throw new IllegalArgumentException(
+        s"unsupported y4m colorspace C$other")
+    }
   }
 
   /** Real YUV4MPEG2 (.y4m) decode — dependency-free, closing the LAST

@@ -424,6 +424,11 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       Multimodal.decodeY4m("YUV4MPEG2 W3 H2 C420\nFRAME\n".getBytes("US-ASCII"))
     }
+    // a crafted huge header must fail fast, not wrap Int and mis-frame
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(
+        "YUV4MPEG2 W65536 H65536 Cmono\nFRAME\n".getBytes("US-ASCII"))
+    }
   }
 
   test("encodeY4m → decodeY4m roundtrips mono and C444 exactly; decodeRaster surfaces the first luma plane") {
