@@ -1314,11 +1314,7 @@ object ScaleProbe {
             ev.filter(col("event_id") % 4 === r)
               .select(col("event_type"), col("user_id")))
           val storeDir = s"target/scaleprobe/kmv_store_$tag"
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(storeDir))
+          graft.streaming.Ingest.deleteRecursively(storeDir)
           time(s"$tag/stream_kmv_update")({
             val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
               s"target/scaleprobe/kmv_stream_$tag")
@@ -1342,11 +1338,7 @@ object ScaleProbe {
             ev.filter(col("event_id") % 4 === r)
               .select(col("event_type"), col("user_id")))
           val storeDir = s"target/scaleprobe/kmv_store_ns_$tag"
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(storeDir))
+          graft.streaming.Ingest.deleteRecursively(storeDir)
           val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
             s"target/scaleprobe/kmv_stream_ns_$tag")
           time(s"$tag/stream_kmv_update_nostage")({
@@ -1379,11 +1371,7 @@ object ScaleProbe {
             ev.filter(col("event_id") % 4 === r)
               .select(col("event_type"), col("user_id")))
           val storeDir = s"target/scaleprobe/cms_store_ns_$tag"
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(storeDir))
+          graft.streaming.Ingest.deleteRecursively(storeDir)
           val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
             s"target/scaleprobe/cms_stream_ns_$tag")
           time(s"$tag/stream_cms_update_nostage")({
@@ -1410,11 +1398,7 @@ object ScaleProbe {
         // single-task cap as the difference vs stream_cms_update_nostage
         "stream_cms_update_parbatch" -> (() => {
           val storeDir = s"target/scaleprobe/cms_store_pb_$tag"
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(storeDir))
+          graft.streaming.Ingest.deleteRecursively(storeDir)
           time(s"$tag/stream_cms_update_parbatch")({
             (0 to 3).foreach { r =>
               val batchSk = graft.ops.Sketches.cmsSketch(
@@ -1523,11 +1507,7 @@ object ScaleProbe {
             ev.filter(col("event_id") % 4 === r)
               .select(col("event_type"), col("event_id"), col("value")))
           val storeDir = s"target/scaleprobe/quant_store_ns_$tag"
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(storeDir))
+          graft.streaming.Ingest.deleteRecursively(storeDir)
           val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
             s"target/scaleprobe/quant_stream_ns_$tag")
           time(s"$tag/stream_quantile_update_nostage")({
@@ -1587,11 +1567,7 @@ object ScaleProbe {
             evb.filter(col("event_id") % 4 === r)
               .select(col("event_type"), col("vbucket")))
           val storeDir = s"target/scaleprobe/mg_store_ns_$tag"
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(storeDir))
+          graft.streaming.Ingest.deleteRecursively(storeDir)
           val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
             s"target/scaleprobe/mg_stream_ns_$tag")
           time(s"$tag/stream_topk_update_nostage")({

@@ -19,11 +19,14 @@ object Pipeline {
     * target/ (ADVICE r17): two executions of the same staged-replay query
     * against DIFFERENT corpora (e.g. the sf0.001 bench warm-up and the
     * sf0.1 timed run, or a parallelized Verify) must not race on a shared
-    * fixed path. Name + full-path hash: readable and collision-safe
-    * across layouts that share a basename. */
-  private def stagingTag(dir: String): String =
-    new java.io.File(dir).getName + "_" +
-      Integer.toHexString(dir.hashCode)
+    * fixed path. Name + an md5 prefix of the FULL path (review r18: a
+    * 32-bit String.hashCode leaves a silent-collision space between
+    * same-basename checkouts; md5's 64 bits here do not). */
+  private def stagingTag(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    new java.io.File(dir).getName + "_" + md5
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -1247,11 +1250,7 @@ object Pipeline {
         // the helper's contract — SketchesSpec pins it; the registry
         // surface pins the cold four-batch fold against the corpus)
         val storeDir = s"target/stream_kmv_update_store_$tag"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(storeDir))
+        Ingest.deleteRecursively(storeDir)
         val q = graft.streaming.StreamOps.kmvUpdateStream(in,
             "event_type", "user_id", k = 64, storeDir)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1437,11 +1436,7 @@ object Pipeline {
         val in = Ingest.stageOrderedFiles(s, stages,
           s"target/stream_cms_update_in_$tag")
         val storeDir = s"target/stream_cms_update_store_$tag"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(storeDir))
+        Ingest.deleteRecursively(storeDir)
         val q = graft.streaming.StreamOps.cmsUpdateStream(in,
             "event_type", "user_id", depth = 4, width = 1024, storeDir)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1451,18 +1446,20 @@ object Pipeline {
         val probes = ev
           .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
           .select(col("event_type"), col("user_id")).distinct()
-        val out = Sketches.cmsEstimate(store, probes, "event_type",
+        // plumbing guard on the STORE, not the probe read (review r18:
+        // cmsEstimate emits one 0-filled row PER PROBE, so a guard on
+        // `out` can never fire): the folded store has >= 1 cell row iff
+        // any batch carried a non-null key — an empty store under a
+        // non-empty corpus means the staged replay streamed nothing
+        require(!store.isEmpty ||
+          ev.filter(col("user_id").isNotNull).isEmpty,
+          s"stream_cms_update folded an empty store from $dir but the " +
+            "corpus has keyed events")
+        Sketches.cmsEstimate(store, probes, "event_type",
             "user_id", depth = 4, width = 1024)
           .select(col("event_type").as("part"), col("user_id"),
             col("est_cnt"))
           .orderBy(col("part"), col("user_id"))
-        // guard keys on the PROBE set, not the corpus (ADVICE r17): a
-        // corpus with events but no user_id divisible by 10 legitimately
-        // yields an empty probe relation on both engines
-        require(!out.isEmpty || probes.isEmpty,
-          s"stream_cms_update streamed zero probe estimates from $dir " +
-            "but the probe set is non-empty")
-        out
       }
     },
 
@@ -1504,11 +1501,7 @@ object Pipeline {
         val in = Ingest.stageOrderedFiles(s, stages,
           s"target/stream_quantile_update_in_$tag")
         val storeDir = s"target/stream_quantile_update_store_$tag"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(storeDir))
+        Ingest.deleteRecursively(storeDir)
         val cents = floor(col("value") * lit(100)).cast("long")
         val q = graft.streaming.StreamOps.sketchUpdateStream(in, storeDir,
             b => Sketches.kmvQuantileSketch(b, "event_type", "event_id",
@@ -1664,11 +1657,7 @@ object Pipeline {
         val in = Ingest.stageOrderedFiles(s, stages,
           s"target/stream_topk_update_in_$tag")
         val storeDir = s"target/stream_topk_update_store_$tag"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(storeDir))
+        Ingest.deleteRecursively(storeDir)
         val q = graft.streaming.StreamOps.sketchUpdateStream(in, storeDir,
             b => Sketches.mgSummary(b, "event_type", "vbucket", k = 16),
             (store, b) => Sketches.mgMerge(store, b, "event_type", k = 16),
@@ -1676,17 +1665,21 @@ object Pipeline {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val out = Sketches.mgTopK(
-            graft.streaming.StreamOps.sketchStoreRead(s, storeDir),
-            "event_type", kOut = 8)
+        val store = graft.streaming.StreamOps.sketchStoreRead(s, storeDir)
+        // plumbing guard on the STORE (review r18): mgTopK is
+        // legitimately empty when every group's counters prune away
+        // (the tie-saturation regime — the oracle is empty too), but
+        // the store ALWAYS keeps one (group, err, counters) row per
+        // group the stream saw, so an empty store under a non-empty
+        // corpus means the staged replay streamed nothing
+        require(!store.isEmpty ||
+          ev.filter(col("value").isNotNull && col("event_id").isNotNull).isEmpty,
+          s"stream_topk_update folded an empty store from $dir but the " +
+            "corpus has eligible events")
+        Sketches.mgTopK(store, "event_type", kOut = 8)
           .select(col("event_type").as("part"), col("rank"), col("key"),
             col("est_cnt"), col("ub_cnt"))
           .orderBy(col("part"), col("rank"))
-        require(!out.isEmpty ||
-          ev.filter(col("value").isNotNull && col("event_id").isNotNull).isEmpty,
-          s"stream_topk_update streamed zero candidates from $dir but the " +
-            "corpus has eligible events")
-        out
       }
     },
 

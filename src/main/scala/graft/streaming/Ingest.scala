@@ -77,14 +77,24 @@ object Ingest {
     * before subtracting the delay) and a session/window emits iff
     * end_us <= wm_us (inclusive at exact equality). Oracles that replay
     * a staged stream must use exactly this arithmetic. */
-  def stageOrderedFiles(spark: SparkSession, stages: Seq[DataFrame],
-                        dir: String): DataFrame = {
+  /** Recursive local delete for staging/store scratch under target/ —
+    * the ONE copy of the helper every staged-replay call site used to
+    * inline (review r18). Local-FS only by design: scratch lives under
+    * target/; the sketch STORE listing, which must work on HDFS/S3,
+    * walks via the Hadoop FS API instead
+    * ([[StreamOps.sketchStoreRead]]). */
+  def deleteRecursively(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
+      f.delete(): Unit
     }
+    rm(new java.io.File(path))
+  }
+
+  def stageOrderedFiles(spark: SparkSession, stages: Seq[DataFrame],
+                        dir: String): DataFrame = {
     val root = new java.io.File(dir)
-    rm(root) // stale extra files would add phantom micro-batches
+    deleteRecursively(dir) // stale extra files would add phantom micro-batches
     root.mkdirs()
     val base = System.currentTimeMillis() - 3600L * 1000
     stages.zipWithIndex.foreach { case (df, i) =>
@@ -96,7 +106,7 @@ object Ingest {
       val dst = new java.io.File(root, f"$i%04d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(base + i * 10000L) // mtime order = stage order
-      rm(stage)
+      deleteRecursively(stage.getPath)
     }
     val schema = spark.read.parquet(s"$dir/0000.parquet").schema
     spark.readStream.schema(schema)

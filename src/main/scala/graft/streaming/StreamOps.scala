@@ -564,7 +564,7 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val versions = sketchStoreVersions(storeDir)
+        val versions = sketchStoreVersions(s, storeDir)
         // Cold-replay misuse detection (a counting merge must not
         // double-fold): a stream restarted WITHOUT its checkpoint replays
         // from batchId 0 while the store already holds higher committed
@@ -599,7 +599,7 @@ object StreamOps {
     * readers gate on stream progress, not on this accessor. */
   def sketchStoreRead(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String): DataFrame = {
-    val v = sketchStoreLatest(storeDir).getOrElse(
+    val v = sketchStoreLatest(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no committed sketch store under $storeDir"))
     spark.read.parquet(s"$storeDir/v$v")
   }
@@ -610,8 +610,9 @@ object StreamOps {
                    storeDir: String): DataFrame =
     sketchStoreRead(spark, storeDir)
 
-  private def sketchStoreLatest(storeDir: String): Option[Long] =
-    sketchStoreVersions(storeDir).sorted.lastOption
+  private def sketchStoreLatest(spark: org.apache.spark.sql.SparkSession,
+                                storeDir: String): Option[Long] =
+    sketchStoreVersions(spark, storeDir).sorted.lastOption
 
   /** Committed versions under `storeDir`, via the Hadoop FileSystem API —
     * the store is the family's DEPLOYMENT artifact, so the walk must work
@@ -622,10 +623,14 @@ object StreamOps {
     * reader racing a writer) leaves a marker-less directory that must not
     * become "latest" — crash-safe listing by commit marker, no rename
     * protocol needed. */
-  private def sketchStoreVersions(storeDir: String): Seq[Long] = {
+  private def sketchStoreVersions(spark: org.apache.spark.sql.SparkSession,
+                                  storeDir: String): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf())
+    // conf from the CALLER's session, not the SparkSession.active
+    // thread-local (review r18): a caller thread with no active session
+    // would throw, and under multiple sessions the walk could pick up
+    // the wrong fs.* configuration for an S3A/HDFS store
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
