@@ -1555,6 +1555,34 @@ object ScaleProbe {
               .withColumnRenamed("est_cnt", "cms_cnt")
             top.join(cms, Seq("event_type", "key")).count()
           })),
+        // deployment-parallelism decomposition for the quantile fold
+        // (the stream_cms_update_parbatch precedent): the EXACT
+        // per-batch body (packed-word sketch + store merge + versioned
+        // write) over the same four event_id-quartile batches as
+        // parquet-parallel frames — isolating the staged replay's
+        // one-file-per-batch single-task cap as the difference vs
+        // stream_quantile_update_nostage
+        "stream_quantile_update_parbatch" -> (() => {
+          val storeDir = s"target/scaleprobe/quant_store_pb_$tag"
+          graft.streaming.Ingest.deleteRecursively(storeDir)
+          time(s"$tag/stream_quantile_update_parbatch")({
+            val cents = floor(col("value") * lit(100)).cast("long")
+            (0 to 3).foreach { r =>
+              val batchSk = graft.ops.Sketches.kmvQuantileSketch(
+                ev.filter(col("event_id") % 4 === r), "event_type",
+                "event_id", cents, k = 128)
+              val merged =
+                if (r == 0) batchSk
+                else graft.ops.Sketches.kmvMergeSketches(
+                  spark.read.parquet(s"$storeDir/v${r - 1}"), batchSk,
+                  "event_type", k = 128)
+              merged.write.mode("overwrite").parquet(s"$storeDir/v$r")
+            }
+            graft.ops.Sketches.kmvQuantiles(
+              spark.read.parquet(s"$storeDir/v3"),
+              "event_type", Seq(25, 50, 75, 99)).count()
+          })
+        }),
         // streaming heavy-hitters store maintenance (stream_topk_update
         // registry shape), staging untimed: four per-batch MG summaries
         // (each one count aggregate + bounded pair cut) + three
