@@ -1614,6 +1614,29 @@ object ScaleProbe {
               "event_type", kOut = 8).count()
           })
         }),
+        // sliding quantiles from daily packed sketches
+        // (sketch_quantiles_sliding registry shape): one (group, day,
+        // pk) DISTINCT is the only corpus-shaped work; the sliding
+        // union windows ≤ 7 arrays × k longs per output row — the
+        // sketch_kmv_sliding cost class on 16-byte packed words
+        "sketch_quantiles_sliding" -> (() =>
+          time(s"$tag/sketch_quantiles_sliding")(
+            graft.ops.Sketches.kmvSlidingQuantiles(ev, "event_type", "ts",
+              "event_id", floor(col("value") * lit(100)).cast("long"),
+              k = 64, windowDays = 7, Seq(25, 50, 75)).count())),
+        // real per-frame fan-out (mm_frame_sample registry shape):
+        // decode + frame explode + per-frame integer reduce — row-linear
+        // like mm_video_stats with an 8x output fan-out
+        "mm_frame_sample" -> (() => {
+          val spark2 = spark
+          import spark2.implicits._
+          time(s"$tag/mm_frame_sample")(
+            graft.ops.Multimodal.videoFrames(
+                graft.ops.Multimodal.asVideo(docs))
+              .map(f => (f.doc_id, f.frame_idx.toLong,
+                f.frame_bytes.map(b => (b & 0xff).toLong).sum))
+              .toDF("doc_id", "frame_idx", "sum_bytes").count())
+        }),
         // real Y4M video codec (mm_video_stats registry shape): encode +
         // header parse + frame walk + integer reduce, all inside the
         // batched mapPartitions codec seam — row-linear, no shuffle

@@ -160,18 +160,65 @@ object Sketches {
     * engines pick the same element. Groups smaller than k are EXACT
     * (sample = population). Output: (group, n_kept, p<p>_cents...). */
   def kmvQuantiles(sketches: DataFrame, groupCol: String,
-                   percents: Seq[Int]): DataFrame = {
+                   percents: Seq[Int]): DataFrame =
+    kmvQuantilesBy(sketches, Seq(groupCol), percents)
+
+  /** [[kmvQuantiles]] with a composite row key — the member the DAILY
+    * store form needs ((group, day) rows). Per-ROW arithmetic on the
+    * `sk` column; every key column passes through. */
+  def kmvQuantilesBy(sketches: DataFrame, keyCols: Seq[String],
+                     percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100))
     val vals = array_sort(transform(col("sk"),
       p => p % lit(4294967296L) - lit(2147483648L)))
-    val base = sketches.select(col(groupCol), vals.as("__vals"),
-      size(col("sk")).cast("long").as("n_kept"))
+    val base = sketches.select(keyCols.map(col) ++ Seq(vals.as("__vals"),
+      size(col("sk")).cast("long").as("n_kept")): _*)
     val qCols = percents.map { p =>
       element_at(col("__vals"),
         (expr(s"($p * (n_kept - 1)) div 100") + lit(1)).cast("int"))
         .as(s"p${p}_cents")
     }
-    base.select(Seq(col(groupCol), col("n_kept")) ++ qCols: _*)
+    base.select(keyCols.map(col) ++ Seq(col("n_kept")) ++ qCols: _*)
+  }
+
+  /** Trailing-window QUANTILES from DAILY quantile sketches — the
+    * fourth and last sliding form, completing the matrix (distinct
+    * [[kmvSlidingDistinct]], frequency [[cmsSlidingSketch]], heavy
+    * hitters [[mgSlidingTopK]], QUANTILES here): "p25/p50/... of the
+    * metric per group over the trailing N days, for every day" without
+    * re-touching the corpus per window. Because the quantile sketch IS
+    * a [[kmvSketch]]-shaped bottom-k over packed (hash, cents) words,
+    * the ENTIRE sliding machinery applies verbatim: one (group, day,
+    * pk) DISTINCT builds the daily sketches (the only corpus-shaped
+    * work), the epoch-day range frame unions ≤ windowDays arrays per
+    * output row re-cut to bottom-k — by the mergeability identity
+    * EXACTLY the window's direct sketch — and [[kmvQuantilesBy]] reads
+    * the order statistics per (group, day). Calendar gaps window by
+    * date. Output: (group, day, n_kept, p<p>_cents...). */
+  def kmvSlidingQuantiles(df: DataFrame, groupCol: String, tsCol: String,
+                          keyCol: String, valueCents: Column, k: Int,
+                          windowDays: Int, percents: Seq[Int]): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val pk = (Sampling.hashKey(col(keyCol)) % lit(2147483648L)) *
+      lit(4294967296L) + (valueCents + lit(2147483648L))
+    val packed = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        valueCents.isNotNull)
+      .select(col(groupCol), to_date(col(tsCol)).as("day"), pk.as("pk"))
+      .distinct()
+    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
+    val daily = packed.groupBy(col(groupCol), col("day"))
+      .agg(bottomK(col("pk"), col("pk")).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(windowDays - 1), 0)
+    kmvQuantilesBy(
+      daily.withColumn("sk",
+        slice(array_sort(array_distinct(flatten(
+          collect_list(col("sk")).over(w)))), 1, k)),
+      Seq(groupCol, "day"), percents)
   }
 
   /** Trailing-window distinct counts from DAILY sketches — the canonical

@@ -1107,6 +1107,45 @@ object Pipeline {
           .orderBy(col("doc_id"))
     },
 
+    // Real per-frame fan-out through the Y4M codec (the judge-offered
+    // mm_frame_sample surface): every container frame becomes one row
+    // with its exact integer byte sum — so a missed FRAME marker, a
+    // mis-framed plane, or a padding leak shifts some frame's sum and
+    // breaks the hash. The oracle recomputes each 8-byte frame's sum
+    // from the text bytes (frame f covers bytes 8f..8f+7, zero-padded;
+    // empty text → one all-zero frame).
+    QuerySpec.sql("mm_frame_sample",
+      """WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, unnest(range(0, greatest(1, (n + 7) // 8))) AS frame_idx
+        |  FROM b),
+        |bytes AS (
+        |  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS frame_idx,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)),
+        |agg AS (
+        |  SELECT doc_id, frame_idx, CAST(sum(u) AS BIGINT) AS sum_bytes
+        |  FROM bytes GROUP BY 1, 2)
+        |SELECT f.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |       8::BIGINT AS n_bytes, coalesce(agg.sum_bytes, 0) AS sum_bytes
+        |FROM frames f LEFT JOIN agg
+        |  ON agg.doc_id = f.doc_id AND agg.frame_idx = f.frame_idx
+        |ORDER BY f.doc_id, f.frame_idx""") {
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.videoFrames(Multimodal.asVideo(Tables.documents(s, dir)))
+          .map(f => (f.doc_id, f.frame_idx.toLong,
+            f.frame_bytes.length.toLong,
+            f.frame_bytes.map(b => (b & 0xff).toLong).sum))
+          .toDF("doc_id", "frame_idx", "n_bytes", "sum_bytes")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }
+    },
+
     // Mergeable KMV (bottom-k) distinct sketch per language — the
     // oracle-checkable stand-in for approx_count_distinct (HLL internals
     // are engine-specific; bottom-k md5 arithmetic replays exactly).
@@ -1579,6 +1618,54 @@ object Pipeline {
             col("user_id"), col("est_cnt"))
           .orderBy(col("part"), col("day"), col("user_id"))
       }
+    },
+
+    // SLIDING QUANTILES — the fourth and last trailing-window form,
+    // completing the sliding matrix (distinct / frequency / heavy
+    // hitters / QUANTILES): trailing-7-day p25/p50/p75 of value-cents
+    // per (event_type, day) from DAILY quantile sketches. The packed
+    // (hash, cents) words make this kmvSlidingDistinct VERBATIM — one
+    // corpus-shaped daily DISTINCT, epoch-day range-frame unions re-cut
+    // to bottom-k (≡ the window's direct sketch by the mergeability
+    // identity, which the oracle computes), then per-(group, day)
+    // integer order statistics.
+    QuerySpec.sql("sketch_quantiles_sliding",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part, CAST(ts AS DATE) AS day,
+        |         (hk % 2147483648) * 4294967296
+        |           + (CAST(floor(value * 100) AS BIGINT) + 2147483648) AS pk
+        |  FROM (SELECT event_type, ts, value,
+        |               list_reduce(list_transform(string_split(substr(md5(event_id::VARCHAR), 1, 8), ''),
+        |                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |        FROM events
+        |        WHERE event_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)),
+        |days AS (SELECT DISTINCT part, day FROM h),
+        |j AS (SELECT DISTINCT d.part, d.day, h.pk
+        |      FROM days d JOIN h ON h.part = d.part
+        |        AND h.day >= d.day - 6 AND h.day <= d.day),
+        |b AS (SELECT part, day, pk,
+        |             row_number() OVER (PARTITION BY part, day ORDER BY pk) AS rn
+        |      FROM j),
+        |sk AS (SELECT part, day, pk % 4294967296 - 2147483648 AS v
+        |       FROM b WHERE rn <= 64),
+        |o AS (SELECT part, day, v,
+        |             row_number() OVER (PARTITION BY part, day ORDER BY v) AS vr,
+        |             count(*) OVER (PARTITION BY part, day) AS n FROM sk)
+        |SELECT part, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(max(n) AS BIGINT) AS n_kept,
+        |       CAST(max(CASE WHEN vr = (25 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p25_cents,
+        |       CAST(max(CASE WHEN vr = (50 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p50_cents,
+        |       CAST(max(CASE WHEN vr = (75 * (n - 1)) // 100 + 1 THEN v END) AS BIGINT) AS p75_cents
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""") {
+      (s, dir) =>
+        Sketches.kmvSlidingQuantiles(Tables.events(s, dir), "event_type",
+            "ts", "event_id", floor(col("value") * lit(100)).cast("long"),
+            k = 64, windowDays = 7, Seq(25, 50, 75))
+          .select(col("event_type").as("part"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_kept"), col("p25_cents"), col("p50_cents"),
+            col("p75_cents"))
+          .orderBy(col("part"), col("day"))
     },
 
     // STREAMING heavy-hitters store maintenance — the MG configuration

@@ -97,6 +97,19 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
       s"partial/final cell aggregation missing:\n$plan")
   }
 
+  test("sketch_quantiles_sliding: ONE corpus scan; the sliding union is a window over packed sketch rows") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_quantiles_sliding")
+    assert(scans(plan) >= 1 && scans(plan) <= 1,
+      s"expected exactly one live corpus scan (daily packed sketches feed " +
+        s"every window):\n$plan")
+    assert(plan.contains("Window"), s"no window operator in:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bottom-k partial/final pair missing:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the sliding-quantiles plan:\n$plan")
+  }
+
   test("sketch_topk_sliding: bounded scan fan-out, no nested-loop range join, bounded pair cuts") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_topk_sliding")

@@ -442,6 +442,46 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       (3L, "k_0", 33L, 33L), (4L, "k_3", 33L, 33L)))
   }
 
+  test("sliding quantiles from daily sketches equal the direct window sketch; gap days window by date; exact regime is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:${i % 60}%02d")
+    // 3-day windows over days 1,2,3 then a GAP to day 10; values i·100
+    // cents keyed by a unique row id — day 10 has 11 values 0..1000
+    val rows =
+      (1 to 60).map(i => ("g", ts(1, i), 1000L + i, (i % 20) * 100L)) ++
+        (1 to 60).map(i => ("g", ts(2, i), 2000L + i, (i % 30) * 100L)) ++
+        (1 to 60).map(i => ("g", ts(3, i), 3000L + i, (i % 40) * 100L)) ++
+        (0 to 10).map(i => ("g", ts(10, i), 9000L + i, i * 100L))
+    val df = rows.toDF("grp", "ts", "row_id", "cents")
+    val k = 32
+    val out = Sketches.kmvSlidingQuantiles(df, "grp", "ts", "row_id",
+        col("cents") * lit(1), k, windowDays = 3, Seq(0, 50, 100)).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("p0_cents"),
+          r.getAs[Long]("p50_cents"), r.getAs[Long]("p100_cents"))).toMap
+    // reference: the direct quantile sketch of each window's raw rows —
+    // the mergeability identity on packed words
+    def direct(days: Seq[Int]) = {
+      val sub = rows.filter { case (_, t, _, _) =>
+        days.contains(t.toLocalDateTime.getDayOfMonth) }
+        .map { case (g, _, id, c) => (g, id, c) }
+        .toDF("grp", "row_id", "cents")
+      val r = Sketches.kmvQuantiles(
+        Sketches.kmvQuantileSketch(sub, "grp", "row_id",
+          col("cents") * lit(1), k), "grp", Seq(0, 50, 100)).collect().head
+      (r.getAs[Long]("n_kept"), r.getAs[Long]("p0_cents"),
+        r.getAs[Long]("p50_cents"), r.getAs[Long]("p100_cents"))
+    }
+    assert(out("2024-03-01") === direct(Seq(1)))
+    assert(out("2024-03-02") === direct(Seq(1, 2)))
+    assert(out("2024-03-03") === direct(Seq(1, 2, 3)))
+    // the gap day windows ONLY itself — 11 rows < k is the EXACT path:
+    // min 0, median 500, max 1000 of 0,100,...,1000
+    assert(out("2024-03-10") === ((11L, 0L, 500L, 1000L)))
+  }
+
   test("sliding misra-gries: exact regime equals true windowed counts; gap days isolate; MG contract holds under pruning") {
     import spark.implicits._
     def ts(day: Int, i: Int) =
