@@ -51,20 +51,30 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val gateThreshold =
-      sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(4.0)
-    val gateMaxWait =
-      sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT").map(_.toInt).getOrElse(300)
+    // Malformed env values must not crash the bench before any measurement
+    // (ADVICE r18): fall back to the default instead of throwing.
+    def envDouble(name: String, default: Double): Double =
+      sys.env.get(name).flatMap(v => scala.util.Try(v.toDouble).toOption)
+        .getOrElse(default)
+    def envInt(name: String, default: Int): Int =
+      sys.env.get(name).flatMap(v => scala.util.Try(v.toInt).toOption)
+        .getOrElse(default)
+    val gateThreshold = envDouble("SPARK_GRAFT_LOAD_GATE", 4.0)
+    val gateMaxWait = envInt("SPARK_GRAFT_LOAD_GATE_WAIT", 300)
     val gateLoad0 = loadAvg()
     var gateWait = 0
-    while (gateThreshold > 0 && loadAvg() > gateThreshold &&
+    // one loadAvg sample per iteration (ADVICE r18): the condition and the
+    // log line must describe the same instant
+    var gateLoad = gateLoad0
+    while (gateThreshold > 0 && gateLoad > gateThreshold &&
         gateWait < gateMaxWait) {
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench-gate] 1-min loadavg %.2f > %.1f — waiting (%ds of max %ds)",
-        Double.box(loadAvg()), Double.box(gateThreshold),
+        Double.box(gateLoad), Double.box(gateThreshold),
         Integer.valueOf(gateWait), Integer.valueOf(gateMaxWait)))
       Thread.sleep(15000)
       gateWait += 15
+      gateLoad = loadAvg()
     }
     if (gateWait > 0)
       System.err.println(String.format(java.util.Locale.ROOT,
@@ -118,9 +128,9 @@ object Bench {
     // On a 32-thread box a quiet envelope run itself contributes a few
     // units; ambient contention shows as start values far above that.
     val load0 = loadAvg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double, Double, Double, Double, Double, Double) = {
       BlockHygiene.drainListenerBus(spark.sparkContext)
       metrics.reset()
       val gc0 = BenchMetrics.jvmGcMillis()
@@ -162,6 +172,59 @@ object Bench {
       (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc, startS,
         loadQ)
     }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => measure(name, fn) }
+    // Second-chance pass (r18 verdict Next #5): the launch gate cannot stop
+    // MID-RUN contention (BENCH_r18: dd_span_coverage 3.54× its quiet min at
+    // loadavg 6.56, file untouched by the diff). After the main loop, re-run
+    // any query that (a) ran over 2× its stored quiet-envelope min
+    // (bench/envelope_min.json — per-query MIN across the round's envelope
+    // artifacts; SPARK_GRAFT_ENVELOPE overrides the path), or (b) has NO
+    // envelope row (a query newer than the committed envelope) and started
+    // under loadavg above SPARK_GRAFT_RERUN_LOAD. That threshold defaults
+    // to 8.0, NOT the naive 5.0: loadavg counts the bench's OWN work, and a
+    // measured QUIET sf0.1 local[32] envelope run self-loads to median 5.55
+    // / p90 7.45 per query (r18_envelope_207_pair1 attr) — a 5.0 trigger
+    // would re-run the 12 slowest queries of every healthy run. Report the
+    // MIN of the two runs per query; BOTH attr vectors ride in the artifact
+    // under "rerun", so nothing is hidden — the re-run kills ambient noise
+    // at the source instead of leaving it to post-hoc adjudication. Bounded
+    // by SPARK_GRAFT_RERUN_MAX (default 12) slowest-first, so a
+    // fully-loaded box cannot double the bench wall. A genuine 2×
+    // regression re-runs once and reports a still-slow min — visible, just
+    // measured twice.
+    val envelopePath = sys.env.getOrElse("SPARK_GRAFT_ENVELOPE",
+      "bench/envelope_min.json")
+    val envelopeMins: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(envelopePath)
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else scala.util.Try {
+        val txt = java.nio.file.Files.readString(p)
+        raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    val rerunLoad = envDouble("SPARK_GRAFT_RERUN_LOAD", 8.0)
+    val rerunMax = envInt("SPARK_GRAFT_RERUN_MAX", 12)
+    val fnByName = SparkEntry.queries
+    val suspects = firstPass.filter { r =>
+      envelopeMins.get(r._1) match {
+        case Some(m) => r._2 > 2 * m
+        case None => r._8 >= 0 && r._8 > rerunLoad
+      }
+    }.sortBy(-_._2).take(rerunMax)
+    val reruns = suspects.map { r =>
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-rerun] %s: wall %.3f s loadavg %.2f (envelope min %s) — re-running",
+        r._1, Double.box(r._2), Double.box(r._8),
+        envelopeMins.get(r._1).map(m => String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(m))).getOrElse("n/a")))
+      r._1 -> measure(r._1, fnByName(r._1))
+    }.toMap
+    val results = firstPass.map { r =>
+      reruns.get(r._1).filter(_._2 < r._2).getOrElse(r)
+    }
     val total = results.map(_._2).sum
     // Locale.ROOT: the f""/format interpolators honor the JVM default
     // locale, so a comma-decimal locale would emit 99,800 and break the
@@ -195,14 +258,28 @@ object Bench {
       s""""sched_s":${fmt(results.map(_._5).sum)},""" +
       s""""jvm_gc_s":${fmt(results.map(_._6).sum)},""" +
       s""""loadavg_start":${fmtLoad(load0)},"loadavg_end":${fmtLoad(loadAvg())},""" +
-      s""""loadavg_pregate":${fmtLoad(gateLoad0)},"gate_wait_s":$gateWait}"""
+      s""""loadavg_pregate":${fmtLoad(gateLoad0)},"gate_wait_s":$gateWait,""" +
+      s""""reruns":${reruns.size}}"""
+    // Both runs of every re-run query, fully attributed ([wall, start_s,
+    // task_run_s, task_gc_s, sched_s, jvm_gc_s, loadavg_1m] per run,
+    // first-pass then second) — the kept (min-wall) run is what `queries`/
+    // `attr` carry; this section discloses the other one.
+    def runVec(r: (String, Double, Double, Double, Double, Double, Double, Double)) =
+      "[" + fmt(r._2) + "," + fmt2(r._7) + "," + fmt2(r._3) + "," +
+        fmt2(r._4) + "," + fmt2(r._5) + "," + fmt2(r._6) + "," +
+        fmtLoad(r._8) + "]"
+    val rerunJson = suspects.map { first =>
+      "\"" + first._1 + "\":[" + runVec(first) + "," +
+        runVec(reruns(first._1)) + "]"
+    }.mkString("{", ",", "}")
     // Full-precision, all-query JSON → target/bench.json (the durable
     // artifact; BASELINE.md points the judge here for per-query numbers).
     val fullQs = results.map(r => s"\"" + r._1 + "\":" + r._2)
       .mkString("{", ",", "}")
     val fullAttr = results.map(attrEntry).mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$fullQs,$attrCols,"attr":$fullAttr,$totals,"sf":"$sfDir"}"""
+      s""""queries":$fullQs,$attrCols,"attr":$fullAttr,"rerun":$rerunJson,""" +
+      s"""$totals,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), fullLine + "\n")
     // Stdout line: the driver captures only the LAST ~2000 chars of the run

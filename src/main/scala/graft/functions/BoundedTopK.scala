@@ -140,6 +140,13 @@ case class TopKPairsD(items: Seq[(Double, Long)])
   * candidates are in the buffer regardless of how ties at the boundary
   * resolve (they resolve key-asc anyway — determinism hygiene).
   *
+  * PRECONDITION (ADVICE r18): each (cnt, key) input row must be UNIQUE
+  * per group — i.e. the input is a pre-aggregated counts relation
+  * (`GROUP BY group, key`), never raw rows. A duplicated (cnt, key) row
+  * would be inserted twice and could displace a true candidate from the
+  * top-(k+1) buffer, corrupting the MG prune depth. Every current call
+  * site feeds `mgFromCounts`-shaped aggregates; keep it that way.
+  *
   * Same buffer discipline, merge shape, and ObjectHashAggregateExec
   * planning caveat as [[BoundedTopKLong]]. */
 final case class BoundedTopCounts(k: Int)

@@ -21,11 +21,24 @@ object Pipeline {
     * sf0.1 timed run, or a parallelized Verify) must not race on a shared
     * fixed path. Name + an md5 prefix of the FULL path (review r18: a
     * 32-bit String.hashCode leaves a silent-collision space between
-    * same-basename checkouts; md5's 64 bits here do not). */
+    * same-basename checkouts; md5's 64 bits here do not).
+    *
+    * CONTRACT (ADVICE r18): the tag is a pure function of the corpus dir —
+    * deliberately, so reruns against one corpus REPLACE their staging and
+    * store scratch instead of accumulating one copy per invocation under
+    * target/ (envelope runs repeat the bench many times). The corollary is
+    * that a given corpus dir must not run the SAME staged-replay query
+    * CONCURRENTLY in one working directory: two such executions would
+    * interleave deleteRecursively/write on the shared tagged path. The
+    * driver contract runs queries sequentially; parallel harnesses must
+    * shard by corpus dir (different dirs never collide). */
   private def stagingTag(dir: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    new java.io.File(dir).getName + "_" + md5
+    // single-part-identifier-safe (the tag also names memory-sink temp
+    // views, which reject dots as multi-part names): sf0.01 → sf0_01
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + md5
   }
 
   val all: Seq[QuerySpec] = Seq(
@@ -803,9 +816,13 @@ object Pipeline {
         val canonical = staged(ranked.filter(col("__rn") === 1), 0L)
         val replays = staged(ranked.filter(col("__rn") > 1), 0L)
           .unionByName(staged(ranked, 1000000L))
+        // tagged staging path + sink name (r18 verdict #1): same race
+        // class the sketch folds closed in r18 — fixed paths/names would
+        // collide across concurrent different-corpus executions
+        val tag = stagingTag(dir)
         val in = Ingest.stageOrderedFiles(s, Seq(canonical, replays),
-          "target/stream_dedup_watermark_in")
-        val name = "graft_stream_dedup_wm"
+          s"target/stream_dedup_watermark_in_$tag")
+        val name = s"graft_stream_dedup_wm_$tag"
         val q = graft.streaming.StreamOps.dedupExactStream(in, "30 days")
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
@@ -869,9 +886,11 @@ object Pipeline {
         val wmDriver = ev.agg(max(col("event_timestamp")).as("event_timestamp"))
           .filter(col("event_timestamp").isNotNull)
           .select(lit("~wm").as("location"), col("event_timestamp"))
+        // tagged staging path + sink name (r18 verdict #1), as above
+        val tag = stagingTag(dir)
         val in = Ingest.stageOrderedFiles(s, Seq(ev, wmDriver),
-          "target/stream_sessionize_in")
-        val name = "graft_stream_sessionize"
+          s"target/stream_sessionize_in_$tag")
+        val name = s"graft_stream_sessionize_$tag"
         val q = graft.streaming.StreamOps.sessionizeStream(in,
             gapMinutes = 480, watermarkDelay = "4 hours")
           .writeStream.format("memory").queryName(name)
@@ -1300,9 +1319,14 @@ object Pipeline {
           .select(col("event_type").as("part"), col("n_kept"),
             col("kth_hash"), col("est_distinct"))
           .orderBy(col("part"))
-        require(!out.isEmpty || Tables.events(s, dir).isEmpty,
+        // guard predicate = staged eligibility (ADVICE r18, the
+        // stream_cms_update fix applied here too): staged batches drop
+        // null event_ids, the sketch drops null user_ids
+        require(!out.isEmpty ||
+          ev.filter(col("event_id").isNotNull && col("user_id").isNotNull)
+            .isEmpty,
           s"stream_kmv_update streamed zero sketch groups from $dir but " +
-            "the corpus has events")
+            "the corpus has eligible events")
         out
       }
     },
@@ -1490,8 +1514,13 @@ object Pipeline {
         // `out` can never fire): the folded store has >= 1 cell row iff
         // any batch carried a non-null key — an empty store under a
         // non-empty corpus means the staged replay streamed nothing
+        // guard predicate = staged ELIGIBILITY (ADVICE r18): the staged
+        // batches drop null event_ids too (event_id % 4 === r), so a
+        // corpus whose keyed events all have null event_id legitimately
+        // streams nothing — the guard must not fire there
         require(!store.isEmpty ||
-          ev.filter(col("user_id").isNotNull).isEmpty,
+          ev.filter(col("user_id").isNotNull && col("event_id").isNotNull)
+            .isEmpty,
           s"stream_cms_update folded an empty store from $dir but the " +
             "corpus has keyed events")
         Sketches.cmsEstimate(store, probes, "event_type",

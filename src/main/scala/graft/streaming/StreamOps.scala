@@ -622,7 +622,15 @@ object StreamOps {
     * marker Spark's file committer writes LAST: a crash mid-write (or a
     * reader racing a writer) leaves a marker-less directory that must not
     * become "latest" — crash-safe listing by commit marker, no rename
-    * protocol needed. */
+    * protocol needed.
+    *
+    * DEPLOYMENT DEPENDENCY (ADVICE r18): the marker exists only while
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` is true (the
+    * Hadoop default). A deployment that disables it would hide every
+    * committed version from this walk and [[sketchStoreRead]] would throw
+    * "no committed sketch store" on a healthy store — keep the setting
+    * on wherever the store lands, or swap the marker gate for a
+    * transactional table format's own commit log. */
   private def sketchStoreVersions(spark: org.apache.spark.sql.SparkSession,
                                   storeDir: String): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
