@@ -1352,6 +1352,33 @@ object ScaleProbe {
               k = 64).count()
           })
         }),
+        // RETENTION variant (stream_kmv_compacted registry shape): the
+        // same fold with compactKeepLast = 1 — after every committed
+        // version the store deletes all but the newest. Expected ≈ the
+        // stream_kmv_update_nostage cost + 3 local-FS directory deletes
+        // (sketch-sized files): compaction must be measurably free, or
+        // the retention loop would itself become the write amplifier it
+        // exists to remove
+        "stream_kmv_compacted_nostage" -> (() => {
+          val stages = (0 to 3).map(r =>
+            ev.filter(col("event_id") % 4 === r)
+              .select(col("event_type"), col("user_id")))
+          val storeDir = s"target/scaleprobe/kmv_store_cp_$tag"
+          graft.streaming.Ingest.deleteRecursively(storeDir)
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/kmv_stream_cp_$tag")
+          time(s"$tag/stream_kmv_compacted_nostage")({
+            val q = graft.streaming.StreamOps.kmvUpdateStream(in,
+                "event_type", "user_id", k = 64, storeDir,
+                compactKeepLast = 1)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.ops.Sketches.kmvEstimates(
+              graft.streaming.StreamOps.kmvStoreRead(spark, storeDir),
+              k = 64).count()
+          })
+        }),
         // trailing-window distinct from daily sketches (sketch_kmv_sliding
         // registry shape): ONE (group, day, hash) DISTINCT is the only
         // corpus-shaped work; the sliding union is a range-frame window

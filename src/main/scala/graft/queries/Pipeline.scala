@@ -1331,6 +1331,68 @@ object Pipeline {
       }
     },
 
+    // STORE RETENTION under the fold (r18 verdict Next #2): the same
+    // four-batch KMV fold as stream_kmv_update, but with compaction
+    // enabled (keepLast = 1) — after every committed fold the store
+    // deletes all but the newest committed version, so the four-version
+    // accumulation a retention-less deployment leaks (288 full
+    // copies/day at a 5-minute trigger) collapses to ONE live version.
+    // The oracle is stream_kmv_update's whole-corpus sketch VERBATIM: a
+    // compacted store must read exactly like the uncompacted one (the
+    // read path only ever resolves the latest committed version), so a
+    // compaction bug that deletes the live version, resurrects a stale
+    // one, or races the fold hash-fails here. The query also pins the
+    // retention effect itself: exactly one committed version remains.
+    QuerySpec.sql("stream_kmv_compacted",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part,
+        |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT part, hk, row_number() OVER (PARTITION BY part ORDER BY hk) AS rn FROM h),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n_kept, max(hk) AS kth_hash
+        |      FROM b WHERE rn <= 64 GROUP BY part)
+        |SELECT part, n_kept, kth_hash,
+        |       CASE WHEN n_kept < 64 THEN n_kept
+        |            ELSE (63 * 4294967296) // kth_hash END AS est_distinct
+        |FROM g ORDER BY part""") {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stages = (0 to 3).map(r =>
+          ev.filter(col("event_id") % 4 === r)
+            .select(col("event_type"), col("user_id")))
+        val tag = stagingTag(dir)
+        val in = Ingest.stageOrderedFiles(s, stages,
+          s"target/stream_kmv_compacted_in_$tag")
+        val storeDir = s"target/stream_kmv_compacted_store_$tag"
+        Ingest.deleteRecursively(storeDir)
+        val q = graft.streaming.StreamOps.kmvUpdateStream(in,
+            "event_type", "user_id", k = 64, storeDir, compactKeepLast = 1)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // retention pin: four folds ran, but only the newest committed
+        // version survives (local listing is fine — scratch is target/)
+        val live = Option(new java.io.File(storeDir).listFiles).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+            new java.io.File(f, "_SUCCESS").isFile)
+        require(live.size <= 1,
+          s"stream_kmv_compacted left ${live.size} committed versions " +
+            s"under $storeDir; compaction (keepLast=1) should leave 1")
+        val out = Sketches.kmvEstimates(
+            graft.streaming.StreamOps.kmvStoreRead(s, storeDir), k = 64)
+          .select(col("event_type").as("part"), col("n_kept"),
+            col("kth_hash"), col("est_distinct"))
+          .orderBy(col("part"))
+        require(!out.isEmpty ||
+          ev.filter(col("event_id").isNotNull && col("user_id").isNotNull)
+            .isEmpty,
+          s"stream_kmv_compacted streamed zero sketch groups from $dir " +
+            "but the corpus has eligible events")
+        out
+      }
+    },
+
     // Mergeable QUANTILE sketch (the second sketch pillar): per-event-type
     // value quantiles from a deterministic bottom-k-by-hash row sample,
     // PACKED (hash, cents) words so the whole KMV store/merge algebra

@@ -510,12 +510,13 @@ object StreamOps {
     * the shape that keeps "distinct users ever" one cheap nightly (or
     * per-minute) fold instead of a corpus re-scan. */
   def kmvUpdateStream(stream: DataFrame, groupCol: String, keyCol: String,
-                      k: Int, storeDir: String)
+                      k: Int, storeDir: String, compactKeepLast: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     sketchUpdateStream(stream, storeDir,
       b => graft.ops.Sketches.kmvSketch(b, groupCol, keyCol, k),
       (store, b) =>
-        graft.ops.Sketches.kmvMergeSketches(store, b, groupCol, k))
+        graft.ops.Sketches.kmvMergeSketches(store, b, groupCol, k),
+      compactKeepLast = compactKeepLast)
 
   /** The CMS configuration of [[sketchUpdateStream]] — continuous
     * frequency-store maintenance: each micro-batch's cell counts
@@ -532,12 +533,13 @@ object StreamOps {
     * replay over an existing store would restart at batchId 0 and
     * orphan it, by design (counts must not double-fold). */
   def cmsUpdateStream(stream: DataFrame, groupCol: String, keyCol: String,
-                      depth: Int, width: Int, storeDir: String)
+                      depth: Int, width: Int, storeDir: String,
+                      compactKeepLast: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     sketchUpdateStream(stream, storeDir,
       b => graft.ops.Sketches.cmsSketch(b, groupCol, keyCol, depth, width),
       (store, b) => graft.ops.Sketches.cmsMerge(store, b, groupCol),
-      versionByBatchId = true)
+      versionByBatchId = true, compactKeepLast = compactKeepLast)
 
   /** The generic versioned-store streaming fold both sketch families
     * configure (and any future mergeable summary can): per micro-batch,
@@ -554,12 +556,26 @@ object StreamOps {
     * needs the version number to BE the batchId
     * (`versionByBatchId = true`) so a retried batch reads the same
     * prior version it read the first time and overwrites its own
-    * output — idempotence by commit unit instead of by algebra. */
+    * output — idempotence by commit unit instead of by algebra.
+    *
+    * RETENTION (r18 verdict Next #2): each version is a FULL copy —
+    * without retention a 5-minute trigger writes 288 copies/day forever.
+    * `compactKeepLast > 0` calls [[sketchStoreCompact]] after every
+    * committed fold, retaining the newest `compactKeepLast` committed
+    * versions. The floor is 1 for set-semantics folds but 2 when
+    * `versionByBatchId` (enforced): a retried latest batch re-reads the
+    * PRIOR version, so that version must survive compaction until the
+    * next batch commits — keepLast 1 there would hand a retry an empty
+    * prior and silently truncate the store to one batch's counts. */
   def sketchUpdateStream(stream: DataFrame, storeDir: String,
                          sketchFn: DataFrame => DataFrame,
                          mergeFn: (DataFrame, DataFrame) => DataFrame,
-                         versionByBatchId: Boolean = false)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                         versionByBatchId: Boolean = false,
+                         compactKeepLast: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactKeepLast == 0 || compactKeepLast >= (if (versionByBatchId) 2 else 1),
+      "compactKeepLast must keep the retry-prior version: >= 2 for " +
+        "versionByBatchId folds, >= 1 otherwise (0 disables compaction)")
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -590,7 +606,55 @@ object StreamOps {
           if (versionByBatchId) batchId
           else prev.map(_ + 1).getOrElse(0L)
         merged.write.mode("overwrite").parquet(s"$storeDir/v$next")
+        if (compactKeepLast > 0)
+          sketchStoreCompact(s, storeDir, compactKeepLast): Unit
       }
+  }
+
+  /** Delete store versions older than the newest `keepLast` COMMITTED
+    * ones — the retention half of the versioned-store protocol (r18
+    * verdict Next #2: the fold writes a full copy per version and, without
+    * this, never deletes). Returns the deleted version numbers.
+    *
+    * Safety under the existing commit protocol, no new coordination:
+    *  - READERS pin a version first ([[sketchStoreRead]] resolves the
+    *    LATEST committed version, which is always retained); a reader is
+    *    only exposed if it dawdles across `keepLast` further fold commits
+    *    after resolving — size keepLast to the slowest reader.
+    *  - WRITERS (the fold) only ever read the latest/prior version, both
+    *    retained by the keepLast floor [[sketchUpdateStream]] enforces.
+    *  - CRASHED compaction: the `_SUCCESS` marker is deleted FIRST, so a
+    *    half-deleted version is marker-less — invisible to the walker
+    *    (never becomes "latest") and swept by the next compaction pass,
+    *    which removes sub-cutoff directories with or without markers
+    *    (that also reaps crashed mid-WRITE versions below the cutoff).
+    *  - The cutoff is computed over committed versions only, so an
+    *    in-flight write (marker-less, above the cutoff) is never touched. */
+  def sketchStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val committed = sketchStoreVersions(spark, storeDir).sorted
+    // cutoff = oldest RETAINED committed version. Everything below it goes,
+    // committed or not — that sweeps crashed-compaction residue (markerless
+    // dirs) even when no committed version is due for deletion. An empty
+    // store compacts to nothing (never touch a possibly-in-flight v0).
+    committed.takeRight(keepLast).headOption match {
+      case None => Seq.empty
+      case Some(cutoff) =>
+        val path = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(path).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+          .map(st => (st.getPath.getName.drop(1).toLong, st.getPath))
+          .filter(_._1 < cutoff)
+          .sortBy(_._1)
+          .map { case (v, p) =>
+            fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+            fs.delete(p, true)
+            v
+          }
+    }
+  }
 
   /** The current store relation under `storeDir` (its latest version) —
     * sketch-shaped per its family, ready for

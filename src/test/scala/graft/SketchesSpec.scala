@@ -172,6 +172,70 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(remerged === before, "replayed batch was not absorbed")
   }
 
+  test("store compaction retains the newest keepLast committed versions; reads survive; crashed passes are swept; counting folds keep their retry prior") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val k = 16
+    val storeDir = "target/test_kmv_compact_store"
+    graft.streaming.Ingest.deleteRecursively(storeDir)
+    def committed() = Option(new java.io.File(storeDir).listFiles).toSeq
+      .flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.drop(1).toLong).sorted
+    def allDirs() = Option(new java.io.File(storeDir).listFiles).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    val stages = Seq(
+      (1 to 60).map(i => ("g", s"k_$i")).toDF("grp", "key"),
+      (41 to 120).map(i => ("g", s"k_$i")).toDF("grp", "key"),
+      (101 to 180).map(i => ("g", s"k_$i")).toDF("grp", "key"),
+      (161 to 240).map(i => ("g", s"k_$i")).toDF("grp", "key"))
+    val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+      "target/test_kmv_compact_in")
+    val q = graft.streaming.StreamOps.kmvUpdateStream(
+        in, "grp", "key", k, storeDir, compactKeepLast = 2)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // four folds ran; compaction after each leaves the newest two
+    assert(committed() === Seq(2L, 3L),
+      s"expected versions v2,v3 after keepLast=2 fold, got ${committed()}")
+    // the compacted latest reads exactly like the whole-corpus sketch
+    val whole = Sketches.kmvSketch(
+        stages.reduce(_ union _), "grp", "key", k).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    def storeNow() = graft.streaming.StreamOps.kmvStoreRead(spark, storeDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](r.fieldIndex("sk")).toVector).toMap
+    assert(storeNow() === whole, "compacted store diverged from the whole sketch")
+    // read-during-compaction: a reader that pinned the latest version
+    // before a further compaction pass still reads it (latest is retained)
+    val pinned = graft.streaming.StreamOps.kmvStoreRead(spark, storeDir)
+    assert(graft.streaming.StreamOps
+      .sketchStoreCompact(spark, storeDir, keepLast = 1) === Seq(2L))
+    assert(pinned.collect().nonEmpty, "pinned latest version was deleted")
+    assert(committed() === Seq(3L))
+    // crashed-compaction replay: simulate a crash BETWEEN the marker
+    // delete and the directory delete — the leftover dir is marker-less,
+    // so the walker never surfaces it and the next pass sweeps it
+    val stale = new java.io.File(storeDir, "v1")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(storeDir, "v1", "part-junk.parquet"), "x")
+    assert(committed() === Seq(3L), "marker-less dir leaked into the walk")
+    assert(storeNow() === whole)
+    assert(graft.streaming.StreamOps
+      .sketchStoreCompact(spark, storeDir, keepLast = 1) === Seq(1L))
+    assert(allDirs() === Seq(3L), "crashed-compaction residue not swept")
+    // a counting fold must keep its retry prior: keepLast 1 is rejected
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.cmsUpdateStream(
+        in, "grp", "key", 2, 64, storeDir, compactKeepLast = 1)
+    }
+  }
+
   test("sliding distinct from daily sketches equals the direct window sketch; calendar gaps window by date, not by row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
