@@ -394,6 +394,62 @@ object ScaleProbe {
             EmbeddingSim.ivfSearchAgainst(batch, cents, index, k = 10,
               nprobe = 2).count())
         }),
+        // STREAMING ANN index maintenance (stream_ivf_index_update
+        // registry shape), staging untimed like the sketch-fold probes:
+        // four micro-batch broadcast-K assignments + three store appends
+        // + compaction (keepLast = 2). K follows the √n cell convention
+        // (16·√f — cell count grows with corpus like the SemDeDup/IVF
+        // geometry, NOT 16·f: flat n·K assignment is quadratic in f at
+        // linear K and the first cut of this probe measured exactly that,
+        // 581 s at f=100 — an index-GEOMETRY choice, not a fold cost).
+        // Expected ≈ ivf_index_build at the same K (the assignment work
+        // is identical, split in four) + the per-version store rewrite,
+        // which is what compaction bounds.
+        "stream_ivf_index_nostage" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          val kCents = 16 * math.max(1, math.sqrt(f.toDouble).toInt)
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.prepared(vecs).orderBy(col("vec_id").asc)
+              .limit(kCents)
+              .select(col("vec_id").as("cid"), col("q").as("cq"),
+                col("n2").as("cn2")))
+          val stages = (0 to 3).map(r =>
+            vecs.filter(col("vec_id") % 4 === r)
+              .select(col("vec_id"), col("embedding")))
+          val storeDir = s"target/scaleprobe/ivf_store_$tag"
+          graft.streaming.Ingest.deleteRecursively(storeDir)
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/ivf_stream_$tag")
+          time(s"$tag/stream_ivf_index_nostage")({
+            val q = graft.streaming.StreamOps.ivfIndexUpdateStream(in,
+                cents, storeDir, compactKeepLast = 2)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.streaming.StreamOps.sketchStoreRead(spark, storeDir)
+              .count()
+          })
+        }),
+        // the one-shot build the fold replaces, same √n geometry — the
+        // maintenance loop's honest baseline: fold wall − build wall =
+        // what streaming maintenance actually costs on top of the
+        // assignment work any index build pays
+        "ivf_index_build" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          val kCents = 16 * math.max(1, math.sqrt(f.toDouble).toInt)
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.prepared(vecs).orderBy(col("vec_id").asc)
+              .limit(kCents)
+              .select(col("vec_id").as("cid"), col("q").as("cq"),
+                col("n2").as("cn2")))
+          val outDir = s"target/scaleprobe/ivf_build_$tag"
+          graft.streaming.Ingest.deleteRecursively(outDir)
+          time(s"$tag/ivf_index_build")({
+            EmbeddingSim.ivfIndex(vecs, cents)
+              .write.mode("overwrite").parquet(outDir)
+            spark.read.parquet(outDir).count()
+          })
+        }),
         // stored COMPRESSED-index search: centroids + codebooks + the
         // (cid, sub, code) ivfPqIndex built untimed (deployed artifacts);
         // the timed section is one ~1% batch's probe + LUT + ADC over
@@ -1387,6 +1443,16 @@ object ScaleProbe {
           time(s"$tag/sketch_kmv_sliding")(
             graft.ops.Sketches.kmvSlidingDistinct(ev, "event_type", "ts",
               "user_id", k = 32, windowDays = 7).count())),
+        // trailing-window pairwise overlap from daily sketches
+        // (sketch_kmv_overlap_sliding registry shape): ONE (part, day,
+        // hash) DISTINCT is the corpus-shaped work; the windows and the
+        // same-day pair self-join run over sketch rows (≤ k longs per
+        // (part, day)) — expected the sketch_kmv_sliding cost class +
+        // the |parts|²·|days| pair read
+        "sketch_kmv_overlap_sliding" -> (() =>
+          time(s"$tag/sketch_kmv_overlap_sliding")(
+            graft.ops.Sketches.kmvSlidingOverlap(ev, "event_type", "ts",
+              "user_id", k = 64, windowDays = 7).count())),
         // STREAMING frequency-store maintenance (stream_cms_update
         // registry shape), staging untimed like the kmv variant: four
         // micro-batch cell-count builds + three cell-sum merges —

@@ -624,17 +624,30 @@ object Sketches {
     val pairs = sk.select(col("part").as("part_a"), col("sk").as("ska"))
       .join(sk.select(col("part").as("part_b"), col("sk").as("skb")),
         col("part_a") < col("part_b"))
-    val merged = pairs.select(col("part_a"), col("part_b"),
+    overlapFromSketchPairs(pairs, Seq.empty, k)
+  }
+
+  /** The shared overlap READ over a paired-sketch relation (part_a,
+    * part_b, extraKeys..., ska, skb): merge each pair's bottom-k lists,
+    * re-cut to the union's bottom-k, and read the Beyer set algebra —
+    * [[kmvOverlap]]'s batch form and [[kmvSlidingOverlap]]'s windowed form
+    * both end here. Everything is sketch-sized: the explode is ≤ 2k rows
+    * per pair and the rank window is keyed per pair — never corpus-sized. */
+  private def overlapFromSketchPairs(pairs: DataFrame,
+                                     extraKeys: Seq[String],
+                                     k: Int): DataFrame = {
+    val keys = Seq("part_a", "part_b") ++ extraKeys
+    val merged = pairs.select(keys.map(col) ++ Seq(
         explode(array_union(col("ska"), col("skb"))).as("hk"),
-        col("ska"), col("skb"))
-      .select(col("part_a"), col("part_b"), col("hk"),
+        col("ska"), col("skb")): _*)
+      .select(keys.map(col) ++ Seq(col("hk"),
         array_contains(col("ska"), col("hk")).as("in_a"),
-        array_contains(col("skb"), col("hk")).as("in_b"))
+        array_contains(col("skb"), col("hk")).as("in_b")): _*)
     // ≤ 2k rows per pair — the window is sketch-sized, never corpus-sized
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("part_a"), col("part_b")).orderBy(col("hk"))
+      .partitionBy(keys.map(col): _*).orderBy(col("hk"))
     merged.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .groupBy(col("part_a"), col("part_b"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_kept"),
         max(col("hk")).as("kth_hash"),
         sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
@@ -643,17 +656,68 @@ object Sketches {
           .as("n_only_a"),
         sum(when(col("in_b") && !col("in_a"), 1L).otherwise(0L))
           .as("n_only_b"))
-      .select(col("part_a"), col("part_b"), col("n_kept"), col("n_common"),
+      .select(keys.map(col) ++ Seq(col("n_kept"), col("n_common"),
         col("n_only_a"), col("n_only_b"),
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4294967296L) div kth_hash"))
           .as("est_union"),
-        expr("(1000000L * n_common) div n_kept").as("est_jaccard_ppm"))
+        expr("(1000000L * n_common) div n_kept").as("est_jaccard_ppm")): _*)
       // the full set algebra from one merged sample: ∩ and both
       // differences as union-sample fractions of the union estimate
       .withColumn("est_intersection",
         expr("(est_jaccard_ppm * est_union) div 1000000L"))
       .withColumn("est_only_a", expr("(n_only_a * est_union) div n_kept"))
       .withColumn("est_only_b", expr("(n_only_b * est_union) div n_kept"))
+  }
+
+  /** TRAILING-WINDOW set algebra (r18 verdict Next #6 — the one sliding
+    * form the matrix lacked): pairwise audience/vocabulary ∪ / ∩ /
+    * Jaccard between parts over the trailing `windowDays` days, for
+    * every day BOTH parts were active — from DAILY KMV sketches alone,
+    * pure composition of [[kmvSlidingDistinct]]'s range frame with
+    * [[kmvOverlap]]'s estimator. One (part, day, hash) DISTINCT builds
+    * the daily sketches (the only corpus-shaped work — the same exchange
+    * the sliding-distinct store already pays); each part's trailing
+    * window re-cuts to bottom-k by the mergeability identity (≡ the
+    * window's direct sketch); the pair relation is an equi-join on DAY
+    * between windowed sketch rows (part_a < part_b), ≤ |parts|²·|days|
+    * rows of ≤ k-long arrays — sketch-sized, never corpus-shaped. Days
+    * are calendar-true via the epoch-day range frame (a gap day
+    * contributes nothing); a day where only one part is active emits no
+    * pair row for it (overlap against a part with no window is
+    * undefined, not zero). Output: (part_a, part_b, day, n_kept,
+    * n_common, n_only_a, n_only_b, est_union, est_jaccard_ppm,
+    * est_intersection, est_only_a, est_only_b). */
+  def kmvSlidingOverlap(df: DataFrame, partCol: String, tsCol: String,
+                        keyCol: String, k: Int,
+                        windowDays: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-1 drives the estimator)")
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val hashed = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(partCol).as("part"), to_date(col(tsCol)).as("day"),
+        Sampling.hashKey(col(keyCol)).as("hk"))
+      .distinct()
+    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
+    val daily = hashed.groupBy(col("part"), col("day"))
+      .agg(bottomK(col("hk"), col("hk")).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(windowDays - 1), 0)
+    val windowed = daily.withColumn("sk",
+      slice(array_sort(array_distinct(flatten(
+        collect_list(col("sk")).over(w)))), 1, k))
+    val pairs = windowed
+      .select(col("part").as("part_a"), col("day"), col("sk").as("ska"))
+      .join(windowed
+          .select(col("part").as("part_b"), col("day"), col("sk").as("skb")),
+        Seq("day"))
+      .filter(col("part_a") < col("part_b"))
+    overlapFromSketchPairs(pairs, Seq("day"), k)
+      .select(col("part_a"), col("part_b"), col("day"), col("n_kept"),
+        col("n_common"), col("n_only_a"), col("n_only_b"), col("est_union"),
+        col("est_jaccard_ppm"), col("est_intersection"), col("est_only_a"),
+        col("est_only_b"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ingest.Parse
-import graft.ops.{AsofJoin, EventAnalytics, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences, Sketches}
+import graft.ops.{AsofJoin, EmbeddingSim, EventAnalytics, Forecast, IntervalJoin, Latest, Multimodal, Rollup, Sequences, Sketches}
 import graft.streaming.Ingest
 
 /** Sequence assembly, forecasting, as-of joins, pivot, streaming ingest and
@@ -1233,6 +1233,62 @@ object Pipeline {
           .orderBy(col("part_a"), col("part_b"))
     },
 
+    // TRAILING-WINDOW set algebra (r18 verdict Next #6 — the one sliding
+    // form the matrix lacked): pairwise audience overlap between event
+    // types over the trailing 7 days, for every day both types are
+    // active, from DAILY KMV sketches alone — kmvSlidingDistinct's
+    // date-anchored range frame composed with kmvOverlap's merged-sample
+    // estimator. The oracle replays daily bottom-k, the windowed
+    // distinct-union re-cut (≡ the window's direct sketch by
+    // mergeability), the same-day pair join, and the integer ppm set
+    // algebra digit-for-digit — a frame shift, a lost re-cut, or a pair
+    // row on a one-sided day all hash-fail.
+    QuerySpec.sql("sketch_kmv_overlap_sliding",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS part, CAST(ts AS DATE) AS day,
+        |         list_reduce(list_transform(string_split(substr(md5(user_id::VARCHAR), 1, 8), ''),
+        |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x, y) -> x * 16 + y) AS hk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT part, day, hk, row_number() OVER (PARTITION BY part, day ORDER BY hk) AS rn FROM h),
+        |dsk AS (SELECT part, day, hk FROM b WHERE rn <= 64),
+        |days AS (SELECT DISTINCT part, day FROM dsk),
+        |wu AS (SELECT DISTINCT dy.part, dy.day, s.hk
+        |       FROM days dy JOIN dsk s ON s.part = dy.part
+        |         AND s.day >= dy.day - 6 AND s.day <= dy.day),
+        |wb AS (SELECT part, day, hk, row_number() OVER (PARTITION BY part, day ORDER BY hk) AS rn FROM wu),
+        |wsk AS (SELECT part, day, hk FROM wb WHERE rn <= 64),
+        |pr AS (SELECT a.part AS part_a, b2.part AS part_b, a.day
+        |       FROM days a JOIN days b2 ON a.day = b2.day AND a.part < b2.part),
+        |m AS (SELECT pr.part_a, pr.part_b, pr.day, s.hk,
+        |             max(CASE WHEN s.part = pr.part_a THEN 1 ELSE 0 END) AS in_a,
+        |             max(CASE WHEN s.part = pr.part_b THEN 1 ELSE 0 END) AS in_b
+        |      FROM pr JOIN wsk s ON s.day = pr.day AND s.part IN (pr.part_a, pr.part_b)
+        |      GROUP BY 1, 2, 3, 4),
+        |mb AS (SELECT *, row_number() OVER (PARTITION BY part_a, part_b, day ORDER BY hk) AS rn FROM m),
+        |g AS (SELECT part_a, part_b, day, CAST(count(*) AS BIGINT) AS n_kept,
+        |             max(hk) AS kth_hash,
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |             CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+        |      FROM mb WHERE rn <= 64 GROUP BY 1, 2, 3),
+        |e AS (SELECT part_a, part_b, day, n_kept, n_common, n_only_a, n_only_b,
+        |             CASE WHEN n_kept < 64 THEN n_kept
+        |                  ELSE (63 * 4294967296) // kth_hash END AS est_union,
+        |             (1000000 * n_common) // n_kept AS est_jaccard_ppm
+        |      FROM g)
+        |SELECT part_a, part_b, strftime(day, '%Y-%m-%d') AS day, n_kept,
+        |       n_common, n_only_a, n_only_b, est_union, est_jaccard_ppm,
+        |       (est_jaccard_ppm * est_union) // 1000000 AS est_intersection,
+        |       (n_only_a * est_union) // n_kept AS est_only_a,
+        |       (n_only_b * est_union) // n_kept AS est_only_b
+        |FROM e ORDER BY part_a, part_b, day""") {
+      (s, dir) =>
+        Sketches.kmvSlidingOverlap(Tables.events(s, dir), "event_type",
+            "ts", "user_id", k = 64, windowDays = 7)
+          .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+          .orderBy(col("part_a"), col("part_b"), col("day"))
+    },
+
     // Stored-sketch UPDATE (the KMV deployment form, r16 Next #5): the
     // corpus splits into "yesterday's store" (even event_ids) and
     // "tonight's batch" (odd), each side sketched independently, then
@@ -2063,6 +2119,74 @@ object Pipeline {
           .select(col("lang"), col("rank"), col("key").as("token"),
             col("est_cnt"), col("ub_cnt"))
           .orderBy(col("lang"), col("rank"))
+      }
+    },
+
+    // STREAMING ANN INDEX MAINTENANCE (r18 verdict Next #1 — the one
+    // deployed artifact that was build-once): embeddings replay as FOUR
+    // staged micro-batches, each assigned against PINNED centroids (the
+    // 8 lowest corpus vec_ids, the ann_ivf_against seed convention) and
+    // appended to the versioned store via ivfIndexUpdateStream —
+    // version = batchId (union doesn't absorb retries; the CMS commit
+    // discipline) with compaction keepLast = 2 (the enforced floor for
+    // counting-style folds), so the ANN store gets retention too. Under
+    // FIXED centroids each vector's cell is a pure function of its own
+    // row, so the folded store equals the whole-corpus ivfIndex EXACTLY
+    // for any micro-batch split — the oracle replays quantization, the
+    // broadcast-K assignment with its (d2, cid) tie-break, and the
+    // stored quantized vector + norm digit-for-digit (q serialized as a
+    // comma-joined scalar: nested arrays crash the checker's sort).
+    QuerySpec.sql("stream_ivf_index_update",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT m.vec_id, c.cid,
+        |        m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)
+        |SELECT m.vec_id, cells.cid, CAST(m.n2 AS BIGINT) AS n2,
+        |       array_to_string(m.qv, ',') AS q_str
+        |FROM m JOIN cells USING (vec_id) ORDER BY m.vec_id""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val cents = EmbeddingSim.prepared(vecs)
+          .orderBy(col("vec_id").asc).limit(8)
+          .select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2"))
+        val stages = (0 to 3).map(r =>
+          vecs.filter(col("vec_id") % 4 === r)
+            .select(col("vec_id"), col("embedding")))
+        val tag = stagingTag(dir)
+        val in = Ingest.stageOrderedFiles(s, stages,
+          s"target/stream_ivf_index_in_$tag")
+        val storeDir = s"target/stream_ivf_index_store_$tag"
+        Ingest.deleteRecursively(storeDir)
+        try {
+          val q = graft.streaming.StreamOps.ivfIndexUpdateStream(in, cents,
+              storeDir, compactKeepLast = 2)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // retention pin: four folds, keepLast = 2 → exactly two
+          // committed versions survive (local listing — scratch is target/)
+          val live = Option(new java.io.File(storeDir).listFiles).toSeq
+            .flatten
+            .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+              new java.io.File(f, "_SUCCESS").isFile)
+          require(live.size <= 2,
+            s"stream_ivf_index_update left ${live.size} committed " +
+              s"versions under $storeDir; compaction (keepLast=2) should leave 2")
+          val store = graft.streaming.StreamOps.sketchStoreRead(s, storeDir)
+          require(!store.isEmpty || vecs.isEmpty,
+            s"stream_ivf_index_update folded an empty index from $dir " +
+              "but the corpus has vectors")
+          store.select(col("vec_id"), col("cid"), col("n2"),
+              array_join(transform(col("q"), _.cast("string")), ",")
+                .as("q_str"))
+            .orderBy(col("vec_id"))
+        } finally cents.unpersist(): Unit
       }
     }
   )

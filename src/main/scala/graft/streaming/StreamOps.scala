@@ -541,6 +541,54 @@ object StreamOps {
       (store, b) => graft.ops.Sketches.cmsMerge(store, b, groupCol),
       versionByBatchId = true, compactKeepLast = compactKeepLast)
 
+  /** Streaming STORE MAINTENANCE for the stored ANN index — the one
+    * deployed artifact that was build-once until r19 (verdict Next #1):
+    * a 100 TB corpus appends vectors continuously, so the
+    * [[graft.ops.EmbeddingSim.ivfIndex]] relation
+    * (vec_id, cid, q, n2 — everything [[graft.ops.EmbeddingSim.ivfSearchAgainst]]
+    * probes, nothing else) must grow with it. Each arriving micro-batch
+    * is assigned against PINNED centroids (the batch-shaped work:
+    * broadcast-K `min_by`, one shuffled row per vector) and appended to
+    * the versioned store via the same [[sketchUpdateStream]] fold the
+    * sketch pillars ride.
+    *
+    * Fold ≡ whole, EXACTLY: under FIXED centroids each vector's cell is
+    * a pure function of its own row, so the union of per-batch index
+    * relations equals the whole-corpus [[graft.ops.EmbeddingSim.ivfIndex]]
+    * for ANY micro-batch split — the KMV argument, with set identity
+    * instead of sketch identity (vec_ids are unique by contract). That
+    * is what lets the registry hash-check the folded store against the
+    * whole-corpus oracle. Centroids stay fixed BY DESIGN between index
+    * rebuilds (the `*Against` frozen-geometry convention: search and
+    * index must share one cell geometry); re-training centroids is a
+    * REBUILD, not a fold.
+    *
+    * Union is append, not set-absorbing — a replayed batch would
+    * duplicate rows — so the commit unit carries retries exactly like
+    * the CMS fold: `versionByBatchId = true` (a retried batch re-reads
+    * the same prior version and overwrites its own output; warm restart
+    * resumes the stream's own batchId sequence via a persistent
+    * checkpoint; a cold replay over a committed store throws). The
+    * centroid relation is pinned here (idempotent if already cached):
+    * an unpinned one would re-execute its training lineage every batch.
+    *
+    * Per-batch cost: batch·K integer distance evals + one batch-shaped
+    * aggregate + a store append — the index grows by exactly the batch;
+    * pair with `compactKeepLast` (≥ 2, enforced) so the store holds a
+    * bounded number of full copies. */
+  def ivfIndexUpdateStream(vecStream: DataFrame, centroids: DataFrame,
+                           storeDir: String, compactKeepLast: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cents =
+      if (centroids.storageLevel == StorageLevel.NONE)
+        centroids.persist(StorageLevel.MEMORY_AND_DISK)
+      else centroids
+    sketchUpdateStream(vecStream, storeDir,
+      b => graft.ops.EmbeddingSim.ivfIndex(b, cents),
+      (store, b) => store.unionByName(b),
+      versionByBatchId = true, compactKeepLast = compactKeepLast)
+  }
+
   /** The generic versioned-store streaming fold both sketch families
     * configure (and any future mergeable summary can): per micro-batch,
     * `sketchFn(batch)` builds the batch summary (the only batch-shaped

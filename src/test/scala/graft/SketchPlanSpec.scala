@@ -49,6 +49,22 @@ class SketchPlanSpec extends AnyFunSuite with SparkFixture {
       assert(!plan.contains(bad), s"$bad in the sliding plan:\n$plan")
   }
 
+  test("sketch_kmv_overlap_sliding: corpus-scan ceiling of the self-joined daily store; windows + pair join over sketch rows only") {
+    assume(new java.io.File(dir).isDirectory)
+    val plan = planOf("sketch_kmv_overlap_sliding")
+    // the daily-sketch subtree appears on BOTH sides of the same-day pair
+    // self-join, so the ceiling is 2 (exchange reuse may collapse it to
+    // 1); anything above means the window or the estimator re-touched
+    // the corpus
+    assert(scans(plan) >= 1 && scans(plan) <= 2,
+      s"expected 1-2 live corpus scans:\n$plan")
+    assert(plan.contains("Window"), s"no window operator in:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"bottom-k partial/final pair missing:\n$plan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!plan.contains(bad), s"$bad in the sliding-overlap plan:\n$plan")
+  }
+
   test("sketch_kmv_distinct: ONE corpus scan with the null guard pushed to it; partial bottom-k before the exchange") {
     assume(new java.io.File(dir).isDirectory)
     val plan = planOf("sketch_kmv_distinct")

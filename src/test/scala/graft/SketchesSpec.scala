@@ -633,6 +633,85 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(rewrite === folded, "a replayed final batch would change the store")
   }
 
+  test("IVF index streaming fold equals the whole-corpus index under fixed centroids; warm start resumes via checkpoint; retry rewrites its own version; cold replay throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val storeDir = "target/test_ivf_update_store"
+    val ckptDir = "target/test_ivf_update_ckpt"
+    val inDir = "target/test_ivf_update_in"
+    Seq(storeDir, ckptDir).foreach(graft.streaming.Ingest.deleteRecursively)
+    // deterministic 4-dim corpus spread around 3 seed centroids
+    def vecsOf(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5) * 0.1))
+    }.toDF("vec_id", "embedding")
+    val all = vecsOf(0 until 36)
+    val cents = graft.ops.EmbeddingSim.prepared(all)
+      .orderBy(col("vec_id").asc).limit(3)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    def indexMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getSeq[Long](r.fieldIndex("q")).toVector,
+          r.getAs[Long]("n2"))).toMap
+    val whole = indexMap(graft.ops.EmbeddingSim.ivfIndex(all, cents))
+    // stage three micro-batches, then WITHHOLD the third file so run 1
+    // processes batches 0-1 and run 2 (same checkpoint) warm-starts on it
+    val stages = Seq(vecsOf(0 until 12), vecsOf(12 until 24),
+      vecsOf(24 until 36))
+    graft.streaming.Ingest.stageOrderedFiles(spark, stages, inDir): Unit
+    val third = new java.io.File(inDir, "0002.parquet")
+    val aside = new java.io.File(inDir + "_aside")
+    assert(third.renameTo(aside))
+    def run(): Unit = {
+      val schema = spark.read.parquet(s"$inDir/0000.parquet").schema
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamOps.ivfIndexUpdateStream(
+          in, cents, storeDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    def storeNow() = indexMap(
+      graft.streaming.StreamOps.sketchStoreRead(spark, storeDir))
+    assert(storeNow() === indexMap(graft.ops.EmbeddingSim.ivfIndex(
+        stages(0).union(stages(1)), cents)),
+      "two-batch fold diverged from the two-batch index")
+    // warm start: restore the third file, resume from the SAME checkpoint
+    assert(aside.renameTo(third))
+    run()
+    assert(storeNow() === whole,
+      "warm-started fold diverged from the whole-corpus index")
+    // retry commit unit: re-running the LAST batch's fold body (read the
+    // prior version, merge, overwrite its own version) leaves the store
+    // unchanged — union never double-appends under batchId versioning
+    val versions = Option(new java.io.File(storeDir).listFiles).toSeq
+      .flatten.filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    val (prior, last) = (versions(versions.size - 2), versions.last)
+    graft.ops.EmbeddingSim.ivfIndex(stages(2), cents)
+      .unionByName(spark.read.parquet(s"$storeDir/v$prior"))
+      .write.mode("overwrite").parquet(s"$storeDir/v$last")
+    assert(storeNow() === whole, "a replayed final batch changed the store")
+    // cold replay (fresh checkpoint, batchId 0 under committed versions)
+    // must throw, not silently double-append the corpus
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val in2 = graft.streaming.Ingest.stageOrderedFiles(spark,
+        Seq(vecsOf(0 until 12)), "target/test_ivf_update_in2")
+      val q = graft.streaming.StreamOps.ivfIndexUpdateStream(
+          in2, cents, storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("cold replay")),
+      s"expected the cold-replay guard, got: ${rootMessages(e).mkString(" | ")}")
+  }
+
   test("store walker is Hadoop-FS-backed: file:-scheme URIs work and a marker-less (crashed) version is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -709,6 +788,51 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("cnt")).toMap
     assert(cells(graft.streaming.StreamOps.sketchStoreRead(spark, storeDir)) ===
       cells(Sketches.cmsSketch(s1.union(s2), "grp", "key", 2, 32)))
+  }
+
+  test("sliding overlap equals the direct per-window overlap; gap days window alone; one-sided days emit no pair") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:${i % 60}%02d")
+    // t1 active days 1,2,3,10; t2 active days 1,2,10 — day 3 is
+    // one-sided and day 10 sits across a calendar gap
+    val rows =
+      (1 to 40).map(i => ("t1", ts(1, i), s"u_$i")) ++
+        (21 to 60).map(i => ("t1", ts(2, i), s"u_$i")) ++
+        (1 to 30).map(i => ("t1", ts(3, i), s"v_$i")) ++
+        (1 to 10).map(i => ("t1", ts(10, i), s"w_$i")) ++
+        (11 to 50).map(i => ("t2", ts(1, i), s"u_$i")) ++
+        (1 to 20).map(i => ("t2", ts(2, i), s"x_$i")) ++
+        (5 to 14).map(i => ("t2", ts(10, i), s"w_$i"))
+    val df = rows.toDF("part", "ts", "key")
+    val k = 16
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_kept"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("n_only_a"), r.getAs[Long]("n_only_b"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_jaccard_ppm"),
+        r.getAs[Long]("est_intersection"), r.getAs[Long]("est_only_a"),
+        r.getAs[Long]("est_only_b"))
+    val out = Sketches.kmvSlidingOverlap(df, "part", "ts", "key", k,
+        windowDays = 3).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> tup(r)).toMap
+    // composition identity: the windowed overlap must EQUAL kmvOverlap
+    // over the window's raw rows (windowed re-cut union ≡ the window's
+    // direct sketch, then the same merged-sample read)
+    def direct(days: Seq[Int]) = {
+      val sub = rows.filter { case (_, t, _) =>
+        days.contains(t.toLocalDateTime.getDayOfMonth) }
+        .map { case (p, _, key) => (p, key) }.toDF("part", "key")
+      tup(Sketches.kmvOverlap(sub, "part", "key", k).collect().head)
+    }
+    // day 3 is t1-only: no pair row (overlap against an inactive part is
+    // undefined, not zero); day 10's 3-day window crosses the gap alone
+    assert(out.keySet === Set("2024-03-01", "2024-03-02", "2024-03-10"))
+    assert(out("2024-03-01") === direct(Seq(1)))
+    assert(out("2024-03-02") === direct(Seq(1, 2)))
+    assert(out("2024-03-10") === direct(Seq(10)))
+    // the gap-day window saw real overlap (w_5..w_10 shared), so the
+    // identity above is not vacuous
+    assert(out("2024-03-10")._2 > 0L)
   }
 
   test("overlap estimates recover disjoint, nested, and identical audiences") {
