@@ -1738,6 +1738,15 @@ object ScaleProbe {
           time(s"$tag/mm_video_stats")(
             graft.ops.Multimodal.extractVideoFeatures(
               graft.ops.Multimodal.asVideo(docs)).count())),
+        // real COMPRESSED video leg (mm_mjpeg_stats registry shape):
+        // per-frame JPEG encode + AVI container write, then the RIFF
+        // walk + per-frame ImageIO JPEG decode — row-linear like the
+        // Y4M leg but with genuine DCT codec work per frame (the cost
+        // a real crawl's media lane pays)
+        "mm_mjpeg_stats" -> (() =>
+          time(s"$tag/mm_mjpeg_stats")(
+            graft.ops.Multimodal.extractMjpegFeatures(
+              graft.ops.Multimodal.asVideoMjpeg(docs)).count())),
         // streaming exact dedup with watermark state
         // (stream_dedup_watermark registry shape): canonical rows staged
         // as batch 0, intra-corpus duplicates + full re-crawl as batch 1

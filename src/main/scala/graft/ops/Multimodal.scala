@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` readers, with [[Multimodal.encodePng]] as the lossless
   * writer half) and [[Multimodal.decodeY4m]] (YUV4MPEG2 uncompressed
   * video: header parse + frame walk, with [[Multimodal.encodeY4m]] as the
-  * writer half) are REAL dependency-free codecs, dispatched by format
-  * through [[Multimodal.decode]]; the remaining formats (COMPRESSED video
-  * and audio — mp4/webm/mp3/...) fall back to [[Multimodal.decodeStub]], a
+  * writer half) and [[Multimodal.decodeAviMjpeg]] (MJPEG-in-AVI
+  * COMPRESSED video: RIFF walk + per-frame ImageIO JPEG decode, with
+  * [[Multimodal.encodeAviMjpeg]] as the writer half) are REAL
+  * dependency-free codecs, dispatched by format
+  * through [[Multimodal.decode]]; the remaining formats (INTERFRAME video
+  * and compressed audio — mp4/webm/mp3/...) fall back to
+  * [[Multimodal.decodeStub]], a
   * deterministic fake that treats the payload bytes as the "decoded frame"
   * (no ffmpeg-class library exists in this container). Everything around
   * the codecs — the Dataset schemas, the mapPartitions batch shape (the
@@ -305,6 +309,150 @@ object Multimodal {
     out.array()
   }
 
+  /** A decoded MJPEG-in-AVI video: container geometry (from the `avih`
+    * header) + every `00dc`/`00db` frame decoded to a row-major RGB
+    * raster via the ImageIO JPEG path ([[decodeImage]]). */
+  case class AviVideo(width: Int, height: Int,
+                      frames: Array[(Int, Int, Array[Byte])])
+
+  /** Real MJPEG-in-AVI decode — the first COMPRESSED video leg (r18
+    * verdict Next #4), dependency-free like every other codec here: AVI
+    * is a RIFF container ([[decodeWav]]'s exact chunk grammar — id,
+    * little-endian size, pad byte on odd sizes) whose `LIST movi`
+    * payload carries one JPEG per `00dc` (compressed) / `00db` frame
+    * chunk, and the JDK's ImageIO JPEG reader ([[decodeImage]]) already
+    * decodes JPEG — so the walk is new but the codec is not. Geometry
+    * comes from the `avih` main header inside `LIST hdrl` (dwWidth /
+    * dwHeight at byte offsets 32/36 of the chunk body). Unknown chunks
+    * (`idx1`, `JUNK`, vendor lists) skip generically; truncated chunks,
+    * bad magic, and a missing `movi` list fail fast — the same
+    * "self-describing or fail" contract as the netpbm / RIFF / Y4M legs.
+    * Compressed AUDIO (mp3/aac) and interframe video (mp4/webm) remain
+    * the documented stub: those need an ffmpeg-class dependency this
+    * container doesn't have. */
+  def decodeAviMjpeg(payload: Array[Byte]): AviVideo = {
+    def tag(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "not a RIFF/AVI payload")
+    var w = -1; var h = -1
+    val frames = Array.newBuilder[(Int, Int, Array[Byte])]
+    // walk one chunk run [from, to); recurse into hdrl/movi LISTs
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = tag(i)
+        val size = u32(i + 4)
+        val body = i + 8
+        require(size <= to - body, s"truncated RIFF chunk '$id'")
+        id match {
+          case "LIST" =>
+            require(size >= 4, "LIST chunk too short")
+            val listType = tag(body)
+            if (listType == "hdrl" || listType == "movi" ||
+                listType == "rec ") // rec: grouped movi frames, per spec
+              walk(body + 4, body + size.toInt)
+          case "avih" =>
+            require(size >= 40, "avih chunk too short")
+            w = u32(body + 32).toInt
+            h = u32(body + 36).toInt
+          case s if s.endsWith("dc") || s.endsWith("db") =>
+            // <nn>dc/<nn>db: one JPEG per frame chunk (MJPG has no interframes)
+            frames += decodeImage(
+              java.util.Arrays.copyOfRange(payload, body, body + size.toInt))
+          case _ => // skip idx1, JUNK, strl details, vendor chunks
+        }
+        i = body + size.toInt + (size.toInt & 1) // odd chunks carry a pad
+      }
+    }
+    walk(12, payload.length)
+    require(w > 0 && h > 0, "no avih header with valid dimensions")
+    AviVideo(w, h, frames.result())
+  }
+
+  /** Dependency-free MJPEG-in-AVI writer — the encode half
+    * ([[encodeY4m]] contract): each frame is an already-encoded JPEG
+    * blob (use [[encodeJpegGray]] for deterministic synthetic frames),
+    * wrapped in the minimal spec-valid container (RIFF → LIST hdrl
+    * (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) →
+    * LIST movi (one `00dc` per frame)), so the emitted payload
+    * re-enters [[decodeAviMjpeg]] — and any MJPEG-capable player. */
+  def encodeAviMjpeg(width: Int, height: Int, jpegFrames: Seq[Array[Byte]],
+                     fps: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0, "bad AVI geometry")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array() // trailing pad byte (odd sizes) is the zero-filled slack
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ bodies.flatten)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(jpegFrames.size)  // dwTotalFrames
+      .putInt(0).putInt(1)      // dwStreams = 1
+      .putInt(0)
+      .putInt(width).putInt(height): Unit // + 16 reserved zero bytes
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1)                // dwScale
+      .putInt(fps)              // dwRate
+      .putInt(0)
+      .putInt(jpegFrames.size): Unit // dwLength (+ zeroed tail)
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40)             // biSize
+      .putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bit count
+      .put("MJPG".getBytes("US-ASCII"))
+      .putInt(width * height * 3): Unit // biSizeImage (+ zeroed tail)
+    val hdrl = list("hdrl", Seq(chunk("avih", avih.array()),
+      list("strl", Seq(chunk("strh", strh.array()),
+        chunk("strf", strf.array())))))
+    val movi = list("movi", jpegFrames.map(chunk("00dc", _)))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** Deterministic-per-JVM grayscale JPEG encode of a row-major gray
+    * raster — the synthetic-frame source for the MJPEG leg. JPEG is
+    * LOSSY: decoded pixels are reader/writer-implementation-defined
+    * within the DCT quantization budget, so oracle-checked outputs pin
+    * only what survives the codec (geometry, frame counts, raster
+    * sizes) plus a bounded content-deviation gate — never exact decoded
+    * bytes (the PNG/Y4M legs carry the exact-byte contracts). */
+  def encodeJpegGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"raster length ${gray.length} != ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val u = gray(y * width + x) & 0xff
+        row(x) = (u << 16) | (u << 8) | u
+        x += 1
+      }
+      img.setRGB(0, y, width, 1, row, 0, width)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      require(javax.imageio.ImageIO.write(img, "jpg", ios), "no JPEG writer")
+      ios.flush()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
   /** Real PNG/JPEG/BMP/GIF decode via the JDK's built-in `javax.imageio`
     * readers — zero new dependencies (`java.desktop` ships with every JDK
     * and runs fully headless), so the common web-crawl image formats do NOT
@@ -467,6 +615,67 @@ object Multimodal {
       }))
   }
 
+  /** Extracted features per MJPEG row: container geometry + frame count
+    * + DECODED raster byte count (all deterministic — JPEG preserves
+    * geometry exactly) and the decoded byte sum, which is LOSSY-codec
+    * output: reader-implementation-defined within the quantization
+    * budget, carried for bounded content gates, never hash-compared. */
+  case class MjpegFeatures(doc_id: Long, width: Long, height: Long,
+                           n_frames: Long, n_raster_bytes: Long,
+                           sum_bytes: Long)
+
+  /** Adapt documents to MJPEG-in-AVI media rows: UTF-8 text bytes become
+    * the gray pixels of 8×8 frames (64 bytes per frame, zero-padded;
+    * empty text → one black frame), each REAL-JPEG-encoded
+    * ([[encodeJpegGray]]) and wrapped in the REAL AVI container
+    * ([[encodeAviMjpeg]]) — the compressed-video sibling of [[asVideo]]
+    * (whose Y4M leg carries the exact-byte contract; this leg carries
+    * the real-compression one). */
+  def asVideoMjpeg(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val nFrames = math.max(1, (bytes.length + 63) / 64)
+          val frames = (0 until nFrames).map { f =>
+            val fr = new Array[Byte](64)
+            var j = 0
+            while (j < 64 && f * 64 + j < bytes.length) {
+              fr(j) = bytes(f * 64 + j); j += 1
+            }
+            encodeJpegGray(8, 8, fr)
+          }
+          MediaRecord(id, "video", encodeAviMjpeg(8, 8, frames), "avi",
+            8, 8, nFrames)
+      }))
+  }
+
+  /** MJPEG feature extraction over avi media rows: real container walk +
+    * real JPEG decode per frame, geometry cross-checked between the
+    * `avih` header and every decoded frame — the compressed-video
+    * analogue of [[extractVideoFeatures]], same batched seam. */
+  def extractMjpegFeatures(media: Dataset[MediaRecord],
+                           batchSize: Int = 64): Dataset[MjpegFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      require(r.format == "avi", s"not an avi payload (${r.format})")
+      val v = decodeAviMjpeg(r.payload)
+      var n = 0L
+      var sum = 0L
+      v.frames.foreach { case (fw, fh, px) =>
+        require(fw == v.width && fh == v.height,
+          s"frame ${fw}x$fh != container ${v.width}x${v.height}")
+        n += px.length
+        px.foreach(b => sum += (b & 0xff))
+      }
+      MjpegFeatures(r.doc_id, v.width.toLong, v.height.toLong,
+        v.frames.length.toLong, n, sum)
+    }))
+  }
+
   /** REAL per-frame fan-out for y4m media rows: one [[Frame]] row per
     * container frame via the real frame walk — the video-keyframe access
     * pattern [[frameSample]] approximates byte-wise for formats without
@@ -547,6 +756,7 @@ object Multimodal {
       case "pgm" => decodePgm(payload)._3
       case "wav" => decodeWav(payload).data // decoded frame = raw PCM bytes
       case "y4m" => decodeY4m(payload).frames.flatten
+      case "avi" => decodeAviMjpeg(payload).frames.flatMap(_._3)
       case f if imageIoFormats(f) => decodeImage(payload)._3
       case _     => decodeStub(payload, format)
     }
@@ -572,6 +782,13 @@ object Multimodal {
         val v = decodeY4m(payload)
         require(v.frames.nonEmpty, "y4m payload has no frames")
         (v.width, v.height, 1, v.frames(0).take(v.width * v.height))
+      case "avi" =>
+        // first MJPEG frame's decoded RGB raster — the keyframe, same
+        // convention as the y4m leg
+        val v = decodeAviMjpeg(payload)
+        require(v.frames.nonEmpty, "avi payload has no frames")
+        val (fw, fh, px) = v.frames(0)
+        (fw, fh, 3, px)
       case f if imageIoFormats(f) =>
         val (w, h, px) = decodeImage(payload); (w, h, 3, px)
       case f => throw new IllegalArgumentException(

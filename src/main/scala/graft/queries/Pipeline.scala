@@ -1165,6 +1165,48 @@ object Pipeline {
       }
     },
 
+    // First COMPRESSED-video leg (r18 verdict Next #4): each doc's text
+    // bytes become 8×8 gray frames REAL-JPEG-encoded and wrapped in the
+    // REAL MJPEG-in-AVI container, then decoded back through the RIFF
+    // walk + the ImageIO JPEG reader. JPEG is LOSSY, so the oracle pins
+    // what survives the codec — container geometry (avih header CROSS-
+    // CHECKED against every decoded frame's own dimensions), frame
+    // count, decoded raster byte count — while decoded CONTENT is gated
+    // in-query: per doc, the decoded mean byte must sit within 16 of
+    // the source mean (JPEG preserves each 8×8 block's DC to within a
+    // quantization step), against the EXACT source sum from the stub
+    // feature path. A broken chunk walk, a skipped frame, a mis-sized
+    // decode, or garbage pixels all fail — hash or gate.
+    QuerySpec.sql("mm_mjpeg_stats",
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents)
+        |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |       greatest(1, (n + 63) // 64)::BIGINT AS n_frames,
+        |       CAST(192 * greatest(1, (n + 63) // 64) AS BIGINT) AS n_raster_bytes
+        |FROM b ORDER BY doc_id""") {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val feats = Multimodal.extractMjpegFeatures(
+          Multimodal.asVideoMjpeg(docs)).toDF()
+        // exact source byte sums ride the stub feature path (payload =
+        // the raw utf-8 bytes), no second decode of anything lossy
+        val src = Multimodal.extractFeatures(Multimodal.asMedia(docs))
+          .toDF().select(col("doc_id"), col("sum_bytes").as("src_sum"))
+        val bad = feats.join(src, Seq("doc_id"))
+          .filter(abs(
+            col("sum_bytes").cast("double") / col("n_raster_bytes") -
+              col("src_sum").cast("double") / (col("n_frames") * lit(64.0)))
+            > 16.0)
+        require(bad.isEmpty,
+          "mm_mjpeg_stats: decoded MJPEG content deviates from the source " +
+            "beyond the JPEG DC quantization budget")
+        feats.select(col("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("n_raster_bytes"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // Mergeable KMV (bottom-k) distinct sketch per language — the
     // oracle-checkable stand-in for approx_count_distinct (HLL internals
     // are engine-specific; bottom-k md5 arithmetic replays exactly).

@@ -474,4 +474,85 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(fr.head.frame_bytes.toSeq === b1.take(8).toSeq)
     assert(fr.forall(_.frame_bytes.length === 8))
   }
+
+  test("encodeAviMjpeg → decodeAviMjpeg: golden container, frames bit-equal to direct JPEG decode, unknown chunks skipped, truncation fails fast") {
+    val g0 = Array.tabulate(64)(i => (i * 4).toByte)
+    val g1 = Array.tabulate(64)(i => (255 - i * 3).toByte)
+    val jpegs = Seq(Multimodal.encodeJpegGray(8, 8, g0),
+      Multimodal.encodeJpegGray(8, 8, g1))
+    val payload = Multimodal.encodeAviMjpeg(8, 8, jpegs)
+    val v = Multimodal.decodeAviMjpeg(payload)
+    assert(v.width === 8 && v.height === 8)
+    assert(v.frames.length === 2)
+    // container walk adds NOTHING to the codec: each frame must equal
+    // the direct ImageIO decode of the same JPEG bytes, bit for bit
+    for ((jp, i) <- jpegs.zipWithIndex) {
+      val (dw, dh, direct) = Multimodal.decodeImage(jp)
+      val (fw, fh, walked) = v.frames(i)
+      assert((fw, fh) === ((dw, dh)))
+      assert(walked.toSeq === direct.toSeq, s"frame $i diverged")
+    }
+    // unknown top-level chunks (odd-sized JUNK + idx1) must skip
+    // generically: splice them before hdrl / after movi and re-fix the
+    // RIFF size — the decode must be unchanged
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+    val junk = chunk("JUNK", Array[Byte](1, 2, 3)) // odd size → pad byte
+    val idx1 = chunk("idx1", Array.fill[Byte](16)(0))
+    val spliced = payload.take(12) ++ junk ++ payload.drop(12) ++ idx1
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte
+    spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val v2 = Multimodal.decodeAviMjpeg(spliced)
+    assert(v2.width === 8 && v2.frames.length === 2)
+    assert(v2.frames(1)._3.toSeq === v.frames(1)._3.toSeq)
+    // truncation mid-frame-chunk, bad magic, and a headerless movi all
+    // fail fast — the self-describing-or-fail contract
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviMjpeg(payload.dropRight(10))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviMjpeg("RIFF   WAVE"
+        .getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      // movi list with one frame but NO hdrl/avih: geometry unknown
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        chunk("00dc", jpegs.head))
+      val raw = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+      Multimodal.decodeAviMjpeg(raw)
+    }
+    // decodeRaster("avi"): the first frame's RGB raster (keyframe seam)
+    val (rw, rh, rch, rpx) = Multimodal.decodeRaster(payload, "avi")
+    assert((rw, rh, rch) === ((8, 8, 3)))
+    assert(rpx.toSeq === Multimodal.decodeImage(jpegs.head)._3.toSeq)
+  }
+
+  test("asVideoMjpeg → extractMjpegFeatures: geometry exact, decoded content within the JPEG DC budget") {
+    val recs = Multimodal.asVideoMjpeg(docs)
+    val feats = Multimodal.extractMjpegFeatures(recs).collect()
+      .map(f => f.doc_id -> f).toMap
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- byId) {
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = math.max(1, (bytes.length + 63) / 64)
+      val f = feats(id)
+      assert(f.width === 8L && f.height === 8L)
+      assert(f.n_frames === nFrames.toLong, s"doc $id frame count")
+      assert(f.n_raster_bytes === nFrames * 192L, s"doc $id raster bytes")
+      // lossy-codec content gate: decoded mean within the DC budget of
+      // the source mean (zero padding counted on both sides)
+      val srcMean = bytes.map(_ & 0xff).sum.toDouble / (nFrames * 64)
+      val decMean = f.sum_bytes.toDouble / f.n_raster_bytes
+      assert(math.abs(decMean - srcMean) <= 16.0,
+        s"doc $id decoded mean $decMean vs source mean $srcMean")
+    }
+  }
 }
