@@ -128,9 +128,16 @@ object Bench {
     // On a 32-thread box a quiet envelope run itself contributes a few
     // units; ambient contention shows as start values far above that.
     val load0 = loadAvg()
+    // One measured run of one query. `ok` records whether the query
+    // actually produced output (review r19): a failed run's wall is a
+    // crash duration, not a measurement, and must never shadow a
+    // successful one in the min-merge below.
+    case class QRes(name: String, wall: Double, taskRun: Double,
+                    taskGc: Double, sched: Double, jvmGc: Double,
+                    startS: Double, loadQ: Double, ok: Boolean)
     def measure(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (String, Double, Double, Double, Double, Double, Double, Double) = {
+        : QRes = {
       BlockHygiene.drainListenerBus(spark.sparkContext)
       metrics.reset()
       val gc0 = BenchMetrics.jvmGcMillis()
@@ -143,8 +150,10 @@ object Bench {
       val startS = (t0 - runT0) / 1e9
       // noop sink materializes every output column (count() would let
       // Catalyst prune whole subtrees, e.g. windows under a bare count).
+      var ok = true
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        ok = false
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
@@ -169,8 +178,8 @@ object Bench {
       val storageUsed = BlockHygiene.storageMemoryUsed(spark.sparkContext)
       System.err.println(
         f"[bench-gap] $name%-28s ${elapsed}%8.3f s; jobs $jobs%3d stages $stages%4d tasks $tasks%5d; task run ${runMs / 1e3}%8.2f s gc ${gcMs / 1e3}%6.2f s sched ${schedMs / 1e3}%6.2f s; jvm gc $jvmGc%5.2f s; dropped $dropped%3d broadcasts; storage ${storageUsed / 1048576.0}%7.2f MiB")
-      (name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc, startS,
-        loadQ)
+      QRes(name, elapsed, runMs / 1e3, gcMs / 1e3, schedMs / 1e3, jvmGc,
+        startS, loadQ, ok)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -196,36 +205,79 @@ object Bench {
     // measured twice.
     val envelopePath = sys.env.getOrElse("SPARK_GRAFT_ENVELOPE",
       "bench/envelope_min.json")
+    // The envelope is CONFIGURATION-BOUND (review r19): the committed
+    // mins were measured at one (sf, cpus) pair, and comparing them
+    // against a local[4] or different-SF run would flag nearly every
+    // query as a 2× "regression" and re-run the slowest 12 of every
+    // healthy invocation. The file carries its config header; on
+    // mismatch the envelope is ignored (stderr-noted) and only the
+    // loadavg fallback applies. Per-entry parsing (review r19): one
+    // malformed number drops that entry with a warning, not the whole
+    // envelope silently.
     val envelopeMins: Map[String, Double] = {
       val p = java.nio.file.Paths.get(envelopePath)
       if (!java.nio.file.Files.isRegularFile(p)) Map.empty
-      else scala.util.Try {
-        val txt = java.nio.file.Files.readString(p)
-        raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      else {
+        val txt = scala.util.Try(java.nio.file.Files.readString(p))
+          .getOrElse("")
+        val envSf = raw""""sf"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val envCpus = raw""""cpus"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val runSf = new java.io.File(sfDir).getName
+        if (!envSf.contains(runSf) || !envCpus.contains(cpus)) {
+          System.err.println(s"[bench-rerun] envelope $envelopePath is for " +
+            s"sf=${envSf.getOrElse("?")}/cpus=${envCpus.getOrElse("?")}, " +
+            s"this run is sf=$runSf/cpus=$cpus — envelope ignored")
+          Map.empty
+        } else {
+          val body = txt.substring(txt.indexOf("\"queries\"").max(0))
+          val pairs = raw""""([A-Za-z0-9_]+)"\s*:\s*([-0-9.eE]+)""".r
+            .findAllMatchIn(body).flatMap { m =>
+              scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+                .orElse {
+                  System.err.println(
+                    s"[bench-rerun] envelope entry ${m.group(1)} unparsable " +
+                      s"(${m.group(2)}) — skipped")
+                  None
+                }
+            }.toMap
+          if (pairs.isEmpty)
+            System.err.println(
+              s"[bench-rerun] envelope $envelopePath present but yielded " +
+                "zero usable entries — loadavg fallback only")
+          pairs
+        }
+      }
     }
     val rerunLoad = envDouble("SPARK_GRAFT_RERUN_LOAD", 8.0)
     val rerunMax = envInt("SPARK_GRAFT_RERUN_MAX", 12)
     val fnByName = SparkEntry.queries
     val suspects = firstPass.filter { r =>
-      envelopeMins.get(r._1) match {
-        case Some(m) => r._2 > 2 * m
-        case None => r._8 >= 0 && r._8 > rerunLoad
+      envelopeMins.get(r.name) match {
+        case Some(m) => r.wall > 2 * m
+        case None => r.loadQ >= 0 && r.loadQ > rerunLoad
       }
-    }.sortBy(-_._2).take(rerunMax)
+    }.sortBy(-_.wall).take(rerunMax)
     val reruns = suspects.map { r =>
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench-rerun] %s: wall %.3f s loadavg %.2f (envelope min %s) — re-running",
-        r._1, Double.box(r._2), Double.box(r._8),
-        envelopeMins.get(r._1).map(m => String.format(
+        r.name, Double.box(r.wall), Double.box(r.loadQ),
+        envelopeMins.get(r.name).map(m => String.format(
           java.util.Locale.ROOT, "%.3f", Double.box(m))).getOrElse("n/a")))
-      r._1 -> measure(r._1, fnByName(r._1))
+      r.name -> measure(r.name, fnByName(r.name))
     }.toMap
+    // success-aware min-merge (review r19): a run that FAILED carries a
+    // crash duration, not a wall time — it never shadows a successful
+    // run, whichever pass it came from
     val results = firstPass.map { r =>
-      reruns.get(r._1).filter(_._2 < r._2).getOrElse(r)
+      reruns.get(r.name) match {
+        case Some(r2) if r2.ok && !r.ok => r2
+        case Some(r2) if r2.ok == r.ok && r2.wall < r.wall => r2
+        case _ => r
+      }
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_.wall).sum
     // Locale.ROOT: the f""/format interpolators honor the JVM default
     // locale, so a comma-decimal locale would emit 99,800 and break the
     // driver's JSON parse — the exact failure the compact line exists to
@@ -250,13 +302,13 @@ object Bench {
     // loadavg_1m = the box's 1-min load sampled at the query's timed start
     // (null where the JVM reports it unavailable).
     val attrCols = """"attr_cols":["start_s","task_run_s","task_gc_s","sched_s","jvm_gc_s","loadavg_1m"]"""
-    def attrEntry(r: (String, Double, Double, Double, Double, Double, Double, Double)) =
-      "\"" + r._1 + "\":[" + fmt2(r._7) + "," + fmt2(r._3) + "," + fmt2(r._4) + "," +
-        fmt2(r._5) + "," + fmt2(r._6) + "," + fmtLoad(r._8) + "]"
-    val totals = s""""totals":{"task_run_s":${fmt(results.map(_._3).sum)},""" +
-      s""""task_gc_s":${fmt(results.map(_._4).sum)},""" +
-      s""""sched_s":${fmt(results.map(_._5).sum)},""" +
-      s""""jvm_gc_s":${fmt(results.map(_._6).sum)},""" +
+    def attrEntry(r: QRes) =
+      "\"" + r.name + "\":[" + fmt2(r.startS) + "," + fmt2(r.taskRun) + "," + fmt2(r.taskGc) + "," +
+        fmt2(r.sched) + "," + fmt2(r.jvmGc) + "," + fmtLoad(r.loadQ) + "]"
+    val totals = s""""totals":{"task_run_s":${fmt(results.map(_.taskRun).sum)},""" +
+      s""""task_gc_s":${fmt(results.map(_.taskGc).sum)},""" +
+      s""""sched_s":${fmt(results.map(_.sched).sum)},""" +
+      s""""jvm_gc_s":${fmt(results.map(_.jvmGc).sum)},""" +
       s""""loadavg_start":${fmtLoad(load0)},"loadavg_end":${fmtLoad(loadAvg())},""" +
       s""""loadavg_pregate":${fmtLoad(gateLoad0)},"gate_wait_s":$gateWait,""" +
       s""""reruns":${reruns.size}}"""
@@ -264,17 +316,17 @@ object Bench {
     // task_run_s, task_gc_s, sched_s, jvm_gc_s, loadavg_1m] per run,
     // first-pass then second) — the kept (min-wall) run is what `queries`/
     // `attr` carry; this section discloses the other one.
-    def runVec(r: (String, Double, Double, Double, Double, Double, Double, Double)) =
-      "[" + fmt(r._2) + "," + fmt2(r._7) + "," + fmt2(r._3) + "," +
-        fmt2(r._4) + "," + fmt2(r._5) + "," + fmt2(r._6) + "," +
-        fmtLoad(r._8) + "]"
+    def runVec(r: QRes) =
+      "[" + fmt(r.wall) + "," + fmt2(r.startS) + "," + fmt2(r.taskRun) + "," +
+        fmt2(r.taskGc) + "," + fmt2(r.sched) + "," + fmt2(r.jvmGc) + "," +
+        fmtLoad(r.loadQ) + "]"
     val rerunJson = suspects.map { first =>
-      "\"" + first._1 + "\":[" + runVec(first) + "," +
-        runVec(reruns(first._1)) + "]"
+      "\"" + first.name + "\":[" + runVec(first) + "," +
+        runVec(reruns(first.name)) + "]"
     }.mkString("{", ",", "}")
     // Full-precision, all-query JSON → target/bench.json (the durable
     // artifact; BASELINE.md points the judge here for per-query numbers).
-    val fullQs = results.map(r => s"\"" + r._1 + "\":" + r._2)
+    val fullQs = results.map(r => s"\"" + r.name + "\":" + r.wall)
       .mkString("{", ",", "}")
     val fullAttr = results.map(attrEntry).mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
@@ -290,7 +342,7 @@ object Bench {
     // time (in `queries`, the driver's contract shape) and its attr vector
     // — for as many as fit a 1.8 KB budget (the slow tail is what a perf
     // reader needs first), and point at target/bench.json for the rest.
-    val slowestFirst = results.sortBy(r => (-r._2, r._1))
+    val slowestFirst = results.sortBy(r => (-r.wall, r.name))
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val suffixFor = (omitted: Int, attrs: Seq[String]) =>
       s"""},$attrCols,"attr":${attrs.mkString("{", ",", "}")},$totals,""" +
@@ -306,7 +358,7 @@ object Bench {
     var full = false
     while (it.hasNext && !full) {
       val r = it.next()
-      val entry = "\"" + r._1 + "\":" + fmt(r._2)
+      val entry = "\"" + r.name + "\":" + fmt(r.wall)
       val ae = attrEntry(r)
       if (len + entry.length + ae.length + 2 <= budget) {
         kept += entry; keptAttr += ae

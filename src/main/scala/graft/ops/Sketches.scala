@@ -205,20 +205,34 @@ object Sketches {
     val packed = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         valueCents.isNotNull)
-      .select(col(groupCol), to_date(col(tsCol)).as("day"), pk.as("pk"))
+      .select(col(groupCol), to_date(col(tsCol)).as("day"), pk.as("__w"))
       .distinct()
+    kmvQuantilesBy(slidingDailySketch(packed, groupCol, k, windowDays),
+      Seq(groupCol, "day"), percents)
+  }
+
+  /** The shared BUILD half of every sliding-KMV form (review r19 — one
+    * copy, not three: [[kmvSlidingDistinct]], [[kmvSlidingQuantiles]] and
+    * [[kmvSlidingOverlap]] all window identically, so the epoch-day
+    * anchor / re-cut / frame semantics cannot drift between them): from a
+    * pre-hashed, pre-DISTINCTed (group, day, __w) word relation, build
+    * per-(group, day) bottom-k sketches and re-cut each day's sketch to
+    * its trailing `windowDays` union — by the mergeability identity
+    * EXACTLY the window's direct sketch. The range frame keys on the
+    * EPOCH-DAY number so calendar gaps window by date, not by row.
+    * Output: (group, day, sk). */
+  private def slidingDailySketch(words: DataFrame, groupCol: String,
+                                 k: Int, windowDays: Int): DataFrame = {
     val bottomK = udaf(graft.functions.BoundedTopKLong(k))
-    val daily = packed.groupBy(col(groupCol), col("day"))
-      .agg(bottomK(col("pk"), col("pk")).as("sk"))
+    val daily = words.groupBy(col(groupCol), col("day"))
+      .agg(bottomK(col("__w"), col("__w")).as("sk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
       .rangeBetween(-(windowDays - 1), 0)
-    kmvQuantilesBy(
-      daily.withColumn("sk",
-        slice(array_sort(array_distinct(flatten(
-          collect_list(col("sk")).over(w)))), 1, k)),
-      Seq(groupCol, "day"), percents)
+    daily.withColumn("sk",
+      slice(array_sort(array_distinct(flatten(
+        collect_list(col("sk")).over(w)))), 1, k))
   }
 
   /** Trailing-window distinct counts from DAILY sketches — the canonical
@@ -242,19 +256,9 @@ object Sketches {
     val hashed = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol), to_date(col(tsCol)).as("day"),
-        Sampling.hashKey(col(keyCol)).as("hk"))
+        Sampling.hashKey(col(keyCol)).as("__w"))
       .distinct()
-    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
-    val daily = hashed.groupBy(col(groupCol), col("day"))
-      .agg(bottomK(col("hk"), col("hk")).as("sk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
-      .rangeBetween(-(windowDays - 1), 0)
-    withEstimate(
-      daily.withColumn("sk",
-        slice(array_sort(array_distinct(flatten(
-          collect_list(col("sk")).over(w)))), 1, k)),
+    withEstimate(slidingDailySketch(hashed, groupCol, k, windowDays),
       "sk", k)
   }
 
@@ -696,18 +700,9 @@ object Sketches {
     val hashed = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(partCol).as("part"), to_date(col(tsCol)).as("day"),
-        Sampling.hashKey(col(keyCol)).as("hk"))
+        Sampling.hashKey(col(keyCol)).as("__w"))
       .distinct()
-    val bottomK = udaf(graft.functions.BoundedTopKLong(k))
-    val daily = hashed.groupBy(col("part"), col("day"))
-      .agg(bottomK(col("hk"), col("hk")).as("sk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("part"))
-      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
-      .rangeBetween(-(windowDays - 1), 0)
-    val windowed = daily.withColumn("sk",
-      slice(array_sort(array_distinct(flatten(
-        collect_list(col("sk")).over(w)))), 1, k))
+    val windowed = slidingDailySketch(hashed, "part", k, windowDays)
     val pairs = windowed
       .select(col("part").as("part_a"), col("day"), col("sk").as("ska"))
       .join(windowed

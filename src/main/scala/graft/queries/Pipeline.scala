@@ -1187,8 +1187,13 @@ object Pipeline {
         |FROM b ORDER BY doc_id""") {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val feats = Multimodal.extractMjpegFeatures(
-          Multimodal.asVideoMjpeg(docs)).toDF()
+        // materialized ONCE (review r19): the content gate below is an
+        // action, and without this the returned select would re-run the
+        // whole JPEG-encode → container → decode lineage a second time —
+        // doubling the dominant (real codec) cost of the query
+        val feats = graft.ops.Checkpoints.materialized(
+          Multimodal.extractMjpegFeatures(
+            Multimodal.asVideoMjpeg(docs)).toDF())
         // exact source byte sums ride the stub feature path (payload =
         // the raw utf-8 bytes), no second decode of anything lossy
         val src = Multimodal.extractFeatures(Multimodal.asMedia(docs))
