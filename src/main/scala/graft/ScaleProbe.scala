@@ -430,6 +430,45 @@ object ScaleProbe {
               .count()
           })
         }),
+        // UPSERT/DELETE maintenance (stream_ivf_index_upsert registry
+        // shape), staging untimed: three micro-batches — evens, odds +
+        // %10 replacements, %7 deletes — anti-join ∪ upserts per fold.
+        // Expected ≈ the append fold + the anti-join over store-sized
+        // relations
+        "stream_ivf_upsert_nostage" -> (() => {
+          val f = math.max(1, tag.takeWhile(_.isDigit).toInt)
+          val kCents = 16 * math.max(1, math.sqrt(f.toDouble).toInt)
+          val cents = Checkpoints.materialized(
+            EmbeddingSim.prepared(vecs).orderBy(col("vec_id").asc)
+              .limit(kCents)
+              .select(col("vec_id").as("cid"), col("q").as("cq"),
+                col("n2").as("cn2")))
+          def ups(df: DataFrame) = df.select(col("vec_id"),
+            col("embedding"), lit("upsert").as("op"))
+          val stages = Seq(
+            ups(vecs.filter(col("vec_id") % 2 === 0)),
+            ups(vecs.filter(col("vec_id") % 2 === 1)).unionByName(
+              vecs.filter(col("vec_id") % 10 === 0)
+                .select(col("vec_id"),
+                  reverse(col("embedding")).as("embedding"),
+                  lit("upsert").as("op"))),
+            vecs.filter(col("vec_id") % 7 === 0)
+              .select(col("vec_id"), col("embedding"),
+                lit("delete").as("op")))
+          val storeDir = s"target/scaleprobe/ivf_upsert_store_$tag"
+          graft.streaming.Ingest.deleteRecursively(storeDir)
+          val in = graft.streaming.Ingest.stageOrderedFiles(spark, stages,
+            s"target/scaleprobe/ivf_upsert_stream_$tag")
+          time(s"$tag/stream_ivf_upsert_nostage")({
+            val q = graft.streaming.StreamOps.ivfIndexUpsertStream(in,
+                cents, storeDir, compactKeepLast = 1)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            graft.streaming.StreamOps.sketchStoreRead(spark, storeDir)
+              .count()
+          })
+        }),
         // the one-shot build the fold replaces, same √n geometry — the
         // maintenance loop's honest baseline: fold wall − build wall =
         // what streaming maintenance actually costs on top of the
@@ -1738,6 +1777,13 @@ object ScaleProbe {
           time(s"$tag/mm_video_stats")(
             graft.ops.Multimodal.extractVideoFeatures(
               graft.ops.Multimodal.asVideo(docs)).count())),
+        // real COMPRESSED audio leg (mm_mulaw_stats registry shape):
+        // per-sample G.711 compress + RIFF write, then the walk + exact
+        // expansion — row-linear, pure integer codec work
+        "mm_mulaw_stats" -> (() =>
+          time(s"$tag/mm_mulaw_stats")(
+            graft.ops.Multimodal.extractAudioFeatures(
+              graft.ops.Multimodal.asAudioMulaw(docs)).count())),
         // real COMPRESSED video leg (mm_mjpeg_stats registry shape):
         // per-frame JPEG encode + AVI container write, then the RIFF
         // walk + per-frame ImageIO JPEG decode — row-linear like the

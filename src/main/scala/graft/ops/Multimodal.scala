@@ -152,7 +152,12 @@ object Multimodal {
         ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
     require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       "not a RIFF/WAVE payload")
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    // (channels, rate, bits, audioFormat) — format 1 = integer PCM,
+    // format 7 = G.711 µ-law (r19: the compressed-audio leg), decoded
+    // TRANSPARENTLY to 16-bit PCM so every downstream consumer
+    // (extractAudioFeatures, audioDHash) handles compressed payloads
+    // unchanged — the "decode" contract
+    var fmt: Option[(Int, Int, Int, Int)] = None
     var i = 12
     while (i + 8 <= payload.length) {
       val id = tag(i)
@@ -163,27 +168,95 @@ object Multimodal {
         case "fmt " =>
           require(size >= 16, "fmt chunk too short")
           val audioFormat = u16(body)
-          require(audioFormat == 1,
-            s"only uncompressed PCM supported (audioFormat $audioFormat)")
+          require(audioFormat == 1 || audioFormat == 7,
+            s"only integer PCM (1) and G.711 mu-law (7) supported " +
+              s"(audioFormat $audioFormat)")
           val channels = u16(body + 2)
           val rate = u32(body + 4)
           val bits = u16(body + 14)
           require(channels > 0, "zero-channel wav")
-          require(bits == 8 || bits == 16,
-            s"only 8/16-bit integer PCM supported ($bits)")
-          fmt = Some((channels, rate.toInt, bits))
+          if (audioFormat == 1)
+            require(bits == 8 || bits == 16,
+              s"only 8/16-bit integer PCM supported ($bits)")
+          else
+            require(bits == 8, s"mu-law is 8 bits per sample ($bits)")
+          fmt = Some((channels, rate.toInt, bits, audioFormat))
         case "data" =>
-          val (channels, rate, bits) = fmt.getOrElse(
+          val (channels, rate, bits, audioFormat) = fmt.getOrElse(
             sys.error("data chunk before fmt chunk"))
           require(size % (channels * bits / 8) == 0,
             "data chunk is not a whole number of sample frames")
-          return WavPcm(channels, rate, bits,
-            java.util.Arrays.copyOfRange(payload, body, body + size.toInt))
+          val raw = java.util.Arrays.copyOfRange(payload, body,
+            body + size.toInt)
+          if (audioFormat == 1) return WavPcm(channels, rate, bits, raw)
+          // µ-law: expand each stored byte to its exact 16-bit sample
+          val out = new Array[Byte](raw.length * 2)
+          var j = 0
+          while (j < raw.length) {
+            val s = mulawDecode(raw(j))
+            out(2 * j) = (s & 0xff).toByte
+            out(2 * j + 1) = ((s >> 8) & 0xff).toByte
+            j += 1
+          }
+          return WavPcm(channels, rate, 16, out)
         case _ => // skip unknown chunk (LIST, fact, cue ...)
       }
       i = body + size.toInt + (size.toInt & 1) // odd chunks carry a pad byte
     }
     sys.error("no data chunk in RIFF/WAVE payload")
+  }
+
+  /** Dependency-free RIFF/WAV writer for G.711 µ-law (audioFormat 7) —
+    * the COMPRESSED encode half: 16-bit samples compress 2:1 through
+    * [[mulawEncode]]; the payload re-enters [[decodeWav]], which expands
+    * it back to 16-bit PCM transparently. */
+  def encodeWavMulaw(samples: Array[Short], channels: Int = 1,
+                     sampleRate: Int = 8000): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      "samples must be a whole number of frames")
+    val dataLen = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(7.toShort) // WAVE_FORMAT_MULAW
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels) // byte rate: 1 byte per sample
+    out.putShort(channels.toShort)    // block align
+    out.putShort(8.toShort)           // stored bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.put(mulawEncode(s)))
+    out.array()
+  }
+
+  /** G.711 µ-law encode of one 16-bit sample — the COMPRESSED-audio codec
+    * (ITU-T G.711, 1972; 2:1 compression, 8 log-scale bits per sample).
+    * Unlike JPEG, the µ-law transfer function is EXACTLY specified integer
+    * arithmetic: clip to 32635, add the 132 bias, exponent = highest set
+    * bit − 7, 4 mantissa bits below it, complement — so an independent
+    * engine replays the full lossy round trip digit-for-digit, which is
+    * what makes the mm_mulaw_stats oracle exact where the MJPEG one can
+    * only bound. */
+  def mulawEncode(sample: Short): Byte = {
+    val sign = if (sample < 0) 0x80 else 0
+    var s = math.min(math.abs(sample.toInt), 32635) + 132
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (s & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (s >> (exponent + 3)) & 0x0f
+    (~(sign | (exponent << 4) | mantissa)).toByte
+  }
+
+  /** G.711 µ-law decode — the exact inverse expansion:
+    * ((mantissa·8 + 132) << exponent) − 132, sign applied. */
+  def mulawDecode(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val s = (((mantissa << 3) + 132) << exponent) - 132
+    (if ((u & 0x80) != 0) -s else s).toShort
   }
 
   /** Dependency-free RIFF/WAV writer for 16-bit signed little-endian PCM —
@@ -576,6 +649,26 @@ object Multimodal {
           val samples = text.getBytes("UTF-8")
             .map(b => (((b & 0xff) - 128) * 256).toShort)
           MediaRecord(id, "audio", encodeWavPcm16(samples), "wav",
+            0, 0, samples.length)
+      }))
+  }
+
+  /** Adapt documents to COMPRESSED audio rows: the same centered 16-bit
+    * samples as [[asAudio]], but written through the µ-law encoder
+    * (audioFormat 7, 2:1 compression) — so the downstream feature query
+    * exercises compress → RIFF walk → exact µ-law expansion end-to-end,
+    * and stays EXACTLY recomputable from the text bytes by an independent
+    * engine (the `mm_mulaw_stats` oracle replays the G.711 arithmetic —
+    * the property the lossy-but-exactly-specified codec buys). */
+  def asAudioMulaw(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
+        case (id, text) =>
+          val samples = text.getBytes("UTF-8")
+            .map(b => (((b & 0xff) - 128) * 256).toShort)
+          MediaRecord(id, "audio", encodeWavMulaw(samples), "wav",
             0, 0, samples.length)
       }))
   }

@@ -1093,6 +1093,58 @@ object Pipeline {
           .orderBy(col("doc_id"))
     },
 
+    // COMPRESSED audio through the REAL G.711 µ-law codec (r19 — the
+    // exact-oracle counterpart to the MJPEG leg): each doc's text bytes
+    // become centered 16-bit samples COMPRESSED 2:1 through the µ-law
+    // encoder (WAV audioFormat 7), then expanded back through the RIFF
+    // walk + the exact G.711 inverse. µ-law is lossy but EXACTLY
+    // specified integer arithmetic, so the oracle replays the full
+    // compress→expand round trip from the text bytes digit-for-digit —
+    // clip, bias, exponent ladder, mantissa cut, expansion — and any
+    // drift in either codec half breaks the hash.
+    QuerySpec.sql("mm_mulaw_stats",
+      """WITH b AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1 AS u
+        |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM b)),
+        |s AS (SELECT doc_id, (u - 128) * 256 AS smp FROM bytes),
+        |enc AS (
+        |  SELECT doc_id, smp,
+        |         least(abs(smp), 32635) + 132 AS a
+        |  FROM s),
+        |exp AS (
+        |  SELECT doc_id, smp, a,
+        |         CASE WHEN a < 256 THEN 0 WHEN a < 512 THEN 1
+        |              WHEN a < 1024 THEN 2 WHEN a < 2048 THEN 3
+        |              WHEN a < 4096 THEN 4 WHEN a < 8192 THEN 5
+        |              WHEN a < 16384 THEN 6 ELSE 7 END AS e
+        |  FROM enc),
+        |dec AS (
+        |  SELECT doc_id,
+        |         CASE WHEN smp < 0 THEN -d0 ELSE d0 END AS d
+        |  FROM (SELECT doc_id, smp,
+        |               (((a // (1 << (e + 3))) % 16) * 8 + 132) * (1 << e) - 132 AS d0
+        |        FROM exp)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_samples,
+        |         CAST(sum(d) AS BIGINT) AS sum_samples
+        |  FROM dec GROUP BY doc_id)
+        |SELECT b.doc_id, 1::BIGINT AS channels, 8000::BIGINT AS sample_rate,
+        |       16::BIGINT AS bits_per_sample,
+        |       coalesce(agg.n_samples, 0) AS n_samples,
+        |       coalesce(agg.sum_samples, 0) AS sum_samples
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""") {
+      (s, dir) =>
+        Multimodal.extractAudioFeatures(
+          Multimodal.asAudioMulaw(Tables.documents(s, dir))).toDF()
+          .orderBy(col("doc_id"))
+    },
+
     // Multimodal VIDEO slice through the REAL Y4M codec (the last
     // documented multimodal stub, closed r18): each doc's text bytes
     // become the luma planes of 4×2 mono frames (8 bytes per frame,
@@ -2229,6 +2281,77 @@ object Pipeline {
           require(!store.isEmpty || vecs.isEmpty,
             s"stream_ivf_index_update folded an empty index from $dir " +
               "but the corpus has vectors")
+          store.select(col("vec_id"), col("cid"), col("n2"),
+              array_join(transform(col("q"), _.cast("string")), ",")
+                .as("q_str"))
+            .orderBy(col("vec_id"))
+        } finally cents.unpersist(): Unit
+      }
+    },
+
+    // ANN index UPSERT/DELETE maintenance (beyond the append loop —
+    // dedup retracts vectors, recrawls replace embeddings): three
+    // staged micro-batches — evens upserted, then odds upserted PLUS
+    // every %10 id RE-upserted with its embedding REVERSED (a real
+    // replacement, not a no-op), then every %7 id deleted. The fold is
+    // anti-join ∪ assigned-upserts (retry-absorbing by algebra — set
+    // semantics like the KMV fold, so monotonic versions, no
+    // checkpoint), and the folded store must equal the whole-corpus
+    // index of the LAST-WRITE state: reversed embeddings for %10 ids,
+    // %7 ids absent, centroids pinned from the ORIGINAL corpus. The
+    // oracle replays exactly that final state digit-for-digit.
+    QuerySpec.sql("stream_ivf_index_upsert",
+      """WITH n0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |            FROM embeddings),
+        |m0 AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n0),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m0 ORDER BY vec_id LIMIT 8),
+        |n AS (SELECT vec_id,
+        |        list_transform(CASE WHEN vec_id % 10 = 0 THEN list_reverse(embedding) ELSE embedding END,
+        |          x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |      FROM embeddings WHERE vec_id % 7 <> 0),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |d AS (SELECT m.vec_id, c.cid,
+        |        m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)
+        |SELECT m.vec_id, cells.cid, CAST(m.n2 AS BIGINT) AS n2,
+        |       array_to_string(m.qv, ',') AS q_str
+        |FROM m JOIN cells USING (vec_id) ORDER BY m.vec_id""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val cents = EmbeddingSim.prepared(vecs)
+          .orderBy(col("vec_id").asc).limit(8)
+          .select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2"))
+        def ups(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), col("embedding"),
+            lit("upsert").as("op"))
+        val stages = Seq(
+          ups(vecs.filter(col("vec_id") % 2 === 0)),
+          ups(vecs.filter(col("vec_id") % 2 === 1)).unionByName(
+            vecs.filter(col("vec_id") % 10 === 0)
+              .select(col("vec_id"),
+                reverse(col("embedding")).as("embedding"),
+                lit("upsert").as("op"))),
+          vecs.filter(col("vec_id") % 7 === 0)
+            .select(col("vec_id"), col("embedding"),
+              lit("delete").as("op")))
+        val tag = stagingTag(dir)
+        val in = Ingest.stageOrderedFiles(s, stages,
+          s"target/stream_ivf_upsert_in_$tag")
+        val storeDir = s"target/stream_ivf_upsert_store_$tag"
+        Ingest.deleteRecursively(storeDir)
+        try {
+          val q = graft.streaming.StreamOps.ivfIndexUpsertStream(in, cents,
+              storeDir, compactKeepLast = 1)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val store = graft.streaming.StreamOps.sketchStoreRead(s, storeDir)
+          require(!store.isEmpty || vecs.filter(col("vec_id") % 7 =!= 0).isEmpty,
+            s"stream_ivf_index_upsert folded an empty index from $dir " +
+              "but the corpus has undeleted vectors")
           store.select(col("vec_id"), col("cid"), col("n2"),
               array_join(transform(col("q"), _.cast("string")), ",")
                 .as("q_str"))

@@ -589,6 +589,53 @@ object StreamOps {
       versionByBatchId = true, compactKeepLast = compactKeepLast)
   }
 
+  /** UPSERT/DELETE maintenance for the stored ANN index — what a real
+    * pipeline's index loop must also handle beyond [[ivfIndexUpdateStream]]'s
+    * appends: dedup retracts vectors, recrawls REPLACE a document's
+    * embedding. The stream carries (vec_id, embedding, op) rows with
+    * `op ∈ {upsert, delete}`; per micro-batch the upserts are assigned
+    * against the PINNED centroids (the only batch-shaped work) and the
+    * batch summary folds into the store as
+    *
+    *   store' = (store ANTI-JOIN batch ids) ∪ assigned upserts
+    *
+    * — an upsert replaces its id's row, a delete just removes it.
+    * CONTRACT: one op per vec_id per micro-batch (spec-pinned; two ops
+    * for one id in one batch have no defined order under set semantics).
+    *
+    * Retry-absorbing BY ALGEBRA, like the KMV fold and unlike the
+    * append fold: re-applying a batch anti-joins out exactly the rows it
+    * added and re-adds identical ones (deletes re-remove nothing), so
+    * merge(merge(S, B), B) = merge(S, B) and the default monotonic
+    * versioning is safe — a warm start needs no checkpoint. Under the
+    * per-batch one-op contract the folded store equals the index of the
+    * LAST-WRITE state of every id, which is what the registry row
+    * hash-checks against a whole-corpus replay of the final state. */
+  def ivfIndexUpsertStream(vecStream: DataFrame, centroids: DataFrame,
+                           storeDir: String, compactKeepLast: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cents =
+      if (centroids.storageLevel == StorageLevel.NONE)
+        centroids.persist(StorageLevel.MEMORY_AND_DISK)
+      else centroids
+    def summarize(b: DataFrame): DataFrame =
+      graft.ops.EmbeddingSim.ivfIndex(
+          b.filter(col("op") === "upsert"), cents)
+        .withColumn("__op", lit("u"))
+        .unionByName(b.filter(col("op") === "delete")
+          .select(col("vec_id"),
+            lit(null).cast("bigint").as("cid"),
+            lit(null).cast("array<bigint>").as("q"),
+            lit(null).cast("bigint").as("n2"),
+            lit("d").as("__op")))
+    def fold(store: DataFrame, bsk: DataFrame): DataFrame =
+      store.join(bsk.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(bsk.filter(col("__op") === "u").drop("__op"))
+    sketchUpdateStream(vecStream, storeDir, summarize, fold,
+      compactKeepLast = compactKeepLast,
+      firstVersionFn = bsk => bsk.filter(col("__op") === "u").drop("__op"))
+  }
+
   /** The generic versioned-store streaming fold both sketch families
     * configure (and any future mergeable summary can): per micro-batch,
     * `sketchFn(batch)` builds the batch summary (the only batch-shaped
@@ -619,7 +666,8 @@ object StreamOps {
                          sketchFn: DataFrame => DataFrame,
                          mergeFn: (DataFrame, DataFrame) => DataFrame,
                          versionByBatchId: Boolean = false,
-                         compactKeepLast: Int = 0)
+                         compactKeepLast: Int = 0,
+                         firstVersionFn: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactKeepLast == 0 || compactKeepLast >= (if (versionByBatchId) 2 else 1),
       "compactKeepLast must keep the retry-prior version: >= 2 for " +
@@ -646,9 +694,12 @@ object StreamOps {
         val prev =
           if (versionByBatchId) versions.filter(_ < batchId).sorted.lastOption
           else versions.sorted.lastOption
+        // firstVersionFn: a fold whose batch summary carries MERGE-ONLY
+        // rows (e.g. delete tombstones) reduces it to store shape when
+        // there is no prior version to merge against
         val merged = prev match {
           case Some(v) => mergeFn(s.read.parquet(s"$storeDir/v$v"), batchSk)
-          case None => batchSk
+          case None => firstVersionFn(batchSk)
         }
         val next =
           if (versionByBatchId) batchId

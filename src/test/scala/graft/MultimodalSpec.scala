@@ -475,6 +475,48 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(fr.forall(_.frame_bytes.length === 8))
   }
 
+  test("G.711 mu-law: golden bytes, bounded expansion error, re-encode idempotence, format-7 WAV decodes transparently") {
+    // golden pairs from the G.711 definition: 0 encodes to 0xFF (sign 0,
+    // exponent 0, mantissa 0 complemented), full-scale clips to 0x80
+    assert(Multimodal.mulawEncode(0) === 0xff.toByte)
+    assert(Multimodal.mulawEncode(Short.MaxValue) === 0x80.toByte)
+    assert(Multimodal.mulawEncode(-32768) === 0x00.toByte)
+    assert(Multimodal.mulawDecode(0xff.toByte) === 0.toShort)
+    // the expansion error is bounded by half the local step (2^e · 8);
+    // re-encoding a decoded value must reproduce the same byte (the
+    // decoded value is the segment's representative)
+    for (s <- -32768 to 32767 by 7) {
+      val b = Multimodal.mulawEncode(s.toShort)
+      val d = Multimodal.mulawDecode(b).toInt
+      val a = math.min(math.abs(s), 32635) + 132
+      val e = (31 - Integer.numberOfLeadingZeros(a)) - 7
+      assert(math.abs(d - math.max(-32635, math.min(32635, s))) <= (4 << (e + 3)),
+        s"sample $s decoded to $d (step ${1 << (e + 3)})")
+      // idempotence up to µ-law's TWO zero codes: 0x7F is "negative
+      // zero", which decodes to 0 and re-encodes to the canonical 0xFF
+      val re = Multimodal.mulawEncode(Multimodal.mulawDecode(b))
+      if (d != 0) assert(re === b, s"re-encode of decode($b) diverged")
+      else assert(re === 0xff.toByte, s"zero re-encoded to $re")
+    }
+    // a format-7 WAV expands transparently to 16-bit PCM: every sample
+    // equals the direct decode(encode(s)), at half the stored bytes
+    val samples = Array.tabulate(200)(i => ((i - 100) * 317).toShort)
+    val wav = Multimodal.encodeWavMulaw(samples, channels = 1,
+      sampleRate = 8000)
+    val pcm = Multimodal.decodeWav(wav)
+    assert(pcm.channels === 1 && pcm.sample_rate === 8000 &&
+      pcm.bits_per_sample === 16)
+    assert(pcm.data.length === samples.length * 2)
+    for (j <- samples.indices) {
+      val got = (((pcm.data(2 * j) & 0xff) |
+        (pcm.data(2 * j + 1) << 8))).toShort
+      assert(got === Multimodal.mulawDecode(Multimodal.mulawEncode(samples(j))),
+        s"sample $j")
+    }
+    // compression is real: stored data is half the PCM size
+    assert(wav.length === 44 + samples.length)
+  }
+
   test("encodeAviMjpeg → decodeAviMjpeg: golden container, frames bit-equal to direct JPEG decode, unknown chunks skipped, truncation fails fast") {
     val g0 = Array.tabulate(64)(i => (i * 4).toByte)
     val g1 = Array.tabulate(64)(i => (255 - i * 3).toByte)

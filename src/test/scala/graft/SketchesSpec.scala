@@ -712,6 +712,68 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       s"expected the cold-replay guard, got: ${rootMessages(e).mkString(" | ")}")
   }
 
+  test("IVF upsert/delete fold: upserts replace, deletes remove, a replayed batch is absorbed by the anti-join algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, reverse}
+    import org.apache.spark.sql.streaming.Trigger
+    val storeDir = "target/test_ivf_upsert_store"
+    graft.streaming.Ingest.deleteRecursively(storeDir)
+    def vecsOf(ids: Seq[Int], rev: Boolean = false) = ids.map { i =>
+      val e = Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5) * 0.1)
+      (i.toLong, if (rev) e.reverse else e)
+    }.toDF("vec_id", "embedding")
+    val all = vecsOf(0 until 24)
+    val cents = graft.ops.EmbeddingSim.prepared(all)
+      .orderBy(col("vec_id").asc).limit(3)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    def indexMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getSeq[Long](r.fieldIndex("q")).toVector))
+      .toMap
+    // batch 0: all upserted; batch 1: ids 0-5 REPLACED (reversed
+    // embeddings) and ids 18-23 deleted
+    val b0 = all.withColumn("op", lit("upsert"))
+    val b1 = vecsOf(0 until 6, rev = true).withColumn("op", lit("upsert"))
+      .unionByName(vecsOf(18 until 24).withColumn("op", lit("delete")))
+    val in = graft.streaming.Ingest.stageOrderedFiles(spark, Seq(b0, b1),
+      "target/test_ivf_upsert_in")
+    val q = graft.streaming.StreamOps.ivfIndexUpsertStream(in, cents, storeDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def storeNow() = indexMap(
+      graft.streaming.StreamOps.sketchStoreRead(spark, storeDir))
+    // expected last-write state: 0-5 reversed, 6-17 original, 18-23 gone
+    val expected = indexMap(graft.ops.EmbeddingSim.ivfIndex(
+      vecsOf(0 until 6, rev = true).unionByName(vecsOf(6 until 18)), cents))
+    assert(storeNow() === expected,
+      "upsert/delete fold diverged from the last-write index")
+    assert(!storeNow().keySet.exists(_ >= 18L), "deleted ids survived")
+    // the replacement was real: id 0's stored vector differs from the
+    // original assignment's
+    val orig = indexMap(graft.ops.EmbeddingSim.ivfIndex(all, cents))
+    assert(storeNow()(0L)._2 !== orig(0L)._2, "re-upsert did not replace")
+    // retry absorption BY ALGEBRA: re-applying batch 1's fold body
+    // (anti-join + union) leaves the store unchanged — monotonic
+    // versioning needs no batchId commit unit here
+    val bsk = graft.ops.EmbeddingSim.ivfIndex(
+        vecsOf(0 until 6, rev = true), cents)
+      .withColumn("__op", lit("u"))
+      .unionByName(vecsOf(18 until 24)
+        .select(col("vec_id"), lit(null).cast("bigint").as("cid"),
+          lit(null).cast("array<bigint>").as("q"),
+          lit(null).cast("bigint").as("n2"), lit("d").as("__op")))
+    val versions = Option(new java.io.File(storeDir).listFiles).toSeq
+      .flatten.filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    val replayed = graft.streaming.StreamOps.sketchStoreRead(spark, storeDir)
+      .join(bsk.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(bsk.filter(col("__op") === "u").drop("__op"))
+    replayed.write.mode("overwrite")
+      .parquet(s"$storeDir/v${versions.max + 1}")
+    assert(storeNow() === expected, "a replayed batch changed the store")
+  }
+
   test("store walker is Hadoop-FS-backed: file:-scheme URIs work and a marker-less (crashed) version is invisible") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
