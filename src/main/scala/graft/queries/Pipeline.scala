@@ -2358,6 +2358,78 @@ object Pipeline {
             .orderBy(col("vec_id"))
         } finally cents.unpersist(): Unit
       }
+    },
+
+    // The maintain→serve loop CLOSED end-to-end: queries are answered
+    // FROM the stream-maintained index — embeddings fold in four
+    // micro-batches (ivfIndexUpdateStream, compaction on), then a ~1%
+    // query batch searches the folded store with ivfSearchAgainst.
+    // Because fold ≡ whole under fixed centroids, search-over-folded ≡
+    // search-over-built, which the oracle replays: whole-corpus cells,
+    // batch probes, exact-cosine ranks. The batch is a SUBSET of the
+    // index here (unlike ann_ivf_against's disjoint sides), so each
+    // query's self-hit ranks first at cosine 1.0 — the documented
+    // no-self-exclusion contract, replayed by the oracle verbatim.
+    QuerySpec.sql("stream_ivf_search",
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM n),
+        |c AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM m ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT m.vec_id, c.cid,
+        |        m.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> m.qv[i] * c.cq[i])) AS d2
+        |      FROM m CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+        |qb AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM m WHERE vec_id % 101 = 0),
+        |probes AS (SELECT query_id, cid FROM (
+        |             SELECT qb.query_id, c.cid,
+        |                    qb.qn2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65), i -> qb.qq[i] * c.cq[i])) AS d2
+        |             FROM qb CROSS JOIN c)
+        |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) <= 2),
+        |scored AS (
+        |  SELECT p.query_id, cells.vec_id AS vec_id,
+        |         list_sum(list_transform(range(1, 65), i -> a.qq[i] * b.qv[i]))::DOUBLE
+        |           / (sqrt(a.qn2::DOUBLE) * sqrt(b.n2::DOUBLE)) AS cos
+        |  FROM probes p JOIN cells USING (cid)
+        |  JOIN qb a ON a.query_id = p.query_id
+        |  JOIN m b ON b.vec_id = cells.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank,
+        |       round(cos, 4) AS cosine
+        |FROM scored
+        |QUALIFY rank <= 10 ORDER BY query_id, rank""") {
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val cents = EmbeddingSim.prepared(vecs)
+          .orderBy(col("vec_id").asc).limit(8)
+          .select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2"))
+        val stages = (0 to 3).map(r =>
+          vecs.filter(col("vec_id") % 4 === r)
+            .select(col("vec_id"), col("embedding")))
+        val tag = stagingTag(dir)
+        val in = Ingest.stageOrderedFiles(s, stages,
+          s"target/stream_ivf_search_in_$tag")
+        val storeDir = s"target/stream_ivf_search_store_$tag"
+        Ingest.deleteRecursively(storeDir)
+        try {
+          val q = graft.streaming.StreamOps.ivfIndexUpdateStream(in, cents,
+              storeDir, compactKeepLast = 2)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val index = graft.streaming.StreamOps.sketchStoreRead(s, storeDir)
+          require(!index.isEmpty || vecs.isEmpty,
+            s"stream_ivf_search folded an empty index from $dir but the " +
+              "corpus has vectors")
+          val batch = vecs.filter(col("vec_id") % 101 === 0)
+          EmbeddingSim.ivfSearchAgainst(batch, cents, index, k = 10,
+              nprobe = 2)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank").cast("long").as("rank"), col("cosine"))
+            .orderBy(col("query_id"), col("rank"))
+        } finally cents.unpersist(): Unit
+      }
     }
   )
 }
