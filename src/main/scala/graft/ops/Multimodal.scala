@@ -640,7 +640,17 @@ object Multimodal {
     * recomputable from the text bytes by an independent engine (the
     * `mm_audio_stats` oracle). Batched mapPartitions like every codec-side
     * operator here. */
-  def asAudio(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+  def asAudio(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] =
+    asAudioWith(docs, encodeWavPcm16(_), batchSize)
+
+  /** The shared text→samples→WAV adapter both audio legs configure
+    * (review r19 — one copy of the byte-to-sample mapping, so the PCM
+    * and µ-law legs cannot silently diverge): each UTF-8 text byte u
+    * becomes one centered 16-bit mono sample (u − 128)·256, written
+    * through `encoder`. */
+  private def asAudioWith(docs: DataFrame,
+                          encoder: Array[Short] => Array[Byte],
+                          batchSize: Int): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -648,7 +658,7 @@ object Multimodal {
         case (id, text) =>
           val samples = text.getBytes("UTF-8")
             .map(b => (((b & 0xff) - 128) * 256).toShort)
-          MediaRecord(id, "audio", encodeWavPcm16(samples), "wav",
+          MediaRecord(id, "audio", encoder(samples), "wav",
             0, 0, samples.length)
       }))
   }
@@ -660,18 +670,8 @@ object Multimodal {
     * and stays EXACTLY recomputable from the text bytes by an independent
     * engine (the `mm_mulaw_stats` oracle replays the G.711 arithmetic —
     * the property the lossy-but-exactly-specified codec buys). */
-  def asAudioMulaw(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map {
-        case (id, text) =>
-          val samples = text.getBytes("UTF-8")
-            .map(b => (((b & 0xff) - 128) * 256).toShort)
-          MediaRecord(id, "audio", encodeWavMulaw(samples), "wav",
-            0, 0, samples.length)
-      }))
-  }
+  def asAudioMulaw(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] =
+    asAudioWith(docs, encodeWavMulaw(_), batchSize)
 
   /** Extracted features per video row: container geometry + exact
     * integer byte statistics over ALL decoded frame planes (all-long, so

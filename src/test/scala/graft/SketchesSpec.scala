@@ -714,7 +714,7 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
 
   test("IVF upsert/delete fold: upserts replace, deletes remove, a replayed batch is absorbed by the anti-join algebra") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, reverse}
+    import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.streaming.Trigger
     val storeDir = "target/test_ivf_upsert_store"
     graft.streaming.Ingest.deleteRecursively(storeDir)
